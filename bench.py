@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the widest/most shuffle-heavy plans in the inventory.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "j1_broadcast_lookup",
+    "j7_anti_join",
+    "w2_topk_per_group",
+    "a6_array_set_union",
+    "a8_explode_distinct_count",
+    "f6_conditional_pivot",
+    "a13_monotonicity_guard",
+]
+
+
+def main() -> None:
+    from gfe_db_spark.queries import all_queries
+    from gfe_db_spark.session import get_spark
+
+    spark = get_spark("gfe_db_spark_bench")
+    specs = all_queries()
+
+    # Warm the JVM + parquet footers once with a trivial action.
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        if name not in specs:
+            continue
+        fn = specs[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        # Force full execution without driver-side materialization cost.
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,44 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Local mode (``local[N]``) is a single JVM; the same configuration
+(AQE, sensible shuffle partitioning, Arrow) is what we would ship to a
+1000-executor cluster — only the sizing knobs differ.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "gfe_db_spark", cpus: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Scale notes: on a real cluster the master/memory settings come from the
+    submitter; everything else here (AQE with partition coalescing + skew-join
+    handling, Arrow transfers for the few Pandas-UDF operators, UTC session
+    timezone, shuffle partitions sized to the cluster) carries over unchanged.
+    """
+    cpus = cpus or _DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # One shuffle partition per core locally; on a cluster this would be
+        # ~2-3x total cores. AQE coalesces post-shuffle partitions anyway.
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
