@@ -1,0 +1,94 @@
+"""W6: the accession registry — stable dictionary-encoding of feature
+sequences.
+
+The GFE paper's core invariant (`docs/source/reference.rst:79-84`): every
+distinct feature sequence within a `(locus, term, rank)` context gets a
+small integer accession that is a *permanent reversible 1-to-1 mapping*.
+The reference outsources this to a REST feature service per allele
+(ref app.py:531-536) — a per-row network call. The engine internalizes it
+as a persistent registry table plus a deterministic assignment step, the
+single biggest build-time performance win over the reference.
+
+Assignment must be:
+  - stable across runs (registry is persistent, append-only);
+  - deterministic within a batch (new sequences ordered by
+    (first_release, sequence) before numbering — parallel runs converge);
+  - serialized per commit (ST6: one writer; the driver-side orchestrator
+    guarantees commit order across releases).
+
+Scale: the registry is keyed by (locus, term, rank, sequence); joins hash
+on those keys. At 100 TB the new-sequence side is small relative to the
+corpus (vocabulary growth is sublinear), and max-accession-per-context is
+a tiny aggregate; the expensive join (features ⨝ registry) is a plain
+equi-join Catalyst can shuffle-hash on the composite key.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from gfe_db_spark.schemas import ACCESSION_REGISTRY
+
+_KEY = ["locus", "term", "rank"]
+_IDENT = [*_KEY, "sequence"]
+
+
+class AccessionRegistry:
+    """Persistent (parquet-backed) accession registry with deterministic
+    first-seen numbering."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def load(self) -> DataFrame:
+        if os.path.exists(self.path):
+            return self.spark.read.parquet(self.path)
+        return self.spark.createDataFrame([], schema=ACCESSION_REGISTRY)
+
+    def assign(self, features: DataFrame, release: str) -> DataFrame:
+        """Return `features` with an `accession` column; new sequences get
+        the next integers per (locus, term, rank) and are persisted.
+
+        `features` must have columns locus, term, rank (int), sequence.
+        """
+        registry = self.load()
+        distinct_feats = features.select(*_IDENT).distinct()
+
+        # New = not yet registered (anti-join on the identity).
+        new_feats = distinct_feats.join(registry, on=_IDENT, how="left_anti")
+
+        # Deterministic numbering: order new sequences lexicographically
+        # within their context, offset by the current max accession.
+        max_acc = registry.groupBy(*_KEY).agg(F.max("accession").alias("max_acc"))
+        w = W.partitionBy(*_KEY).orderBy("sequence")
+        numbered = (
+            new_feats.withColumn("row_rank", F.row_number().over(w))
+            .join(max_acc, on=_KEY, how="left")
+            .withColumn(
+                "accession",
+                (F.coalesce(F.col("max_acc"), F.lit(0)) + F.col("row_rank")).cast("int"),
+            )
+            .withColumn("first_release", F.lit(release))
+            .select(*_IDENT, "accession", "first_release")
+        )
+
+        # Append-only commit (serialized by the caller, ST6). Stage to a tmp
+        # dir first so the append never reads the directory it writes.
+        import shutil
+
+        tmp = self.path + ".tmp"
+        numbered.write.mode("overwrite").parquet(tmp)
+        staged = self.spark.read.parquet(tmp)
+        if staged.limit(1).count() > 0:
+            staged.write.mode("append").parquet(self.path)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+        # No broadcast hint: the registry grows with the corpus vocabulary;
+        # let Catalyst/AQE pick broadcast vs shuffle-hash by actual size.
+        registry = self.load()
+        return features.join(registry.select(*_IDENT, "accession"), on=_IDENT, how="left")

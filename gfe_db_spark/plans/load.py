@@ -1,0 +1,253 @@
+"""The load path (ref §3.2): build tables → property-graph node/edge
+DataFrames with MERGE (dedup-upsert) semantics.
+
+The ten `apoc.periodic.iterate` statements in `load.cyp:1-138` become ten
+DataFrame pipelines. Cross-release accumulation (`ON MATCH SET`) is a
+full-outer merge per table; the releases array union is the exact builtin
+composition `array_sort ∘ array_distinct ∘ array_union` (`load.cyp:95`).
+
+Key corrections over the reference (SURVEY §7 "inconsistencies"):
+  - GFE keyed consistently on `name` (`create_constraints.cyp:1` says
+    gfe_name but `load.cyp:7` merges on name);
+  - HAS_SEQUENCE joins on `seq_id` (hash) instead of the multi-kb
+    sequence string (`load.cyp:119`);
+  - submit_date is a parameter, not `date()` (`load.cyp:109`), so loads
+    are reproducible.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, fields
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from gfe_db_spark.functions.scalars import release_undotted
+from gfe_db_spark.plans.build import BuildTables
+
+# ref load.cyp:11-16 singleton
+SUBMITTER = {
+    "institution": "IPD",
+    "name": "IPD-IMGT",
+    "url": "https://www.ebi.ac.uk/ipd/imgt/hla/",
+    "email": "<email>",
+}
+
+
+@dataclass
+class GraphTables:
+    nodes_gfe: DataFrame
+    nodes_sequence: DataFrame
+    nodes_feature: DataFrame
+    nodes_ipd_allele: DataFrame
+    nodes_ipd_accession: DataFrame
+    nodes_submitter: DataFrame
+    edges_has_ipd_allele: DataFrame
+    edges_has_ipd_accession: DataFrame
+    edges_submitted: DataFrame
+    edges_has_sequence: DataFrame
+    edges_has_feature: DataFrame
+
+    def items(self):
+        return [(f.name, getattr(self, f.name)) for f in fields(self)]
+
+    def save(self, path: str) -> None:
+        """S12: versioned snapshot — one parquet dataset per table."""
+        for name, df in self.items():
+            df.write.mode("overwrite").parquet(os.path.join(path, name))
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "GraphTables":
+        kwargs = {
+            f.name: spark.read.parquet(os.path.join(path, f.name))
+            for f in fields(GraphTables)
+        }
+        return GraphTables(**kwargs)
+
+
+def _dedup_first(df: DataFrame, keys: list[str], order: list) -> DataFrame:
+    """Deterministic MERGE dedup: first row per key under an explicit
+    ordering (the reference's MERGE takes CSV arrival order — we make the
+    winner explicit)."""
+    w = W.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+def load_release(
+    spark: SparkSession,
+    tables: BuildTables,
+    release: str,
+    submit_date: str = "2024-01-01",
+    existing: GraphTables | None = None,
+) -> GraphTables:
+    """Run the ten MERGE pipelines for one release; `existing` carries the
+    accumulated graph for multi-release upsert (idempotent on replay, ST3)."""
+    gfe_seq = tables.gfe_sequences
+
+    # A1: MERGE (gfe:GFE {name}) ON CREATE SET locus   (load.cyp:2-9)
+    nodes_gfe = _dedup_first(
+        gfe_seq.select(F.col("gfe_name").alias("name"), "locus"), ["name"], ["locus"]
+    )
+
+    # A5: singleton Submitter                          (load.cyp:10-16)
+    nodes_submitter = spark.createDataFrame([SUBMITTER])
+
+    # A2: Sequence node, name = gfe_name (ref quirk), last-writer props →
+    # deterministic pick: max hla_name                  (load.cyp:18-33)
+    nodes_sequence = _dedup_first(
+        gfe_seq.select(
+            F.col("gfe_name").alias("name"), "seq_id", "locus", "sequence", "length"
+        ),
+        ["name"],
+        [F.desc("seq_id")],
+    )
+
+    # A3: Feature node on 5-col identity               (load.cyp:35-48)
+    nodes_feature = tables.all_features.select(
+        "locus", "rank", "term", "accession", "sequence"
+    ).dropDuplicates(["locus", "rank", "term", "accession", "sequence"])
+
+    # A4 + J5/F6: IPD_Allele with pivoted ARD annotations (load.cyp:49-83)
+    ipd_base = _dedup_first(
+        gfe_seq.select(F.col("hla_name").alias("name"), F.col("locus").alias("gene")),
+        ["name"],
+        ["gene"],
+    )
+    ard = (
+        tables.all_groups.filter(F.col("ard_name").isin("G", "lg"))
+        .groupBy("hla_name")
+        .pivot("ard_name", ["G", "lg"])
+        .agg(F.first("ard_id"))
+    )
+    nodes_ipd_allele = (
+        ipd_base.join(ard, ipd_base.name == ard.hla_name, "left")
+        .select("name", "gene", "G", "lg")
+    )
+
+    nodes_ipd_accession = gfe_seq.select(F.col("acc_name").alias("name")).dropDuplicates(
+        ["name"]
+    )
+
+    # J2/A6: HAS_IPD_ALLELE with releases array         (load.cyp:85-95)
+    edges_has_ipd_allele = (
+        gfe_seq.select(
+            F.col("gfe_name").alias("src"),
+            F.col("hla_name").alias("dst"),
+            release_undotted(F.col("imgt_release")).cast("int").alias("release"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.array_sort(F.collect_set("release")).alias("releases"))
+    )
+
+    # HAS_IPD_ACCESSION: release set ON CREATE only     (load.cyp:96-97)
+    edges_has_ipd_accession = _dedup_first(
+        gfe_seq.select(
+            F.col("gfe_name").alias("src"),
+            F.col("acc_name").alias("dst"),
+            F.col("imgt_release").alias("release"),
+        ),
+        ["src", "dst"],
+        ["release"],
+    )
+
+    # J6: SUBMITTED via cross join with the singleton   (load.cyp:101-111)
+    edges_submitted = nodes_gfe.select(
+        F.lit(SUBMITTER["email"]).alias("src"),
+        F.col("name").alias("dst"),
+        F.lit(submit_date).cast("date").alias("submit_date"),
+    )
+
+    # J3: HAS_SEQUENCE keyed by hash, not raw string    (load.cyp:113-122)
+    edges_has_sequence = (
+        gfe_seq.alias("g")
+        .join(
+            nodes_sequence.alias("s"),
+            F.col("g.seq_id") == F.col("s.seq_id"),
+        )
+        .select(F.col("g.gfe_name").alias("src"), F.col("s.name").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+    # J4: HAS_FEATURE on composite key                  (load.cyp:124-138)
+    edges_has_feature = tables.all_features.select(
+        F.col("gfe_name").alias("src"),
+        F.col("locus").alias("dst_locus"),
+        F.col("rank").alias("dst_rank"),
+        F.col("term").alias("dst_term"),
+        F.col("accession").alias("dst_accession"),
+    ).dropDuplicates()
+
+    new = GraphTables(
+        nodes_gfe=nodes_gfe,
+        nodes_sequence=nodes_sequence,
+        nodes_feature=nodes_feature,
+        nodes_ipd_allele=nodes_ipd_allele,
+        nodes_ipd_accession=nodes_ipd_accession,
+        nodes_submitter=nodes_submitter,
+        edges_has_ipd_allele=edges_has_ipd_allele,
+        edges_has_ipd_accession=edges_has_ipd_accession,
+        edges_submitted=edges_submitted,
+        edges_has_sequence=edges_has_sequence,
+        edges_has_feature=edges_has_feature,
+    )
+    if existing is None:
+        return new
+    return merge_graphs(existing, new)
+
+
+def merge_graphs(old: GraphTables, new: GraphTables) -> GraphTables:
+    """Cross-release MERGE: ON CREATE = keep old row, insert new keys;
+    ON MATCH behavior per table mirrors load.cyp (create-only vs update vs
+    releases-array union)."""
+
+    def create_only(old_df: DataFrame, new_df: DataFrame, keys: list[str]) -> DataFrame:
+        return old_df.unionByName(new_df.join(old_df, on=keys, how="left_anti"))
+
+    def update_on_match(old_df: DataFrame, new_df: DataFrame, keys: list[str]) -> DataFrame:
+        # last-writer-wins: new release's row replaces matched rows
+        return new_df.unionByName(old_df.join(new_df, on=keys, how="left_anti"))
+
+    # releases array set-union (load.cyp:93-95)
+    ipd_edges = (
+        old.edges_has_ipd_allele.unionByName(new.edges_has_ipd_allele)
+        .groupBy("src", "dst")
+        .agg(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("releases")))).alias(
+                "releases"
+            )
+        )
+    )
+
+    return GraphTables(
+        nodes_gfe=create_only(old.nodes_gfe, new.nodes_gfe, ["name"]),
+        nodes_sequence=update_on_match(old.nodes_sequence, new.nodes_sequence, ["name"]),
+        nodes_feature=create_only(
+            old.nodes_feature,
+            new.nodes_feature,
+            ["locus", "rank", "term", "accession", "sequence"],
+        ),
+        nodes_ipd_allele=update_on_match(
+            old.nodes_ipd_allele, new.nodes_ipd_allele, ["name"]
+        ),
+        nodes_ipd_accession=create_only(
+            old.nodes_ipd_accession, new.nodes_ipd_accession, ["name"]
+        ),
+        nodes_submitter=old.nodes_submitter,
+        edges_has_ipd_allele=ipd_edges,
+        edges_has_ipd_accession=create_only(
+            old.edges_has_ipd_accession, new.edges_has_ipd_accession, ["src", "dst"]
+        ),
+        edges_submitted=create_only(old.edges_submitted, new.edges_submitted, ["src", "dst"]),
+        edges_has_sequence=create_only(
+            old.edges_has_sequence, new.edges_has_sequence, ["src", "dst"]
+        ),
+        edges_has_feature=create_only(
+            old.edges_has_feature,
+            new.edges_has_feature,
+            ["src", "dst_locus", "dst_rank", "dst_term", "dst_accession"],
+        ),
+    )

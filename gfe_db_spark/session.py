@@ -41,4 +41,37 @@ def get_spark(app_name: str = "gfe_db_spark", cpus: str | None = None) -> SparkS
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
     return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make `gfe_db_spark` importable on executor workers regardless of the
+    driver's cwd/PYTHONPATH by shipping the package as a py-file.
+
+    Needed because pandas-UDF/mapInPandas functions are pickled by module
+    reference; without this a driver process started outside the repo (the
+    round driver, a spark-submit from elsewhere, a real cluster) fails with
+    ModuleNotFoundError on the first UDF-bearing job. On a real cluster this
+    is exactly how the package would be distributed (`--py-files`).
+    """
+    if getattr(spark, "_gfe_db_spark_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    import gfe_db_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(gfe_db_spark.__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"gfe_db_spark_pkg_{os.getpid()}_{id(spark)}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fname in files:
+                if fname.endswith(".py"):
+                    full = os.path.join(root, fname)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    spark._gfe_db_spark_shipped = True

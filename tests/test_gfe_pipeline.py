@@ -1,0 +1,225 @@
+"""End-to-end GFE domain tests: EMBL parse → build → accession stability →
+graph load → validation + motif queries (SURVEY §7 build-plan steps 2-6)."""
+
+from __future__ import annotations
+
+import pytest
+
+from gfe_db_spark.functions.scalars import seq_hash_py
+from gfe_db_spark.plans.accession import AccessionRegistry
+from gfe_db_spark.plans.build import build_release
+from gfe_db_spark.plans.load import GraphTables, load_release, merge_graphs
+from gfe_db_spark.plans.queries import (
+    features_of_allele,
+    has_ipd_allele_release_counts,
+    ipd_accession_release_counts,
+    node_counts,
+)
+from gfe_db_spark.sources.imgt import read_imgt_dat
+from gfe_db_spark.sources.msf import read_alignments
+from tests import gfe_fixtures as fx
+
+
+@pytest.fixture(scope="module")
+def parsed_3550(spark, tmp_path_factory):
+    dat = fx.write_release_dat(str(tmp_path_factory.mktemp("dat3550")), "3550")
+    return read_imgt_dat(spark, dat).cache()
+
+
+@pytest.fixture(scope="module")
+def built_3550(spark, parsed_3550, tmp_path_factory):
+    reg_path = str(tmp_path_factory.mktemp("reg") / "registry")
+    registry = AccessionRegistry(spark, reg_path)
+    return build_release(
+        spark,
+        parsed_3550,
+        "3550",
+        registry,
+        alignments=None,
+        ard_mapping=fx.ard_mapping(spark),
+    )
+
+
+def test_parse_dat(parsed_3550):
+    rows = {r["allele_id"]: r for r in parsed_3550.collect()}
+    assert set(rows) == {f"HLA0000{i}" for i in range(1, 7)}
+    a1 = rows["HLA00001"]
+    assert a1["hla_name"] == "HLA-A*01:01:01:01"
+    assert a1["locus"] == "HLA-A"
+    assert a1["sequence"] == fx.U1 + fx.E1 + fx.I1 + fx.E2 + fx.U2
+    terms = [(f["term"], f["rank"], f["sequence"]) for f in a1["features"]]
+    assert terms == [
+        ("five_prime_UTR", 1, fx.U1),
+        ("exon", 1, fx.E1),
+        ("intron", 1, fx.I1),
+        ("exon", 2, fx.E2),
+        ("three_prime_UTR", 1, fx.U2),
+    ]
+    assert a1["cds_bp"] == fx.E1 + fx.E2
+    assert a1["cds_aa"] == "MK"
+    # B1 has no CDS
+    assert rows["HLA00003"]["cds_bp"] is None
+
+
+def test_build_filters_and_naming(built_3550):
+    gfe = {r["hla_name"]: r for r in built_3550.gfe_sequences.collect()}
+    # skip-list and short alleles filtered (F1/F2)
+    assert "HLA-DRB5*01:11" not in gfe
+    assert "HLA-A*99:99" not in gfe
+    # DRB5 locus-exception kept
+    assert "DRB5*01:02" in gfe
+    # canonical GFE naming: accessions ordered 5'UTR, e1, i1, e2, 3'UTR;
+    # within (HLA-A, EXON, 1): AAAA→1, CCCC→2; 3'UTR: AGAG→1, CTCT→2
+    assert gfe["HLA-A*01:01:01:01"]["gfe_name"] == "HLA-Aw1-1-1-1-1"
+    assert gfe["HLA-A*01:02"]["gfe_name"] == "HLA-Aw1-2-1-1-2"
+    # C1 hash byte-compat
+    a1 = gfe["HLA-A*01:01:01:01"]
+    assert a1["seq_id"] == seq_hash_py(fx.U1 + fx.E1 + fx.I1 + fx.E2 + fx.U2)
+    assert a1["imgt_release"] == "3.55.0"
+    # errors: the no-CDS allele lands in the error channel
+    errs = built_3550.errors.collect()
+    assert any(e["allele_id"] == "HLA00003" and "no CDS" in e["error"] for e in errs)
+
+
+def test_build_groups_pivot_inputs(built_3550):
+    groups = built_3550.all_groups.filter("hla_name = 'HLA-A*01:01:01:01'").collect()
+    by_name = {g["ard_name"]: g["ard_id"] for g in groups}
+    assert by_name.get("G") == "HLA-A*01:01:01G"
+    assert by_name.get("lg") == "HLA-A*01:01lg"
+    # redux==input case → empty-row convention (ref app.py:332)
+    assert "" in by_name and by_name[""] == ""
+
+
+def test_accession_stability_across_releases(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("stability")
+    reg_path = str(tmp / "registry")
+    registry = AccessionRegistry(spark, reg_path)
+
+    dat50 = fx.write_release_dat(str(tmp), "3550")
+    alleles50 = read_imgt_dat(spark, dat50)
+    b50 = build_release(spark, alleles50, "3550", registry)
+    feats50 = {
+        (r["hla_name"], r["term"], r["rank"]): r["accession"]
+        for r in b50.all_features.collect()
+    }
+
+    dat60 = fx.write_release_dat(str(tmp), "3560")
+    alleles60 = read_imgt_dat(spark, dat60)
+    b60 = build_release(spark, alleles60, "3560", registry)
+    feats60 = {
+        (r["hla_name"], r["term"], r["rank"]): r["accession"]
+        for r in b60.all_features.collect()
+    }
+
+    # identical features keep their accessions across releases
+    for key, acc in feats50.items():
+        assert feats60[key] == acc, key
+    # A3's exon1 reuses accession 1 (same sequence as A1's)
+    assert feats60[("HLA-A*02:01", "EXON", "1")] == "1"
+    # A3's new intron sequence gets the next accession in its context
+    assert feats60[("HLA-A*02:01", "INTRON", "1")] == "2"
+    # re-building 3550 against the same registry is idempotent
+    b50_again = build_release(spark, read_imgt_dat(spark, dat50), "3550", registry)
+    feats50_again = {
+        (r["hla_name"], r["term"], r["rank"]): r["accession"]
+        for r in b50_again.all_features.collect()
+    }
+    assert feats50_again == feats50
+
+
+def test_alignment_join(spark, built_3550, parsed_3550, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("msf"))
+    aligns = read_alignments(spark, fx.write_msf(tmp))
+    reg_path = str(tmp_path_factory.mktemp("reg2") / "registry")
+    built = build_release(
+        spark, parsed_3550, "3550", AccessionRegistry(spark, reg_path), alignments=aligns
+    )
+    rows = built.all_alignments.collect()
+    by_name = {r["hla_name"]: r for r in rows}
+    # only alleles present in the MSF get alignment rows (F9)
+    assert set(by_name) == {"HLA-A*01:01:01:01", "HLA-A*01:02"}
+    r = by_name["HLA-A*01:01:01:01"]
+    assert r["label"] == "GEN_ALIGN"
+    assert r["bp_sequence"] == "ACACAAAAGGGGTTTTAGAG"
+    assert r["aa_sequence"] == ""
+    assert r["length"] == 20
+
+
+def test_graph_load_and_merge(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("graph")
+    registry = AccessionRegistry(spark, str(tmp / "registry"))
+
+    b50 = build_release(
+        spark,
+        read_imgt_dat(spark, fx.write_release_dat(str(tmp), "3550")),
+        "3550",
+        registry,
+        ard_mapping=fx.ard_mapping(spark),
+    )
+    g50 = load_release(spark, b50, "3550", submit_date="2024-01-01")
+
+    counts = {r["node"]: r["count"] for r in node_counts(g50).collect()}
+    # 4 processable alleles in 3550; A1/A2/B1/D1 have distinct GFEs
+    assert counts["GFE"] == 4
+    assert counts["IPD_Allele"] == 4
+    assert counts["Submitter"] == 1
+    # ARD pivot landed on the IPD_Allele node (J5/F6)
+    ipd = {r["name"]: r for r in g50.nodes_ipd_allele.collect()}
+    assert ipd["HLA-A*01:01:01:01"]["G"] == "HLA-A*01:01:01G"
+    assert ipd["HLA-A*01:01:01:01"]["lg"] == "HLA-A*01:01lg"
+    assert ipd["HLA-B*07:02"]["G"] is None
+
+    b60 = build_release(
+        spark,
+        read_imgt_dat(spark, fx.write_release_dat(str(tmp), "3560")),
+        "3560",
+        registry,
+        ard_mapping=fx.ard_mapping(spark),
+    )
+    g = load_release(spark, b60, "3560", submit_date="2024-06-01", existing=g50)
+
+    # releases-array union (A6/J9): A1's GFE seen in both releases
+    edges = {
+        (r["src"], r["dst"]): r["releases"] for r in g.edges_has_ipd_allele.collect()
+    }
+    assert edges[("HLA-Aw1-1-1-1-1", "HLA-A*01:01:01:01")] == [3550, 3560]
+    # A3 only in 3560
+    a3_edges = [k for k in edges if k[1] == "HLA-A*02:01"]
+    assert len(a3_edges) == 1 and edges[a3_edges[0]] == [3560]
+
+    # A8/A9 histograms
+    hist = {r["release_version"]: r["count"] for r in has_ipd_allele_release_counts(g).collect()}
+    assert hist[3550] == 4 and hist[3560] == 5
+    acc_hist = {r["release"]: r["count"] for r in ipd_accession_release_counts(g).collect()}
+    assert acc_hist["3.55.0"] == 4 and acc_hist["3.56.0"] == 1
+
+    # snapshot round-trip (S12)
+    snap = str(tmp / "snapshot")
+    g.save(snap)
+    g2 = GraphTables.load(spark, snap)
+    assert g2.nodes_gfe.count() == g.nodes_gfe.count()
+
+    # J8 motif: features of A1 ordered by term, rank
+    feats = [(r["term"], r["rank"]) for r in features_of_allele(g, "HLA-A*01:01:01:01").collect()]
+    assert feats == [
+        ("EXON", 1),
+        ("EXON", 2),
+        ("FIVE_PRIME_UTR", 1),
+        ("INTRON", 1),
+        ("THREE_PRIME_UTR", 1),
+    ]
+
+
+def test_merge_idempotent_replay(spark, tmp_path_factory):
+    """ST3: re-loading the same release is a no-op (MERGE semantics)."""
+    tmp = tmp_path_factory.mktemp("replay")
+    registry = AccessionRegistry(spark, str(tmp / "registry"))
+    b = build_release(
+        spark, read_imgt_dat(spark, fx.write_release_dat(str(tmp), "3550")), "3550", registry
+    )
+    g1 = load_release(spark, b, "3550")
+    g2 = merge_graphs(g1, load_release(spark, b, "3550"))
+    for (name, df1), (_, df2) in zip(g1.items(), g2.items()):
+        assert df1.count() == df2.count(), name
+    edges = {tuple(r[:2]): r["releases"] for r in g2.edges_has_ipd_allele.collect()}
+    assert all(v == [3550] for v in edges.values())
