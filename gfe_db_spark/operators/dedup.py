@@ -1,0 +1,211 @@
+"""Deduplication operators over a document corpus.
+
+Five strategies, all DataFrame-native (the only Python UDF is SimHash's
+bit-packing, which has no builtin equivalent):
+
+- exact_dedup:        hash-groupBy on content digest
+- shingles:           word n-gram shingling (the shared substrate)
+- minhash_signatures: portable MinHash via per-seed min(md5(seed||shingle))
+- lsh_candidate_pairs: banded LSH → candidate pairs without all-pairs
+- ngram_jaccard_pairs: exact Jaccard on shingle sets for candidate pairs
+- simhash:            64-bit SimHash fingerprint (pandas UDF)
+- embedding_neardup_pairs: cosine-threshold pairs over embedding vectors
+
+Scale notes (100 TB): every pair-producing operator goes through a
+*bucketed* join (shingle, band hash, or LSH bucket) — never a cross join —
+so the shuffle is keyed by content and hot buckets can be salted or capped
+(`max_bucket_size`). MinHash seeds use md5, which both Spark and DuckDB
+implement, keeping the signatures oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content digest; keeps the min-id
+    representative. One shuffle on the digest."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("representative"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def shingles(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Word n-gram shingles, one row per distinct (doc, shingle).
+
+    Built-ins only: split → sliding window via transform over index array →
+    explode. Stays in whole-stage codegen."""
+    toks = F.split(F.col(text_col), "\\s+")
+    n_sh = F.size(toks) - F.lit(n - 1)
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), n_sh - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature per doc: sig_i = min over shingles of
+    md5(i || shingle). md5-as-hash-family keeps this portable to any SQL
+    oracle; one shuffle (groupBy doc_id) computes all seeds at once."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i)), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return shingle_df.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Banded LSH: docs sharing any band key become candidate pairs.
+
+    Pairs come from a self-join keyed on (band, band_hash) — the join key
+    IS the bucket, so no all-pairs shuffle; AQE's skew handling (or an
+    explicit bucket-size cap upstream) bounds hot buckets."""
+    band_cols = []
+    for b in range(bands):
+        segs = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *segs)).alias("bh")))
+    banded = signatures.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("band_hash"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    shingle_df: DataFrame, threshold: float = 0.5, max_bucket_size: int | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    jaccard = |A∩B| / (|A| + |B| - |A∩B|), computed from a shingle-keyed
+    self-join (common count) plus a per-doc size dim. `max_bucket_size`
+    drops degenerate shingles (stop-shingles shared by everyone) — the
+    standard scale guard against quadratic hot buckets."""
+    sizes = shingle_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sh = shingle_df
+    if max_bucket_size is not None:
+        freq = shingle_df.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        sh = shingle_df.join(
+            freq.filter(F.col("df_") <= max_bucket_size).select("shingle"), "shingle"
+        )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")), 9
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash fingerprint per document (pandas UDF: bit packing has
+    no builtin form). Near-dup = small Hamming distance between
+    fingerprints; pair generation would bucket on rotated fingerprint
+    chunks (same banding idea as LSH)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    # note: no `pd.Series` type hints — under `from __future__ import
+    # annotations` they become strings a locally-defined UDF can't resolve
+    @F.pandas_udf(T.LongType())
+    def _simhash(texts):
+        import hashlib
+
+        def one(t):
+            if t is None:
+                return None
+            acc = [0] * 64
+            for tok in t.split():
+                h = int.from_bytes(
+                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
+                )
+                for i in range(64):
+                    acc[i] += 1 if (h >> i) & 1 else -1
+            v = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    v |= 1 << i
+            # to signed 64-bit
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        return texts.map(one)
+
+    return docs.select(F.col(id_col).alias("doc_id"), _simhash(F.col(text_col)).alias("simhash64"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Array dot product with builtins: zip_with → aggregate. Left-to-right
+    summation keeps it deterministic (and matches DuckDB's list functions)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine-threshold near-duplicate pairs over an embedding column.
+
+    This is the exact (all-pairs) baseline — O(n²) pairs, usable per
+    partition-bucket or at validation scale. The scale path buckets
+    vectors first (see operators/similarity.lsh_bucket_ann) so the join
+    key is a hash bucket, not a cross join."""
+    av = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
+    bv = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    pairs = av.crossJoin(bv).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 9))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

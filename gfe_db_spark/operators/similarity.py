@@ -1,0 +1,125 @@
+"""Approximate-nearest-neighbor similarity search over embedding columns.
+
+- brute_force_topk: exact top-k for a query vector — the correctness
+  baseline; one scan + one top-k (no shuffle beyond the final ordering).
+- ivf_assign / ivf_topk: IVF-style bucketed search — assign every vector
+  to its nearest centroid once (broadcast centroids), then probe only the
+  query's closest buckets. This is the 100 TB path: the index is a
+  partition key, searches touch 1/K of the data.
+- random_hyperplane_buckets: sign-LSH bucketing with deterministic
+  hash-derived hyperplanes (no stored model needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from gfe_db_spark.operators.dedup import _dot, cosine
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector. The query is a
+    literal array (constant-folded), so this is scan → project → top-k."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        emb.select(
+            F.col(id_col),
+            F.round(_dot(v, q) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(q, q))), 9).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), id_col)
+        .limit(k)
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF index build).
+
+    centroids: (centroid_id, centroid) — always small → broadcast; the
+    argmin is a window over the exploded (vector × centroid) score, keyed
+    by vector, so the heavy side shuffles once on vec_id."""
+    scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
+        "cos_c",
+        cosine(F.col(vec_col).cast("array<double>"), F.col("centroid").cast("array<double>")),
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("cos_c"), "centroid_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe only the n_probe centroids nearest the query, then exact
+    top-k within those buckets. At scale `assigned` is written partitioned
+    by centroid_id → partition pruning skips the rest of the corpus."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe = (
+        centroids.withColumn("cos_q", cosine(F.col("centroid").cast("array<double>"), q))
+        .orderBy(F.desc("cos_q"), "centroid_id")
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        assigned.join(F.broadcast(probe), "centroid_id")
+        .select(
+            F.col(id_col),
+            F.round(_dot(v, q) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(q, q))), 9).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), id_col)
+        .limit(k)
+    )
+
+
+def random_hyperplane_buckets(
+    emb: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-LSH: bucket = bit-string of sign(v · h_p) for deterministic
+    pseudo-random hyperplanes h_p derived from a hash of (plane, dim index)
+    — reproducible with no stored model. Vectors in the same bucket are
+    ANN candidates; near-dup search joins on `bucket`."""
+    import hashlib
+
+    def plane(p: int) -> list[float]:
+        vals = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}".encode()).digest()
+            # map 8 bytes to [-1, 1)
+            vals.append(int.from_bytes(h[:8], "big") / float(1 << 63) - 1.0)
+        return vals
+
+    v = F.col(vec_col).cast("array<double>")
+    bits = [
+        F.when(_dot(v, F.array(*[F.lit(x) for x in plane(p)])) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for p in range(n_planes)
+    ]
+    return emb.select(F.col(id_col), F.col(vec_col), F.concat(*bits).alias("bucket"))

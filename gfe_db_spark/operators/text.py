@@ -1,0 +1,98 @@
+"""Text-analysis operators for a training-data pipeline: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All built-in-function compositions (JVM-side, codegen'd) — no Python in
+the hot path, so these run at scan speed over 100 TB of text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets (n-gram heuristic substrate).
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "que", "es", "los"],
+}
+
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokenization (the baseline tokenizer)."""
+    return F.split(text, "\\s+")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Token count under a BPE-ish regex: words, numbers, and single
+    punctuation marks each count as one token."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    ).cast("long")
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    toks = tokenize(F.col(text_col))
+    return docs.withColumn("n_tokens", F.size(toks).cast("long")).withColumn(
+        "n_tokens_bpe", bpe_ish_token_count(F.col(text_col))
+    )
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / uppercase ratios — the standard
+    cheap quality signals."""
+    t = F.col(text_col)
+    toks = tokenize(t)
+    n_tok = F.size(toks)
+    stop = F.array(*[F.lit(w) for ws in LANG_MARKERS.values() for w in ws])
+    n_stop = F.size(F.array_intersect(toks, stop))
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_upper = F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    return docs.select(
+        "*",
+        F.length(t).cast("long").alias("n_chars_m"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(n_punct / F.greatest(F.length(t), F.lit(1)), 9).alias("punct_ratio"),
+        F.round(n_upper / F.greatest(F.length(t), F.lit(1)), 9).alias("upper_ratio"),
+        F.round(n_stop / F.greatest(n_tok, F.lit(1)), 9).alias("stopword_ratio"),
+    )
+
+
+def lang_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: per-language stopword hit counts over the
+    token set, argmax → predicted language ('und' when no marker hits)."""
+    toks = tokenize(F.col(text_col))
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        score_cols.append(
+            F.struct(
+                F.size(F.array_intersect(toks, marker_arr)).cast("long").alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*score_cols))
+    out = docs.withColumn("__best", best)
+    return out.select(
+        "*",
+        F.when(F.col("__best.score") > 0, F.col("__best.lang"))
+        .otherwise(F.lit("und"))
+        .alias("lang_pred"),
+        F.col("__best.score").alias("lang_score"),
+    ).drop("__best")
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
+    """Document fingerprint: minimum digest over k-word rolling windows
+    (winnowing-style selection with w = document). Identical up-to-window
+    reorderings collide — by design for near-dup bucketing."""
+    toks = tokenize(F.col(text_col))
+    n_w = F.size(toks) - F.lit(k - 1)
+    windows = F.transform(
+        F.sequence(F.lit(0), n_w - 1), lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )
+    return docs.withColumn(
+        "fingerprint",
+        F.when(F.size(toks) >= k, F.array_min(windows)).otherwise(F.lit(None)),
+    )

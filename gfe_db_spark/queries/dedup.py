@@ -1,7 +1,151 @@
-"""dedup query inventory — populated as operators land."""
+"""Deduplication query inventory over `documents` / `embeddings`
+(north-star extension): exact, MinHash+LSH, n-gram Jaccard, SimHash,
+embedding-cosine near-dup — each as an oracle-checked query where the
+semantics are SQL-expressible (SimHash is rows-only: 64-bit bit packing)."""
 
 from __future__ import annotations
 
-from gfe_db_spark.queries import QuerySpec
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-QUERIES: dict[str, QuerySpec] = {}
+from gfe_db_spark.operators import dedup as DD
+from gfe_db_spark.queries import QuerySpec
+from gfe_db_spark.sources.tables import table
+
+_SHINGLE_CTE = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                  i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+    FROM t
+  )
+)
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return DD.exact_dedup(docs).orderBy("content_hash")
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS representative, COUNT(*) AS n_docs
+FROM documents GROUP BY md5(text) ORDER BY content_hash
+"""
+
+
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = DD.shingles(docs, n=3)
+    return DD.minhash_signatures(sh, num_hashes=8).orderBy("doc_id")
+
+
+_SIG_COLS = ",\n       ".join(
+    f"min(md5('{i}' || shingle)) AS sig_{i}" for i in range(8)
+)
+
+DEDUP_MINHASH_SQL = (
+    _SHINGLE_CTE
+    + f"""
+SELECT doc_id,
+       {_SIG_COLS}
+FROM sh GROUP BY doc_id ORDER BY doc_id
+"""
+)
+
+
+def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sigs = DD.minhash_signatures(DD.shingles(docs, n=3), num_hashes=8)
+    return DD.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2).orderBy("doc_a", "doc_b")
+
+
+_BAND_EXPRS = ", ".join(
+    f"md5(sig_{2 * b} || '|' || sig_{2 * b + 1}) AS band_{b}" for b in range(4)
+)
+_BAND_UNION = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, band_{b} AS band_hash FROM sigs" for b in range(4)
+)
+
+DEDUP_LSH_SQL = (
+    _SHINGLE_CTE
+    + f""", sigs AS (
+  SELECT doc_id, {_SIG_COLS.replace(chr(10) + '       ', ' ')}
+  FROM sh GROUP BY doc_id
+), banded_raw AS (
+  SELECT doc_id, {_BAND_EXPRS} FROM sigs
+), banded AS (
+  {_BAND_UNION.replace('sigs', 'banded_raw')}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+WHERE a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = DD.shingles(docs, n=3)
+    return DD.ngram_jaccard_pairs(sh, threshold=0.5).orderBy("doc_a", "doc_b")
+
+
+DEDUP_JACCARD_SQL = (
+    _SHINGLE_CTE
+    + """, sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_common,
+       round(n_common / (sa.sz + sb.sz - n_common), 9) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_common / (sa.sz + sb.sz - n_common), 9) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (rows-only: bit packing isn't SQL-portable)."""
+    docs = table(spark, sf_dir, "documents")
+    return DD.simhash(docs).orderBy("doc_id")
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return DD.embedding_neardup_pairs(emb, threshold=0.8).orderBy("id_a", "id_b")
+
+
+DEDUP_EMBEDDING_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 9) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 9) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "exact hash dedup"),
+    "dedup_minhash_signatures": QuerySpec(
+        dedup_minhash_signatures, DEDUP_MINHASH_SQL, "MinHash signatures"
+    ),
+    "dedup_lsh_pairs": QuerySpec(dedup_lsh_pairs, DEDUP_LSH_SQL, "LSH banded candidates"),
+    "dedup_ngram_jaccard": QuerySpec(
+        dedup_ngram_jaccard, DEDUP_JACCARD_SQL, "n-gram Jaccard pairs"
+    ),
+    "dedup_simhash": QuerySpec(dedup_simhash, None, "SimHash fingerprints (rows-only)"),
+    "dedup_embedding_cosine": QuerySpec(
+        dedup_embedding_cosine, DEDUP_EMBEDDING_SQL, "embedding near-dup pairs"
+    ),
+}

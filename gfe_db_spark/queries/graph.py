@@ -1,7 +1,123 @@
-"""graph query inventory — populated as operators land."""
+"""Graph query inventory: motif traversals expressed as join chains over
+the star schema (the testdata mirror of the J8 motif surface), plus the
+GFE domain pipeline itself as a rows-only end-to-end query."""
 
 from __future__ import annotations
 
-from gfe_db_spark.queries import QuerySpec
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-QUERIES: dict[str, QuerySpec] = {}
+from gfe_db_spark.queries import QuerySpec
+from gfe_db_spark.sources.tables import table
+
+
+def graph_3hop_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop motif (region)-[has]->(nation)-[has]->(customer)-[placed]->
+    (orders): the documented-query shape (J8) over the star schema. Each
+    hop is an equi-join on the node key; dims broadcast."""
+    region = table(spark, sf_dir, "region")
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+        .orderBy("r_name")
+    )
+
+
+GRAPH_3HOP_SQL = """
+SELECT r_name, COUNT(*) AS n_orders, COUNT(DISTINCT c_custkey) AS n_customers
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def graph_undirected_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected 2-hop: customers and suppliers co-located in a nation
+    (`(c)-[in]->(n)<-[in]-(s)` — the shared-endpoint motif), counting
+    co-location pairs per nation."""
+    cust = table(spark, sf_dir, "customer")
+    sup = table(spark, sf_dir, "supplier")
+    return (
+        cust.join(sup, cust.c_nationkey == sup.s_nationkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("nationkey")
+    )
+
+
+GRAPH_2HOP_SQL = """
+SELECT c_nationkey AS nationkey, COUNT(*) AS n_pairs
+FROM customer JOIN supplier ON c_nationkey = s_nationkey
+GROUP BY c_nationkey ORDER BY nationkey
+"""
+
+
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the customer→orders edge table (graph-analytics
+    staple: two aggregations, one shuffle each)."""
+    orders = table(spark, sf_dir, "orders")
+    degrees = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        degrees.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("degree")
+    )
+
+
+GRAPH_DEGREE_SQL = """
+WITH degrees AS (SELECT o_custkey, COUNT(*) AS degree FROM orders GROUP BY o_custkey)
+SELECT degree, COUNT(*) AS n_nodes FROM degrees GROUP BY degree ORDER BY degree
+"""
+
+
+def gfe_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GFE domain pipeline end-to-end on the deterministic mini-release
+    (rows-only: EMBL parse → build → accession registry → graph load →
+    motif query). Returns the per-allele feature listing for every loaded
+    allele — the reference's documented query surface."""
+    import tempfile
+
+    from gfe_db_spark.plans.accession import AccessionRegistry
+    from gfe_db_spark.plans.build import build_release
+    from gfe_db_spark.plans.load import load_release
+    from gfe_db_spark.plans.motif import find
+    from gfe_db_spark.sources.imgt import read_imgt_dat
+    from gfe_db_spark.testing_fixtures import write_release_dat
+
+    tmp = tempfile.mkdtemp(prefix="gfe_e2e_")
+    dat = write_release_dat(tmp, "3550")
+    alleles = read_imgt_dat(spark, dat)
+    built = build_release(
+        spark, alleles, "3550", AccessionRegistry(spark, f"{tmp}/registry")
+    )
+    graph = load_release(spark, built, "3550")
+    motif = find(
+        graph, "(w:IPD_Allele)<-[:HAS_IPD_ALLELE]-(g:GFE)-[:HAS_FEATURE]->(f:Feature)"
+    )
+    return motif.select(
+        F.col("w_name").alias("hla_name"),
+        F.col("g_name").alias("gfe_name"),
+        F.col("f_term").alias("term"),
+        F.col("f_rank").cast("int").alias("rank"),
+        F.col("f_accession").alias("accession"),
+    ).orderBy("hla_name", "term", "rank")
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "graph_3hop_motif": QuerySpec(graph_3hop_motif, GRAPH_3HOP_SQL, "3-hop motif J8"),
+    "graph_undirected_2hop": QuerySpec(graph_undirected_2hop, GRAPH_2HOP_SQL, "2-hop motif"),
+    "graph_degree_distribution": QuerySpec(
+        graph_degree_distribution, GRAPH_DEGREE_SQL, "degree histogram"
+    ),
+    "gfe_end_to_end": QuerySpec(gfe_end_to_end, None, "GFE pipeline e2e (rows-only)"),
+}

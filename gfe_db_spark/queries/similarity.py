@@ -1,7 +1,135 @@
-"""similarity query inventory — populated as operators land."""
+"""Similarity-search query inventory over `embeddings` (north-star
+extension): brute-force cosine top-k baseline, IVF bucketed variant, and
+sign-LSH bucketing."""
 
 from __future__ import annotations
 
-from gfe_db_spark.queries import QuerySpec
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-QUERIES: dict[str, QuerySpec] = {}
+from gfe_db_spark.operators import similarity as SIM
+from gfe_db_spark.queries import QuerySpec
+from gfe_db_spark.sources.tables import table
+
+
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors of vec_id=0's embedding. The query
+    vector joins in as a broadcast single row, so the plan is
+    scan → project → top-k (TakeOrderedAndProject)."""
+    emb = table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("q")
+    )
+    v = F.col("embedding").cast("array<double>")
+    from gfe_db_spark.operators.dedup import _dot
+
+    return (
+        emb.crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(v, F.col("q")) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(F.col("q"), F.col("q")))),
+                9,
+            ).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
+    )
+
+
+KNN_BRUTE_SQL = """
+SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 9) AS cos
+FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY cos DESC, e.vec_id
+LIMIT 10
+"""
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: centroids = embeddings of vec_id 0..3 (a
+    deterministic stand-in for k-means output), assign each vector to its
+    nearest centroid, probe the 2 centroids nearest the query. At scale the
+    assignment table is written partitioned by centroid_id so the probe
+    prunes partitions."""
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    query_vec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    assigned = SIM.ivf_assign(emb, centroids)
+    return SIM.ivf_topk(assigned, centroids, query_vec, k=10, n_probe=2)
+
+
+KNN_IVF_SQL = """
+WITH cents AS (
+  SELECT CAST(vec_id AS INTEGER) AS centroid_id, embedding AS centroid
+  FROM embeddings WHERE vec_id < 4
+), q AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+), assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.centroid AS DOUBLE[])), 9) DESC, c.centroid_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+), probe AS (
+  SELECT centroid_id FROM (
+    SELECT c.centroid_id,
+           row_number() OVER (
+             ORDER BY round(list_cosine_similarity(CAST(c.centroid AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 9) DESC, c.centroid_id
+           ) AS rn
+    FROM cents c CROSS JOIN q
+  ) WHERE rn <= 2
+)
+SELECT a.vec_id, round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 9) AS cos
+FROM assigned a JOIN probe p ON a.centroid_id = p.centroid_id CROSS JOIN q
+ORDER BY cos DESC, a.vec_id
+LIMIT 10
+"""
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket histogram: vectors per hyperplane-sign bucket."""
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        SIM.random_hyperplane_buckets(emb, n_planes=8, dim=64)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("bucket")
+    )
+
+
+def _lsh_bucket_sql() -> str:
+    """Mirror the deterministic hyperplanes as SQL literals (the planes are
+    hash-derived, so the oracle regenerates the identical numbers)."""
+    import hashlib
+
+    bits = []
+    for p in range(8):
+        vals = []
+        for d in range(64):
+            h = hashlib.md5(f"{p}:{d}".encode()).digest()
+            vals.append(repr(int.from_bytes(h[:8], "big") / float(1 << 63) - 1.0))
+        plane = ", ".join(vals)
+        bits.append(
+            f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [{plane}]) >= 0 THEN '1' ELSE '0' END"
+        )
+    concat = " || ".join(bits)
+    return f"""
+SELECT ({concat}) AS bucket, COUNT(*) AS n_vectors
+FROM embeddings GROUP BY 1 ORDER BY bucket
+"""
+
+
+ANN_LSH_SQL = _lsh_bucket_sql()
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "knn_brute_force": QuerySpec(knn_brute_force, KNN_BRUTE_SQL, "exact cosine top-k"),
+    "knn_ivf": QuerySpec(knn_ivf, KNN_IVF_SQL, "IVF bucketed ANN"),
+    "ann_lsh_buckets": QuerySpec(ann_lsh_buckets, ANN_LSH_SQL, "sign-LSH buckets"),
+}

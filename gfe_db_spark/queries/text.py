@@ -1,7 +1,115 @@
-"""text query inventory — populated as operators land."""
+"""Text-analysis query inventory over `documents` (north-star extension:
+language ID, quality scoring, token counting, fingerprinting)."""
 
 from __future__ import annotations
 
-from gfe_db_spark.queries import QuerySpec
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-QUERIES: dict[str, QuerySpec] = {}
+from gfe_db_spark.operators import text as TX
+from gfe_db_spark.queries import QuerySpec
+from gfe_db_spark.sources.tables import table
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    out = TX.token_stats(docs)
+    return out.select("doc_id", "n_tokens", "n_tokens_bpe").orderBy("doc_id")
+
+
+TEXT_TOKEN_SQL = r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_bpe
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    out = TX.quality_features(docs)
+    return out.select(
+        "doc_id", "n_chars_m", "n_tokens", "punct_ratio", "upper_ratio", "stopword_ratio"
+    ).orderBy("doc_id")
+
+
+_STOPWORDS = ", ".join(
+    f"'{w}'" for ws in TX.LANG_MARKERS.values() for w in ws
+)
+
+TEXT_QUALITY_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(text, '\s+') AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_m,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+             / greatest(length(text), 1), 9) AS punct_ratio,
+       round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+             / greatest(length(text), 1), 9) AS upper_ratio,
+       round(len(list_intersect(toks, [{_STOPWORDS}])) / greatest(len(toks), 1), 9) AS stopword_ratio
+FROM t ORDER BY doc_id
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language-ID heuristic vs the labeled lang column."""
+    docs = table(spark, sf_dir, "documents")
+    out = TX.lang_scores(docs)
+    return out.select("doc_id", "lang", "lang_pred", "lang_score").orderBy("doc_id")
+
+
+def _lang_scores_sql() -> str:
+    per_lang = []
+    for lang, markers in TX.LANG_MARKERS.items():
+        arr = ", ".join(f"'{m}'" for m in markers)
+        per_lang.append(f"CAST(len(list_intersect(toks, [{arr}])) AS BIGINT) AS s_{lang}")
+    scores = ",\n       ".join(per_lang)
+    # tie-break mirrors Spark's array_max over (score, lang) structs:
+    # highest score wins, lexicographically larger lang wins ties.
+    langs_desc = sorted(TX.LANG_MARKERS, reverse=True)
+    case = " ".join(f"WHEN s_{lg} = best THEN '{lg}'" for lg in langs_desc)
+    greatest = ", ".join(f"s_{lg}" for lg in TX.LANG_MARKERS)
+    return rf"""
+WITH t AS (
+  SELECT doc_id, lang, string_split_regex(text, '\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id, lang,
+       {scores}
+  FROM t
+), b AS (
+  SELECT *, greatest({greatest}) AS best FROM s
+)
+SELECT doc_id, lang,
+       CASE WHEN best = 0 THEN 'und' {case} END AS lang_pred,
+       best AS lang_score
+FROM b ORDER BY doc_id
+"""
+
+
+TEXT_LANG_SQL = _lang_scores_sql()
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return TX.fingerprint(docs, k=4).select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+TEXT_FINGERPRINT_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+)
+SELECT doc_id,
+       list_min(list_transform(range(1, greatest(len(toks) - 2, 1)),
+                i -> md5(array_to_string(toks[i:i+3], ' ')))) AS fingerprint
+FROM t ORDER BY doc_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_SQL, "token counting"),
+    "text_quality_scores": QuerySpec(text_quality_scores, TEXT_QUALITY_SQL, "quality signals"),
+    "text_lang_id": QuerySpec(text_lang_id, TEXT_LANG_SQL, "language-ID heuristic"),
+    "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL, "doc fingerprint"),
+}

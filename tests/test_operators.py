@@ -1,0 +1,157 @@
+"""Unit tests for the training-data operators (dedup / similarity / text /
+multimodal) on small hand-checkable inputs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gfe_db_spark.operators import dedup as DD
+from gfe_db_spark.operators import multimodal as MM
+from gfe_db_spark.operators import similarity as SIM
+from gfe_db_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the sleepy dog"),  # near dup
+        (4, "completely different content about spark engines"),
+        (5, "ab"),  # shorter than any shingle window
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    out = {r["representative"]: r["n_docs"] for r in DD.exact_dedup(docs).collect()}
+    assert out[1] == 2  # docs 1 and 2 collapse
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_shingles_and_jaccard(docs):
+    sh = DD.shingles(docs, n=3)
+    by_doc = sh.groupBy("doc_id").count().collect()
+    counts = {r["doc_id"]: r["count"] for r in by_doc}
+    assert counts[1] == 7  # 9 tokens → 7 shingles
+    assert 5 not in counts  # too short → no shingles
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(sh, threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical docs
+    assert 0.3 <= pairs[(1, 3)] < 1.0  # near dup
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_recall(docs):
+    sigs = DD.minhash_signatures(DD.shingles(docs, n=3), num_hashes=8)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2).collect()
+    }
+    assert (1, 2) in pairs  # identical docs always collide on every band
+    assert (1, 4) not in pairs
+
+
+def test_simhash(docs):
+    out = {r["doc_id"]: r["simhash64"] for r in DD.simhash(docs).collect()}
+    assert out[1] == out[2]
+    # near-dup → small hamming distance
+    ham = bin((out[1] ^ out[3]) & ((1 << 64) - 1)).count("1")
+    assert ham < 16
+    ham_far = bin((out[1] ^ out[4]) & ((1 << 64) - 1)).count("1")
+    assert ham_far > ham
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),  # duplicate of 0
+        (2, [0.9, 0.1, 0.0, 0.0]),  # near
+        (3, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+        (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_embedding_neardup(vectors):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in DD.embedding_neardup_pairs(vectors, threshold=0.95).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 3) not in pairs and (0, 4) not in pairs
+
+
+def test_brute_force_topk(vectors):
+    top = SIM.brute_force_topk(vectors, [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in top] == [0, 1, 2]
+    assert top[0]["cos"] == 1.0
+
+
+def test_ivf(vectors):
+    centroids = vectors.filter(F.col("vec_id").isin(0, 3)).select(
+        F.col("vec_id").cast("int").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    assigned = SIM.ivf_assign(vectors, centroids)
+    amap = {r["vec_id"]: r["centroid_id"] for r in assigned.collect()}
+    assert amap[1] == 0 and amap[2] == 0 and amap[3] == 3
+    top = SIM.ivf_topk(assigned, centroids, [1.0, 0.0, 0.0, 0.0], k=2, n_probe=1).collect()
+    assert [r["vec_id"] for r in top] == [0, 1]
+
+
+def test_lsh_buckets_deterministic(vectors):
+    b1 = {r["vec_id"]: r["bucket"] for r in SIM.random_hyperplane_buckets(vectors, 4, dim=4).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in SIM.random_hyperplane_buckets(vectors, 4, dim=4).collect()}
+    assert b1 == b2  # deterministic planes
+    assert b1[0] == b1[1]  # identical vectors share buckets
+    assert b1[0] != b1[4]  # opposite vectors flip every sign
+
+
+def test_text_ops(spark):
+    docs = spark.createDataFrame(
+        [(1, "The quick fox! He is the best."), (2, "der hund und die katze ist da")],
+        ["doc_id", "text"],
+    )
+    q = {r["doc_id"]: r for r in TX.quality_features(docs).collect()}
+    assert q[1]["n_tokens"] == 7
+    assert q[1]["punct_ratio"] > 0
+    assert q[2]["punct_ratio"] == 0.0
+    langs = {r["doc_id"]: r["lang_pred"] for r in TX.lang_scores(docs).collect()}
+    assert langs[1] == "en" and langs[2] == "de"
+    fp = {r["doc_id"]: r["fingerprint"] for r in TX.fingerprint(docs, k=4).collect()}
+    assert fp[1] is not None and len(fp[1]) == 32
+    short = spark.createDataFrame([(9, "one two")], ["doc_id", "text"])
+    assert TX.fingerprint(short, k=4).collect()[0]["fingerprint"] is None
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", "image/png", bytearray(b"fake-png-bytes"), (64, 48, None)),
+        (2, "video", "video/mp4", bytearray(b"fake-mp4-bytes"), (640, 480, 3500)),
+        (3, "audio", "audio/wav", None, (None, None, 2000)),
+    ]
+    return spark.createDataFrame(rows, schema=MM.MEDIA_SCHEMA)
+
+
+def test_multimodal_features(media):
+    out = {r["media_id"]: r for r in MM.extract_features(media).collect()}
+    assert out[1]["n_bytes"] == len(b"fake-png-bytes")
+    assert len(out[1]["feature"]) == 8  # stub decoder contract
+    assert out[3]["feature"] is None  # null payload propagates
+    # deterministic stub: same payload → same feature
+    again = {r["media_id"]: r for r in MM.extract_features(media).collect()}
+    assert out[1]["feature"] == again[1]["feature"]
+
+
+def test_multimodal_resize_and_frames(media):
+    resized = {r["media_id"]: r for r in MM.resize_images(media, 32, 32).collect()}
+    assert resized[1]["meta"]["width"] == 32 and resized[1]["meta"]["height"] == 32
+    assert bytes(resized[1]["payload"]) == b"fake-png-bytes"  # stub passthrough
+    frames = MM.sample_video_frames(media, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+    assert all(r["media_id"] == 2 for r in frames)
