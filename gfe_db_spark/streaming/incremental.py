@@ -1,0 +1,132 @@
+"""Release-grain incremental processing (ref §2.8 ST1-ST6).
+
+The reference's orchestration stack (EventBridge cron → Lambda state diff →
+Step Functions → Batch/SSM, `invoke_pipeline/app.py` + `pipeline.asl.json`)
+collapses into: a watermark state document, an anti-join new-release
+detection, a monotonicity guard, and serialized build→load→commit per
+release with idempotent MERGE semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+from pyspark.sql import SparkSession
+
+from gfe_db_spark.plans.accession import AccessionRegistry
+from gfe_db_spark.plans.build import build_release
+from gfe_db_spark.plans.load import GraphTables, load_release
+from gfe_db_spark.sources.imgt import read_imgt_dat
+
+# F5 (ref invoke_pipeline/app.py:174-185, app.py:32)
+RELEASE_PATTERN = re.compile(r"^\d{2,3}0$")
+
+
+@dataclass
+class ReleaseState:
+    """ST2: the processed-release watermark
+    (ref `IMGTHLA-repository-state.json`, rewritten after each run)."""
+
+    path: str
+    repository_url: str = "synthetic://imgt-hla"
+    releases: list[str] = field(default_factory=list)
+
+    @classmethod
+    def load(cls, path: str) -> "ReleaseState":
+        if os.path.exists(path):
+            with open(path) as fh:
+                doc = json.load(fh)
+            return cls(
+                path=path,
+                repository_url=doc.get("repository_url", ""),
+                releases=list(doc.get("releases", [])),
+            )
+        return cls(path=path)
+
+    def commit(self, release: str) -> None:
+        """Atomic state append: write-new + rename, only after load
+        succeeded (the reference rewrites the JSON post-run)."""
+        self.releases = sorted({*self.releases, release}, key=int)
+        doc = {
+            "timestamp": datetime.now(timezone.utc).isoformat(timespec="milliseconds"),
+            "repository_url": self.repository_url,
+            "releases": self.releases,
+        }
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh, indent=2)
+        os.replace(tmp, self.path)
+
+
+def detect_new_releases(available: list[str], state: ReleaseState) -> list[str]:
+    """ST1/J7: valid-release filter + set-difference against the watermark
+    (ref invoke_pipeline/app.py:258-265), ascending order."""
+    valid = [r for r in available if RELEASE_PATTERN.match(r)]
+    new = set(valid) - set(state.releases)
+    return sorted(new, key=int)
+
+
+def monotonicity_ok(releases: list[str]) -> bool:
+    """ST4/A13: consecutive releases must differ by exactly 10
+    (ref invoke_pipeline/app.py:266-281, np.diff == 10)."""
+    xs = sorted(int(r) for r in releases)
+    return all(b - a == 10 for a, b in zip(xs, xs[1:]))
+
+
+@dataclass
+class PipelineResult:
+    processed: list[str]
+    rejected: list[str]
+    graph: GraphTables | None
+
+
+def run_incremental(
+    spark: SparkSession,
+    data_dir: str,
+    available_releases: list[str],
+    state_path: str,
+    registry_path: str,
+    graph_path: str,
+    **build_kwargs,
+) -> PipelineResult:
+    """The whole orchestrator: detect → guard → (build → load → commit)*.
+
+    Loads are serialized (ST6 MaxConcurrency=1 for loads) because the graph
+    merge and the accession registry are stateful; builds inside one release
+    are fully partition-parallel. Replaying a committed release is a no-op
+    (ST3: MERGE idempotence + watermark skip)."""
+    state = ReleaseState.load(state_path)
+    new = detect_new_releases(available_releases, state)
+
+    graph: GraphTables | None = None
+    if os.path.exists(graph_path) and os.listdir(graph_path):
+        graph = GraphTables.load(spark, graph_path)
+
+    registry = AccessionRegistry(spark, registry_path)
+    processed: list[str] = []
+    rejected: list[str] = []
+
+    for release in new:
+        # the guard considers history + this release (late/out-of-order data)
+        if not monotonicity_ok([*state.releases, release]):
+            rejected.append(release)
+            continue
+        dat = os.path.join(data_dir, f"hla.{release}.dat")
+        alleles = read_imgt_dat(spark, dat)
+        tables = build_release(spark, alleles, release, registry, **build_kwargs)
+        graph = load_release(spark, tables, release, existing=graph)
+        # materialize the merged graph before committing the watermark:
+        # commit order = data first, then state (crash-safe replay).
+        tmp_path = graph_path + ".staging"
+        graph.save(tmp_path)
+        graph = GraphTables.load(spark, tmp_path)
+        graph.save(graph_path)
+        graph = GraphTables.load(spark, graph_path)
+        state.commit(release)
+        processed.append(release)
+
+    return PipelineResult(processed=processed, rejected=rejected, graph=graph)

@@ -1,0 +1,110 @@
+"""Structured Streaming operators (beyond the reference's batch-incremental
+model): file-source streams, watermarked windowed aggregation, session
+windows, and an idempotent foreachBatch upsert sink.
+
+These are the streaming forms of the batch queries in
+`queries/streaming.py`; local tests drive them with the parquet file
+source + `processAllAvailable()`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-long (see sources/tables.py)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over the events parquet (ST1's Spark-native
+    form: new files under the path are the 'new releases')."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if os.path.isfile(path):
+        # FileStreamSource requires a directory or glob (its internal
+        # basePath must be a directory); turn a bare file into a glob
+        root, ext = os.path.splitext(path)
+        path = f"{root}*{ext}"
+    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation: late data beyond the
+    watermark is dropped, state is bounded — the 100 TB streaming shape."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Native session windows (session_window) — the streaming twin of
+    queries/streaming.sessionize."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming query to completion against currently-available
+    input (Trigger.AvailableNow semantics via processAllAvailable)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q
+
+
+def foreach_batch_upsert(stream_df: DataFrame, target_path: str, keys: list[str]):
+    """ST3: exactly-once-ish idempotent sink — per micro-batch MERGE into a
+    parquet target (read-dedup-overwrite; Delta MERGE INTO would replace
+    this body unchanged on a Delta-enabled cluster)."""
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        import os
+
+        batch_df = batch_df.dropDuplicates(keys)
+        if os.path.exists(target_path):
+            existing = spark.read.parquet(target_path)
+            merged = batch_df.unionByName(
+                existing.join(batch_df, on=keys, how="left_anti")
+            )
+        else:
+            merged = batch_df
+        staging = target_path + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging).write.mode("overwrite").parquet(target_path)
+
+    return stream_df.writeStream.foreachBatch(upsert).outputMode("update")

@@ -1,0 +1,115 @@
+"""Streaming + incremental tests: the release orchestrator (ST1-ST6) and
+Structured Streaming operators driven to completion on local parquet."""
+
+from __future__ import annotations
+
+import json
+
+from gfe_db_spark.streaming.incremental import (
+    ReleaseState,
+    detect_new_releases,
+    monotonicity_ok,
+    run_incremental,
+)
+from gfe_db_spark.streaming.structured import (
+    read_event_stream,
+    run_to_memory,
+    session_counts,
+    windowed_counts,
+)
+from tests import gfe_fixtures as fx
+from tests.conftest import SF_SMOKE
+
+
+def test_release_state_roundtrip(tmp_path):
+    sp = str(tmp_path / "state.json")
+    st = ReleaseState.load(sp)
+    assert st.releases == []
+    st.commit("3550")
+    st.commit("3560")
+    st2 = ReleaseState.load(sp)
+    assert st2.releases == ["3550", "3560"]
+    doc = json.load(open(sp))
+    assert set(doc) == {"timestamp", "repository_url", "releases"}
+
+
+def test_detect_and_guard(tmp_path):
+    st = ReleaseState.load(str(tmp_path / "s.json"))
+    st.releases = ["3540", "3550"]
+    # F5 regex filters branch junk; anti-join drops processed
+    assert detect_new_releases(["main", "3550", "3560", "v2", "3570"], st) == ["3560", "3570"]
+    assert monotonicity_ok(["3540", "3550", "3560"])
+    assert not monotonicity_ok(["3540", "3560"])  # gap
+    assert not monotonicity_ok(["3540", "3545"])  # off-grid
+
+
+def test_run_incremental_end_to_end(spark, tmp_path):
+    data_dir = str(tmp_path)
+    fx.write_release_dat(data_dir, "3550")
+    fx.write_release_dat(data_dir, "3560")
+
+    res = run_incremental(
+        spark,
+        data_dir,
+        ["3550", "3560", "3580"],  # 3580 skips 3570 → rejected by the guard
+        state_path=str(tmp_path / "state.json"),
+        registry_path=str(tmp_path / "registry"),
+        graph_path=str(tmp_path / "graph"),
+    )
+    assert res.processed == ["3550", "3560"]
+    assert res.rejected == ["3580"]
+    edges = {
+        (r["src"], r["dst"]): r["releases"]
+        for r in res.graph.edges_has_ipd_allele.collect()
+    }
+    assert edges[("HLA-Aw1-1-1-1-1", "HLA-A*01:01:01:01")] == [3550, 3560]
+
+    # replay: nothing new → no-op, graph unchanged (ST3 idempotence)
+    res2 = run_incremental(
+        spark,
+        data_dir,
+        ["3550", "3560"],
+        state_path=str(tmp_path / "state.json"),
+        registry_path=str(tmp_path / "registry"),
+        graph_path=str(tmp_path / "graph"),
+    )
+    assert res2.processed == []
+    assert res2.graph.nodes_gfe.count() == res.graph.nodes_gfe.count()
+
+
+def test_structured_streaming_windows(spark):
+    events = read_event_stream(spark, f"{SF_SMOKE}/events.parquet")
+    run_to_memory(windowed_counts(events), "win_counts", output_mode="append")
+    out = spark.sql("SELECT * FROM win_counts")
+    # watermark append-mode emits only closed windows; batch totals bound it
+    assert out.count() > 0
+    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    assert out.agg({"n": "sum"}).first()[0] <= batch.count()
+
+
+def test_structured_streaming_sessions(spark):
+    events = read_event_stream(spark, f"{SF_SMOKE}/events.parquet")
+    run_to_memory(session_counts(events), "sess_counts", output_mode="append")
+    out = spark.sql("SELECT * FROM sess_counts")
+    assert out.count() > 0
+    assert out.filter("session_end < session_start").count() == 0
+
+
+def test_foreach_batch_upsert(spark, tmp_path):
+    from gfe_db_spark.streaming.structured import foreach_batch_upsert
+
+    target = str(tmp_path / "events_upserted")
+    events = read_event_stream(spark, f"{SF_SMOKE}/events.parquet")
+    writer = foreach_batch_upsert(events.select("event_id", "user_id", "value"), target, ["event_id"])
+    q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+    n1 = spark.read.parquet(target).count()
+    assert n1 == 1000
+    # replaying the same input is idempotent (ST3)
+    events2 = read_event_stream(spark, f"{SF_SMOKE}/events.parquet")
+    writer2 = foreach_batch_upsert(events2.select("event_id", "user_id", "value"), target, ["event_id"])
+    q2 = writer2.start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.read.parquet(target).count() == n1
