@@ -38,6 +38,18 @@ def get_spark(app_name: str = "gfe_db_spark", cpus: str | None = None) -> SparkS
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Local-mode split sizing: the default 128MB/4MB (maxPartitionBytes/
+        # openCostInBytes) leaves a 10MB file in 3 splits → 3 of 32 cores
+        # busy. Small splits use the whole machine; a cluster submitter
+        # overrides these back to defaults (env knobs below).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
+        )
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", "262144"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
