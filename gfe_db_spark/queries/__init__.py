@@ -35,10 +35,11 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         streaming,
         text,
+        tpch_plus,
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (relational, graph, dedup, similarity, text, streaming):
+    for mod in (relational, tpch_plus, graph, dedup, similarity, text, streaming):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

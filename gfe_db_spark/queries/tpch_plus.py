@@ -1,0 +1,612 @@
+"""Extended relational coverage: the TPC-H query shapes the core module
+doesn't already exercise, plus range-band and as-of joins and exact
+percentiles.
+
+The reference (gfe-db) exercises only equi/anti/cross/semi joins and plain
+group-counts (SURVEY.md §2.3-2.5); this module widens the engine's query
+surface to the standard analytic shapes a user of a general engine expects,
+adapted to the synthetic star schema's columns (no partsupp / comment /
+shipmode columns exist in the testdata, so Q2/Q9/Q11/Q12/Q16/Q20/Q21 shapes
+are out of scope; the remaining shapes are covered here).
+
+Scale notes (100 TB design):
+- every scalar subquery (q15 max, q17 per-part avg, q22 global avg) is a
+  1-row or small aggregate joined back via broadcast — never a
+  Window.partitionBy() global window, which would single-partition the data;
+- q17's per-part average joins on the part key: at scale that is a shuffle
+  co-partitioned with the probe side (AQE picks SMJ), not a broadcast of a
+  100M-row aggregate;
+- the band join broadcasts the 4-row band table (BroadcastNestedLoopJoin on
+  a range predicate — the only sane plan for tiny-dim range joins);
+- the as-of join is the window formulation (last value carried forward
+  within the partition key), NOT a per-row range join: one shuffle by
+  user_id, no N×M explosion.
+
+Determinism: same rules as queries/relational.py — decimal-routed double
+sums, unique tie-breaks on every top-k, years cast to BIGINT both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from gfe_db_spark.queries import QuerySpec
+from gfe_db_spark.sources.tables import table
+
+
+def _dsum(col, scale: int = 8):
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.sum(c.cast(f"decimal(30,{scale})")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes
+# ---------------------------------------------------------------------------
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join, then group-count.
+
+    Orders in a quarter that had at least one late-shipped lineitem
+    (l_shipdate > o_orderdate stands in for commit/receipt, which the
+    synthetic schema lacks).
+    """
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate")
+    )
+    return (
+        orders.join(late.select("l_orderkey").distinct(),
+                    orders.o_orderkey == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan→filter→scalar aggregate. The pushdown
+    showcase: all three predicates reach the parquet reader."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two nation-dimension hops (supplier's and customer's),
+    disjunctive nation-pair predicate, group by (nation, nation, year)."""
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    supp_n = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    cust_n = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).select(
+        "c_custkey", F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_n, orders.o_custkey == cust_n.c_custkey)
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(volume AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: conditional-share aggregate
+    sum(case when)/sum(all) per year over a region-restricted join."""
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_0")
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    cust_in_region = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_n = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_in_region, orders.o_custkey == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                _dsum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0)))
+                / _dsum(vol)
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(CASE WHEN n1.n_name = 'NATION_5'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                     AS DECIMAL(30,8))) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)
+       AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  WHERE r_name = 'REGION_0')
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-revenue per customer, top 20."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join preserved through a double
+    aggregation (orders per customer → customers per order-count)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-revenue percentage over a dimension
+    join (part is the broadcast side only below ~10M rows; at scale AQE
+    picks the shuffle join on l_partkey)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.join(part, li.l_partkey == part.p_partkey).agg(
+        (
+            F.lit(100.0)
+            * _dsum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)))
+            / _dsum(vol)
+        ).alias("promo_revenue")
+    )
+
+
+Q14_SQL = """
+SELECT 100.0
+       * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                       AS DECIMAL(30,8))) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)
+       AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: scalar-max subquery. The max is aggregated to one
+    row and broadcast-joined back — never a global window (which would
+    funnel the whole aggregate through one partition at scale)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supp = table(spark, sf_dir, "supplier")
+    revenue = li.groupBy("l_suppkey").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(max_rev), revenue.total_revenue == max_rev.max_revenue)
+        .join(supp, revenue.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery decorrelated into a
+    per-key aggregate join (avg qty per part, probe side filtered below
+    0.2×avg). At 100 TB both sides shuffle on l_partkey — co-partitioned
+    SMJ, no broadcast of the 100M-row aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    li_of_brand = li.join(part, li.l_partkey == part.p_partkey, "left_semi")
+    avg_qty = li_of_brand.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (_dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li_of_brand.join(avg_qty, li_of_brand.l_partkey == avg_qty.ap_partkey)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((_dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = """
+WITH brand_li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1')
+), avg_qty AS (
+  SELECT l_partkey AS ap_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM brand_li GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM brand_li JOIN avg_qty ON l_partkey = ap_partkey
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered group feeding a semi-join, top 100."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING SUM(CAST(l_quantity AS DECIMAL(30,8))) > 150
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR of conjunctive (brand, size, quantity) triples
+    across a join — the optimizer must still push the common join key."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 25))
+           & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 35))
+           & (F.col("l_quantity").between(20, 30)))
+    )
+    return j.filter(cond).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-avg subquery (broadcast 1-row) + anti-join
+    to orders, grouped by nation (the schema has no phone prefix)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (_dsum("c_acctbal") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("c_nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q22_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*)
+    FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Range-band join / as-of join / exact percentiles (beyond the reference's
+# equi-only join surface — see SURVEY.md §2.3 coverage note)
+# ---------------------------------------------------------------------------
+
+QTY_BANDS = [
+    (1.0, 9.0, "low"),
+    (10.0, 24.0, "mid"),
+    (25.0, 40.0, "high"),
+    (41.0, 50.0, "bulk"),
+]
+
+
+def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (banded) join: fact rows matched to a tiny interval dimension.
+    The band table is broadcast; the range predicate runs as a
+    BroadcastNestedLoopJoin over 4 rows — the right plan at any scale."""
+    li = table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(QTY_BANDS, "lo double, hi double, band string")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") <= F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("l_extendedprice").alias("revenue"),
+        )
+        .orderBy("band")
+    )
+
+
+RANGE_BAND_SQL = """
+SELECT band, COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN (VALUES (1.0, 9.0, 'low'), (10.0, 24.0, 'mid'),
+             (25.0, 40.0, 'high'), (41.0, 50.0, 'bulk')) AS bands(lo, hi, band)
+  ON l_quantity >= lo AND l_quantity <= hi
+GROUP BY band
+ORDER BY band
+"""
+
+
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every click event, the value of the same user's most
+    recent purchase at-or-before it.
+
+    Implemented as the window carry-forward formulation (last non-null over
+    an ordered partition), not a per-row range join: one shuffle on
+    user_id, O(n) per partition, no pair explosion — the scalable as-of
+    plan. Ties broken by event_id for determinism.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = ev.withColumn(
+        "last_purchase_value",
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("value")), ignorenulls=True
+        ).over(w),
+    )
+    return (
+        carried.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "last_purchase_value")
+        .orderBy("event_id")
+    )
+
+
+ASOF_SQL = """
+SELECT event_id, user_id, last_purchase_value
+FROM (
+  SELECT event_id, user_id, event_type,
+         last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_purchase_value
+  FROM events
+)
+WHERE event_type = 'click'
+ORDER BY event_id
+"""
+
+
+def pctl_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90) per group — the exact
+    form; the approx_percentile sketch is the scale path when a bounded
+    error is acceptable (same API shape, no full sort)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+            F.percentile("l_quantity", F.lit(0.9)).alias("p90_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+PCTL_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       quantile_cont(l_quantity, 0.9) AS p90_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q4_order_priority": QuerySpec(q4_order_priority, Q4_SQL, "EXISTS semi-join group-count"),
+    "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL, "pushdown scan scalar agg"),
+    "q7_volume_shipping": QuerySpec(q7_volume_shipping, Q7_SQL, "double dimension hop"),
+    "q8_market_share": QuerySpec(q8_market_share, Q8_SQL, "conditional share per year"),
+    "q10_returned_items": QuerySpec(q10_returned_items, Q10_SQL, "top-20 returned revenue"),
+    "q13_customer_distribution": QuerySpec(
+        q13_customer_distribution, Q13_SQL, "left-outer double aggregation"
+    ),
+    "q14_promo_effect": QuerySpec(q14_promo_effect, Q14_SQL, "conditional revenue pct"),
+    "q15_top_supplier": QuerySpec(q15_top_supplier, Q15_SQL, "scalar-max subquery"),
+    "q17_small_quantity": QuerySpec(q17_small_quantity, Q17_SQL, "decorrelated avg subquery"),
+    "q18_large_volume_customer": QuerySpec(q18_large_volume_customer, Q18_SQL, "HAVING semi-join"),
+    "q19_disjunctive_predicates": QuerySpec(q19_disjunctive_predicates, Q19_SQL, "OR-triple join"),
+    "q22_global_sales_opportunity": QuerySpec(
+        q22_global_sales_opportunity, Q22_SQL, "scalar-avg + anti-join"
+    ),
+    "range_band_join": QuerySpec(range_band_join, RANGE_BAND_SQL, "broadcast interval join"),
+    "asof_last_purchase": QuerySpec(asof_last_purchase, ASOF_SQL, "as-of via window carry-forward"),
+    "pctl_quantity_by_flag": QuerySpec(pctl_quantity_by_flag, PCTL_SQL, "exact group percentiles"),
+}
