@@ -31,6 +31,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from gfe_db_spark.queries import (
         dedup,
         graph,
+        multimodal,
         relational,
         similarity,
         streaming,
@@ -39,7 +40,16 @@ def all_queries() -> dict[str, QuerySpec]:
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (relational, tpch_plus, graph, dedup, similarity, text, streaming):
+    for mod in (
+        relational,
+        tpch_plus,
+        graph,
+        dedup,
+        similarity,
+        text,
+        multimodal,
+        streaming,
+    ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

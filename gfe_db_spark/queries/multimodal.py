@@ -1,0 +1,113 @@
+"""Multimodal query inventory: exercises the binary-column plumbing in
+operators/multimodal.py against the documents table.
+
+The media table is derived deterministically from `documents` (payload =
+UTF-8 bytes of the text, kind round-robins image/audio/video by doc_id),
+so the whole path — binary column → Arrow batch → mapInPandas decode →
+typed metadata out — runs under the same oracle harness as everything
+else. The metadata aggregate is fully SQL-checkable (byte counts survive
+the UDF untouched); the feature rows are rows-only because the stub
+decoder's md5-derived vectors aren't SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gfe_db_spark.operators.multimodal import extract_features, sample_video_frames
+from gfe_db_spark.queries import QuerySpec
+from gfe_db_spark.sources.tables import table
+
+KINDS = ["image", "audio", "video"]
+
+
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table over documents: MEDIA_SCHEMA-shaped, with
+    real binary payloads (UTF-8 text bytes) and typed metadata."""
+    docs = table(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in KINDS]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.concat(F.lit("x-fake/"), kind).alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            (F.col("n_chars") % 1024).cast("int").alias("width"),
+            (F.col("n_chars") % 768).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-kind media stats AFTER the mapInPandas decode pass: proves the
+    binary payloads round-trip through Arrow batching intact (byte counts
+    are recomputed from the payload inside the UDF, then checked against
+    the SQL oracle's octet_length on the source text)."""
+    feats = extract_features(media_from_documents(spark, sf_dir))
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.max("n_bytes").cast("long").alias("max_bytes"),
+        )
+        .orderBy("kind")
+    )
+
+
+MULTIMODAL_METADATA_SQL = """
+SELECT CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       COUNT(*) AS n_media,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+FROM documents
+GROUP BY kind
+ORDER BY kind
+"""
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction sample (rows-only check: the stub decoder's
+    md5-derived 8-dim vectors aren't SQL-expressible). Stable order/limit
+    so the row-count check is deterministic."""
+    feats = extract_features(media_from_documents(spark, sf_dir))
+    return feats.select("media_id", "kind", "n_bytes", "feature").orderBy("media_id").limit(100)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: one row per sampled frame timestamp,
+    driven by the duration metadata. Frame count per video is
+    floor(duration/step)+1 — SQL-checkable without any decode."""
+    media = media_from_documents(spark, sf_dir)
+    frames = sample_video_frames(media, every_ms=100_000)
+    return (
+        frames.groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+        .orderBy("media_id")
+    )
+
+
+MULTIMODAL_FRAMES_SQL = """
+SELECT doc_id AS media_id,
+       CAST(FLOOR((n_chars * 10) / 100000) + 1 AS BIGINT) AS n_frames
+FROM documents
+WHERE (doc_id % 3) = 2
+ORDER BY media_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "multimodal_metadata": QuerySpec(
+        multimodal_metadata, MULTIMODAL_METADATA_SQL, "binary payload round-trip stats"
+    ),
+    "multimodal_features": QuerySpec(
+        multimodal_features, None, "stubbed decode → feature vectors (rows-only)"
+    ),
+    "multimodal_frame_sample": QuerySpec(
+        multimodal_frame_sample, MULTIMODAL_FRAMES_SQL, "metadata-driven frame sampling"
+    ),
+}

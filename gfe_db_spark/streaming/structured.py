@@ -86,6 +86,42 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     return q
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user event-count and value totals, emitted once per user per
+    micro-batch.
+
+    This is the arbitrary-state shape Spark's built-in windowed aggs can't
+    express (state schema ≠ output schema, custom merge logic). State is
+    keyed by user_id, so it shards across executors with the shuffle; per-
+    key state is two scalars — bounded regardless of stream length. Swap
+    GroupStateTimeout for ProcessingTimeTimeout to evict idle users when
+    the key domain is unbounded.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs, state: GroupState
+    ):  # pragma: no cover - runs on executors
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def foreach_batch_upsert(stream_df: DataFrame, target_path: str, keys: list[str]):
     """ST3: exactly-once-ish idempotent sink — per micro-batch MERGE into a
     parquet target (read-dedup-overwrite; Delta MERGE INTO would replace

@@ -95,6 +95,44 @@ def test_structured_streaming_sessions(spark):
     assert out.filter("session_end < session_start").count() == 0
 
 
+def test_stateful_user_totals_accumulates_across_batches(spark, tmp_path):
+    import shutil
+
+    from gfe_db_spark.streaming.structured import stateful_user_totals
+
+    src = str(tmp_path / "stream_src")
+    ckpt = str(tmp_path / "ckpt")
+    import os
+
+    os.makedirs(src)
+    shutil.copy(f"{SF_SMOKE}/events.parquet", f"{src}/batch1.parquet")
+
+    events = read_event_stream(spark, src)
+    q = (
+        stateful_user_totals(events)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_totals")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    # second batch: same file again → every count doubles (state persisted)
+    shutil.copy(f"{SF_SMOKE}/events.parquet", f"{src}/batch2.parquet")
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.sql(
+        "SELECT user_id, max(n_events) n FROM user_totals GROUP BY user_id"
+    )
+    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    expected = {r["user_id"]: 2 * r["n"] for r in batch.groupBy("user_id").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    got = {r["user_id"]: r["n"] for r in out.collect()}
+    assert got == expected
+
+
 def test_foreach_batch_upsert(spark, tmp_path):
     from gfe_db_spark.streaming.structured import foreach_batch_upsert
 
