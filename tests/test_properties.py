@@ -1,0 +1,149 @@
+"""Property-based tests (hypothesis) for the engine's custom invariants —
+the pieces where a single golden example can't cover the input space.
+
+Spark jobs are slow per-example, so each property runs few, large,
+randomized examples (deadline disabled; derandomized for CI stability)
+and asserts over whole DataFrames, not per-row.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from gfe_db_spark.plans.accession import AccessionRegistry
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+seq_st = st.text(alphabet="ACGT", min_size=1, max_size=12)
+feature_st = st.tuples(
+    st.sampled_from(["HLA-A", "HLA-B"]),
+    st.sampled_from(["EXON", "INTRON"]),
+    st.integers(min_value=1, max_value=3),
+    seq_st,
+)
+
+
+def _features_df(spark, rows):
+    return spark.createDataFrame(
+        [(l, t, r, s) for (l, t, r, s) in rows],
+        "locus string, term string, rank int, sequence string",
+    )
+
+
+@given(rows=st.lists(feature_st, min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_accession_bijection_and_determinism(spark, tmp_path_factory, rows):
+    """Within (locus, term, rank): accession ↔ sequence is 1-to-1, numbering
+    is dense from 1, and a fresh registry fed the same rows in ANY partition
+    layout assigns identical accessions."""
+    base = tmp_path_factory.mktemp("acc")
+    df = _features_df(spark, rows)
+
+    r1 = AccessionRegistry(spark, str(base / "r1"))
+    out1 = r1.assign(df, "3550")
+    got1 = {
+        (r["locus"], r["term"], r["rank"], r["sequence"]): r["accession"]
+        for r in out1.collect()
+    }
+
+    # 1-to-1 + dense per context
+    per_ctx: dict[tuple, dict] = {}
+    for (l, t, rk, s), acc in got1.items():
+        per_ctx.setdefault((l, t, rk), {})[s] = acc
+    for ctx, mapping in per_ctx.items():
+        accs = sorted(mapping.values())
+        assert accs == list(range(1, len(mapping) + 1)), (ctx, mapping)
+
+    # determinism under repartitioning
+    r2 = AccessionRegistry(spark, str(base / "r2"))
+    out2 = r2.assign(df.repartition(7), "3550")
+    got2 = {
+        (r["locus"], r["term"], r["rank"], r["sequence"]): r["accession"]
+        for r in out2.collect()
+    }
+    assert got1 == got2
+
+
+@given(
+    batch1=st.lists(feature_st, min_size=1, max_size=20),
+    batch2=st.lists(feature_st, min_size=1, max_size=20),
+)
+@settings(**SETTINGS)
+def test_accession_stability_under_append(spark, tmp_path_factory, batch1, batch2):
+    """The permanence invariant: assigning a second release never changes
+    any accession handed out for the first."""
+    base = tmp_path_factory.mktemp("acc2")
+    reg = AccessionRegistry(spark, str(base / "r"))
+
+    out1 = reg.assign(_features_df(spark, batch1), "3550")
+    before = {
+        (r["locus"], r["term"], r["rank"], r["sequence"]): r["accession"]
+        for r in out1.collect()
+    }
+    reg.assign(_features_df(spark, batch2), "3560")
+    # re-resolve batch1 against the grown registry
+    out_again = reg.assign(_features_df(spark, batch1), "3570")
+    after = {
+        (r["locus"], r["term"], r["rank"], r["sequence"]): r["accession"]
+        for r in out_again.collect()
+    }
+    assert after == before
+
+
+word_st = st.text(alphabet="abcd", min_size=1, max_size=6)
+
+
+@given(
+    texts=st.lists(
+        st.lists(word_st, min_size=3, max_size=8).map(" ".join),
+        min_size=2,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_minhash_lsh_finds_exact_duplicates(spark, texts):
+    """Any two identical texts share every shingle, hence every minhash
+    signature, hence every band bucket — LSH candidate generation can never
+    miss an exact duplicate (recall=1 at similarity 1.0, the property that
+    makes banding sound)."""
+    from gfe_db_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    # duplicate every text once, with distinct ids
+    rows = [(i, t) for i, t in enumerate(texts)] + [
+        (1000 + i, t) for i, t in enumerate(texts)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(minhash_signatures(shingles(docs))).collect()
+    }
+    for i in range(len(texts)):
+        assert (i, 1000 + i) in pairs
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=50
+    ),
+    salt=st.integers(min_value=2, max_value=32),
+)
+@settings(**SETTINGS)
+def test_salted_count_distinct_any_salt(spark, vals, salt):
+    from gfe_db_spark.operators.skew import salted_count_distinct
+
+    df = spark.createDataFrame([(1, v) for v in vals], "k long, v double")
+    expected = len(set(vals))
+    got = salted_count_distinct(df, "k", "v", salt=salt).collect()[0]["n_distinct"]
+    assert got == expected
