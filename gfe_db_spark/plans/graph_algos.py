@@ -1,0 +1,84 @@
+"""Iterative graph algorithms over node/edge DataFrames.
+
+The reference's graph queries are fixed-depth motifs (SURVEY §2.3 J8, all
+expressible as joins); this module adds the genuinely iterative one a
+dedup pipeline needs: connected components, used to turn near-duplicate
+PAIRS into duplicate CLUSTERS (pick one representative per component).
+
+Algorithm: min-label propagation with path-halving. Each round does
+  1. label(v) ← min(label(v), min over neighbors' labels)   (one shuffle)
+  2. label(v) ← label(label(v)), twice                      (pointer jump)
+and stops when no label changed. Path-halving makes long chains collapse
+geometrically instead of one hop per round. Lineage is cut with an eager
+localCheckpoint every round — without it the plan doubles per iteration
+and the driver OOMs planning round ~20.
+
+Scale: every round is two equi-join shuffles keyed on node id — the same
+shape GraphX/GraphFrames' large-star/small-star CC lowers to. State per
+round is one (node, label) table, never materialized on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Undirected connected components.
+
+    nodes: one column `node` (every vertex, including isolated ones).
+    edges: (src, dst) pairs, direction ignored.
+    Returns (node, component) with component = min node id in the
+    component — deterministic, so oracle-checkable.
+    """
+    und = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(True)
+
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels, und.s == labels.node)
+            .groupBy(und.d.alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new = (
+            labels.join(nbr_min, labels.node == nbr_min.node2, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # pointer jumping ×2: label ← label[label]
+        for _hop in range(2):
+            ptr = new.select(
+                F.col("node").alias("pnode"), F.col("label").alias("plabel")
+            )
+            new = new.join(ptr, new.label == ptr.pnode, "left").select(
+                "node", F.coalesce("plabel", "label").alias("label")
+            )
+        new = new.localCheckpoint(True)
+
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+
+    return labels.select("node", F.col("label").alias("component"))

@@ -135,6 +135,55 @@ ORDER BY id_a, id_b
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters: connected components (iterative
+    min-label propagation, plans/graph_algos.py) over the n-gram-Jaccard
+    pair graph; component id = min doc_id. Returns cluster sizes."""
+    from gfe_db_spark.plans.graph_algos import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(DD.shingles(docs, n=3), threshold=0.5)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    cc = connected_components(nodes, pairs.select("doc_a", "doc_b"), "doc_a", "doc_b")
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("component")
+    )
+
+
+# transitive closure via recursive CTE: lab reaches node → min per node
+DEDUP_CLUSTERS_SQL = (
+    _SHINGLE_CTE.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+    + """, sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  ) c
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_common / (sa.sz + sb.sz - n_common), 9) >= 0.5
+), edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+), reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+)
+SELECT component, COUNT(*) AS n_docs
+FROM (SELECT node, MIN(lab) AS component FROM reach GROUP BY node)
+GROUP BY component
+ORDER BY component
+"""
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "exact hash dedup"),
     "dedup_minhash_signatures": QuerySpec(
@@ -145,6 +194,9 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_ngram_jaccard, DEDUP_JACCARD_SQL, "n-gram Jaccard pairs"
     ),
     "dedup_simhash": QuerySpec(dedup_simhash, None, "SimHash fingerprints (rows-only)"),
+    "dedup_clusters": QuerySpec(
+        dedup_clusters, DEDUP_CLUSTERS_SQL, "near-dup clusters via connected components"
+    ),
     "dedup_embedding_cosine": QuerySpec(
         dedup_embedding_cosine, DEDUP_EMBEDDING_SQL, "embedding near-dup pairs"
     ),
