@@ -18,18 +18,32 @@ if _REPO not in sys.path:
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set: the widest/most shuffle-heavy plans in the inventory.
+# Headline set: the widest/most shuffle-heavy plans in the inventory, one
+# per operator family (relational, joins incl. range/as-of, windows,
+# dedup/LSH, ANN, text, multimodal, streaming-batch, graph, GFE domain).
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q13_customer_distribution",
+    "q18_large_volume_customer",
     "j1_broadcast_lookup",
     "j7_anti_join",
+    "asof_last_purchase",
+    "range_band_join",
     "w2_topk_per_group",
     "a6_array_set_union",
     "a8_explode_distinct_count",
     "f6_conditional_pivot",
     "a13_monotonicity_guard",
+    "dedup_lsh_pairs",
+    "knn_brute_force",
+    "text_token_stats",
+    "multimodal_metadata",
+    "sessionize",
+    "graph_3hop_motif",
+    "gfe_end_to_end",
 ]
 
 
@@ -72,6 +86,8 @@ def main() -> None:
         timings[name] = round(best, 4)
         total += best
 
+    extras = _bench_gfe_build(spark)
+
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
@@ -81,9 +97,54 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+                **extras,
             }
         )
     )
+
+
+def _bench_gfe_build(spark) -> dict:
+    """Domain-side throughput: parse → build → graph-load N synthetic
+    alleles (17 features each, the HLA-A shape) and report alleles/s.
+    BASELINE.md's reference figure is ~20-40 alleles/s (35k alleles in
+    15-30 min on 8 vCPU, including its per-allele REST annotation)."""
+    import shutil
+    import tempfile
+
+    n = int(os.environ.get("SPARK_GRAFT_BENCH_ALLELES", "2000"))
+    if n <= 0:
+        return {}
+    from gfe_db_spark.plans.accession import AccessionRegistry
+    from gfe_db_spark.plans.build import build_release
+    from gfe_db_spark.plans.load import load_release
+    from gfe_db_spark.sources.imgt import read_imgt_dat
+    from gfe_db_spark.testing_fixtures import write_synthetic_dat
+
+    tmp = tempfile.mkdtemp(prefix="gfe_bench_")
+    try:
+        dat = write_synthetic_dat(tmp, "3560", n)
+        t0 = time.perf_counter()
+        alleles = read_imgt_dat(spark, dat)
+        built = build_release(
+            spark, alleles, "3560", AccessionRegistry(spark, f"{tmp}/registry")
+        )
+        graph = load_release(spark, built, "3560")
+        # force every output table end-to-end
+        for df in (built.gfe_sequences, built.all_features, built.all_groups,
+                   built.all_cds, built.errors):
+            df.write.format("noop").mode("overwrite").save()
+        for _, df in graph.items():
+            df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        return {
+            "build_alleles_per_s": round(n / dt, 1),
+            "build_n_alleles": n,
+            "build_wall_s": round(dt, 2),
+        }
+    except Exception:
+        return {}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":
