@@ -38,12 +38,20 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def shingles(
-    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    distinct: bool = True,
 ) -> DataFrame:
-    """Word n-gram shingles, one row per distinct (doc, shingle).
+    """Word n-gram shingles, one row per (doc, shingle).
 
     Built-ins only: split → sliding window via transform over index array →
-    explode. Stays in whole-stage codegen."""
+    explode. Stays in whole-stage codegen.
+
+    `distinct=True` (needed for Jaccard set semantics) costs a shuffle;
+    min-hashing is multiplicity-insensitive, so the minhash path passes
+    `distinct=False` and skips that shuffle entirely."""
     toks = F.split(F.col(text_col), "\\s+")
     n_sh = F.size(toks) - F.lit(n - 1)
     sh = F.when(
@@ -53,10 +61,12 @@ def shingles(
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    # shingling fans out ~50× per doc — spread compact inputs first
+    from gfe_db_spark.operators import spread_small_input
+
+    docs = spread_small_input(docs)
+    out = docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
@@ -172,6 +182,9 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
         return texts.map(one)
 
+    from gfe_db_spark.operators import spread_small_input
+
+    docs = spread_small_input(docs)
     return docs.select(F.col(id_col).alias("doc_id"), _simhash(F.col(text_col)).alias("simhash64"))
 
 

@@ -88,7 +88,9 @@ def extract_features(media: DataFrame, batch_size_hint: int = 64) -> DataFrame:
                 }
             )
 
-    cols = media.select("media_id", "kind", "payload")
+    from gfe_db_spark.operators import spread_small_input
+
+    cols = spread_small_input(media.select("media_id", "kind", "payload"))
     return cols.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 

@@ -39,7 +39,7 @@ FROM documents GROUP BY md5(text) ORDER BY content_hash
 
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    sh = DD.shingles(docs, n=3)
+    sh = DD.shingles(docs, n=3, distinct=False)  # min() ignores multiplicity
     return DD.minhash_signatures(sh, num_hashes=8).orderBy("doc_id")
 
 
@@ -59,7 +59,7 @@ FROM sh GROUP BY doc_id ORDER BY doc_id
 
 def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    sigs = DD.minhash_signatures(DD.shingles(docs, n=3), num_hashes=8)
+    sigs = DD.minhash_signatures(DD.shingles(docs, n=3, distinct=False), num_hashes=8)
     return DD.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2).orderBy("doc_a", "doc_b")
 
 
