@@ -26,32 +26,11 @@ TABLES = (
 
 
 def ship_package(spark: SparkSession) -> None:
-    """Make `gfe_db_spark` importable on executor Python workers no matter
-    what cwd/PYTHONPATH the driver was launched with.
+    """Re-export of session.ship_package: every `table()` call guarantees
+    executors can import the package before any UDF-bearing plan runs."""
+    from gfe_db_spark.session import ship_package as _ship
 
-    UDF closures that reference module-level code (decoder registries,
-    shared helpers) are pickled *by reference* to the module, so workers
-    must be able to `import gfe_db_spark`. On a real cluster this is the
-    job submitter's `--py-files`; here we self-serve the same mechanism:
-    zip the package once per session and `addPyFile` it (idempotent —
-    Spark dedups by filename, and we gate on a session attribute).
-    """
-    if getattr(spark, "_gfe_pkg_shipped", False):
-        return
-    import tempfile
-    import zipfile
-
-    pkg_dir = os.path.dirname(os.path.abspath(__file__ + "/.."))
-    pkg_root = os.path.dirname(pkg_dir)
-    zpath = os.path.join(tempfile.gettempdir(), "gfe_db_spark_pyfiles.zip")
-    with zipfile.ZipFile(zpath, "w") as z:
-        for root, _dirs, files in os.walk(pkg_dir):
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    z.write(full, os.path.relpath(full, pkg_root))
-    spark.sparkContext.addPyFile(zpath)
-    spark._gfe_pkg_shipped = True
+    _ship(spark)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
