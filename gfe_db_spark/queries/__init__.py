@@ -37,12 +37,14 @@ def all_queries() -> dict[str, QuerySpec]:
         streaming,
         text,
         tpch_plus,
+        tpch_rest,
     )
 
     merged: dict[str, QuerySpec] = {}
     for mod in (
         relational,
         tpch_plus,
+        tpch_rest,
         graph,
         dedup,
         similarity,

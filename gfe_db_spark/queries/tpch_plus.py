@@ -5,9 +5,9 @@ percentiles.
 The reference (gfe-db) exercises only equi/anti/cross/semi joins and plain
 group-counts (SURVEY.md §2.3-2.5); this module widens the engine's query
 surface to the standard analytic shapes a user of a general engine expects,
-adapted to the synthetic star schema's columns (no partsupp / comment /
-shipmode columns exist in the testdata, so Q2/Q9/Q11/Q12/Q16/Q20/Q21 shapes
-are out of scope; the remaining shapes are covered here).
+adapted to the synthetic star schema's columns. The shapes that need
+partsupp / comment / shipmode columns (Q2/Q9/Q11/Q12/Q16/Q20/Q21) live in
+`queries/tpch_rest.py`, adapted to the columns that do exist.
 
 Scale notes (100 TB design):
 - every scalar subquery (q15 max, q17 per-part avg, q22 global avg) is a
