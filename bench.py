@@ -68,6 +68,10 @@ def main() -> None:
                 except Exception:
                     pass
 
+    # Warm-up leaves cached RDDs behind (build_release caches its fan-out
+    # inputs); drop them so no query is timed under another's memory.
+    spark.catalog.clearCache()
+
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     total = 0.0
@@ -85,6 +89,7 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 4)
         total += best
+        spark.catalog.clearCache()
 
     extras = _bench_gfe_build(spark)
 
@@ -120,31 +125,37 @@ def _bench_gfe_build(spark) -> dict:
     from gfe_db_spark.sources.imgt import read_imgt_dat
     from gfe_db_spark.testing_fixtures import write_synthetic_dat
 
-    tmp = tempfile.mkdtemp(prefix="gfe_bench_")
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    best = None
     try:
-        dat = write_synthetic_dat(tmp, "3560", n)
-        t0 = time.perf_counter()
-        alleles = read_imgt_dat(spark, dat)
-        built = build_release(
-            spark, alleles, "3560", AccessionRegistry(spark, f"{tmp}/registry")
-        )
-        graph = load_release(spark, built, "3560")
-        # force every output table end-to-end
-        for df in (built.gfe_sequences, built.all_features, built.all_groups,
-                   built.all_cds, built.errors):
-            df.write.format("noop").mode("overwrite").save()
-        for _, df in graph.items():
-            df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
+        for _ in range(runs):  # best-of-N: each run on a fresh registry
+            tmp = tempfile.mkdtemp(prefix="gfe_bench_")
+            try:
+                dat = write_synthetic_dat(tmp, "3560", n)
+                t0 = time.perf_counter()
+                alleles = read_imgt_dat(spark, dat)
+                built = build_release(
+                    spark, alleles, "3560", AccessionRegistry(spark, f"{tmp}/registry")
+                )
+                graph = load_release(spark, built, "3560")
+                # force every output table end-to-end
+                for df in (built.gfe_sequences, built.all_features, built.all_groups,
+                           built.all_cds, built.errors):
+                    df.write.format("noop").mode("overwrite").save()
+                for _, df in graph.items():
+                    df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            finally:
+                spark.catalog.clearCache()
+                shutil.rmtree(tmp, ignore_errors=True)
         return {
-            "build_alleles_per_s": round(n / dt, 1),
+            "build_alleles_per_s": round(n / best, 1),
             "build_n_alleles": n,
-            "build_wall_s": round(dt, 2),
+            "build_wall_s": round(best, 2),
         }
     except Exception:
         return {}
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":
