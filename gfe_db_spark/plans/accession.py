@@ -78,17 +78,32 @@ class AccessionRegistry:
         )
 
         # Append-only commit (serialized by the caller, ST6). Stage to a tmp
-        # dir first so the append never reads the directory it writes.
-        import shutil
-
+        # dir so the write never reads the directory it appends to, then
+        # promote the staged part files by rename — the same move Spark's
+        # file-commit protocol performs, and atomic-per-file on HDFS-like
+        # filesystems. One write job total; no read-back, no second write.
         tmp = self.path + ".tmp"
         numbered.write.mode("overwrite").parquet(tmp)
-        staged = self.spark.read.parquet(tmp)
-        if staged.limit(1).count() > 0:
-            staged.write.mode("append").parquet(self.path)
-        shutil.rmtree(tmp, ignore_errors=True)
+        self._promote(tmp)
 
         # No broadcast hint: the registry grows with the corpus vocabulary;
         # let Catalyst/AQE pick broadcast vs shuffle-hash by actual size.
         registry = self.load()
         return features.join(registry.select(*_IDENT, "accession"), on=_IDENT, how="left")
+
+    def _promote(self, tmp: str) -> None:
+        """Move staged part files into the registry dir via the Hadoop
+        FileSystem API (works for file://, hdfs://, s3a:// alike). Part
+        names carry a per-write UUID, so renames cannot collide."""
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        HPath = jvm.org.apache.hadoop.fs.Path
+        src = HPath(tmp)
+        fs = src.getFileSystem(conf)
+        dst = HPath(self.path)
+        fs.mkdirs(dst)
+        for status in fs.listStatus(src):
+            name = status.getPath().getName()
+            if name.endswith(".parquet") and status.getLen() > 0:
+                fs.rename(status.getPath(), HPath(dst, name))
+        fs.delete(src, True)
