@@ -168,8 +168,12 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
                 return None
             acc = [0] * 64
             for tok in t.split():
+                # little-endian first-8-bytes: byte order is an arbitrary
+                # bit permutation for SimHash (Hamming distances are
+                # unchanged), and this orientation is exactly DuckDB's
+                # md5_number_upper — which makes the op oracle-checkable.
                 h = int.from_bytes(
-                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
+                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "little"
                 )
                 for i in range(64):
                     acc[i] += 1 if (h >> i) & 1 else -1

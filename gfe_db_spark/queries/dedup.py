@@ -116,9 +116,34 @@ ORDER BY doc_a, doc_b
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (rows-only: bit packing isn't SQL-portable)."""
+    """SimHash fingerprints, bit-for-bit oracle-checked: per-token 64-bit
+    hash is md5 first-8-bytes little-endian (= DuckDB md5_number_upper),
+    bit i of the fingerprint set iff more than half the tokens have it."""
     docs = table(spark, sf_dir, "documents")
     return DD.simhash(docs).orderBy("doc_id")
+
+
+DEDUP_SIMHASH_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id, text, len(toks) AS n,
+         list_transform(toks, tok -> md5_number_upper(tok)) AS hs
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN text IS NULL THEN NULL ELSE
+    CAST(list_sum(list_transform(range(0, 64), i ->
+      CASE WHEN 2 * len(list_filter(hs, hv -> (hv >> i) & 1 = 1)) > n
+           THEN CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+                     ELSE CAST(1 AS HUGEINT) << i END
+           ELSE CAST(0 AS HUGEINT) END)) AS BIGINT)
+  END AS simhash64
+FROM h
+ORDER BY doc_id
+"""
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,7 +218,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(
         dedup_ngram_jaccard, DEDUP_JACCARD_SQL, "n-gram Jaccard pairs"
     ),
-    "dedup_simhash": QuerySpec(dedup_simhash, None, "SimHash fingerprints (rows-only)"),
+    "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL, "SimHash fingerprints"),
     "dedup_clusters": QuerySpec(
         dedup_clusters, DEDUP_CLUSTERS_SQL, "near-dup clusters via connected components"
     ),

@@ -5,9 +5,8 @@ The media table is derived deterministically from `documents` (payload =
 UTF-8 bytes of the text, kind round-robins image/audio/video by doc_id),
 so the whole path — binary column → Arrow batch → mapInPandas decode →
 typed metadata out — runs under the same oracle harness as everything
-else. The metadata aggregate is fully SQL-checkable (byte counts survive
-the UDF untouched); the feature rows are rows-only because the stub
-decoder's md5-derived vectors aren't SQL-expressible.
+else, including the stub decoder's md5-derived feature vectors (DuckDB's
+md5_number_upper reproduces them bit-for-bit).
 """
 
 from __future__ import annotations
@@ -71,11 +70,45 @@ ORDER BY kind
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction sample (rows-only check: the stub decoder's
-    md5-derived 8-dim vectors aren't SQL-expressible). Stable order/limit
-    so the row-count check is deterministic."""
+    """Feature extraction through the full binary path: payload → Arrow
+    batch → mapInPandas stub decode → 8-dim vector. The stub derives each
+    component from one byte of md5(payload), so the oracle can recompute
+    it exactly (DuckDB md5_number_upper == little-endian first 8 digest
+    bytes); components are unpacked to rounded doubles because the value
+    hash needs scalar columns."""
     feats = extract_features(media_from_documents(spark, sf_dir))
-    return feats.select("media_id", "kind", "n_bytes", "feature").orderBy("media_id").limit(100)
+    comp = [
+        F.round(F.element_at("feature", i + 1).cast("double"), 6).alias(f"f{i}")
+        for i in range(8)
+    ]
+    return (
+        feats.select("media_id", "kind", F.col("n_bytes").cast("long").alias("n_bytes"), *comp)
+        .orderBy("media_id")
+        .limit(100)
+    )
+
+
+MULTIMODAL_FEATURES_SQL = """
+WITH h AS (
+  SELECT doc_id AS media_id,
+         CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5_number_upper(text) AS h64
+  FROM documents
+)
+SELECT media_id, kind, n_bytes,
+       round(CAST(CAST(CAST((h64 >> 0)  & 255 AS DOUBLE) / 255.0 AS FLOAT) AS DOUBLE), 6) AS f0,
+       round(CAST(CAST(CAST((h64 >> 8)  & 255 AS DOUBLE) / 255.0 AS FLOAT) AS DOUBLE), 6) AS f1,
+       round(CAST(CAST(CAST((h64 >> 16) & 255 AS DOUBLE) / 255.0 AS FLOAT) AS DOUBLE), 6) AS f2,
+       round(CAST(CAST(CAST((h64 >> 24) & 255 AS DOUBLE) / 255.0 AS FLOAT) AS DOUBLE), 6) AS f3,
+       round(CAST(CAST(CAST((h64 >> 32) & 255 AS DOUBLE) / 255.0 AS FLOAT) AS DOUBLE), 6) AS f4,
+       round(CAST(CAST(CAST((h64 >> 40) & 255 AS DOUBLE) / 255.0 AS FLOAT) AS DOUBLE), 6) AS f5,
+       round(CAST(CAST(CAST((h64 >> 48) & 255 AS DOUBLE) / 255.0 AS FLOAT) AS DOUBLE), 6) AS f6,
+       round(CAST(CAST(CAST((h64 >> 56) & 255 AS DOUBLE) / 255.0 AS FLOAT) AS DOUBLE), 6) AS f7
+FROM h
+ORDER BY media_id
+LIMIT 100
+"""
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,7 +138,7 @@ QUERIES: dict[str, QuerySpec] = {
         multimodal_metadata, MULTIMODAL_METADATA_SQL, "binary payload round-trip stats"
     ),
     "multimodal_features": QuerySpec(
-        multimodal_features, None, "stubbed decode → feature vectors (rows-only)"
+        multimodal_features, MULTIMODAL_FEATURES_SQL, "stubbed decode → feature vectors"
     ),
     "multimodal_frame_sample": QuerySpec(
         multimodal_frame_sample, MULTIMODAL_FRAMES_SQL, "metadata-driven frame sampling"
