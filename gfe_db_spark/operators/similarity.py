@@ -14,7 +14,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
 
 from gfe_db_spark.operators.dedup import _dot, cosine
 
@@ -48,18 +47,27 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (IVF index build).
 
-    centroids: (centroid_id, centroid) — always small → broadcast; the
-    argmin is a window over the exploded (vector × centroid) score, keyed
-    by vector, so the heavy side shuffles once on vec_id."""
+    centroids: (centroid_id, centroid) — always small → broadcast. The
+    argmax is `min_by` over the (vector × centroid) scores, NOT a window:
+    an aggregate gets map-side partial aggregation, and because the
+    broadcast crossJoin keeps all C scores of a vector in one partition,
+    the partial pass already reduces to one row per vector — the shuffle
+    carries ~N rows where the window formulation would shuffle and sort
+    all N×C. Ties break toward the lowest centroid_id."""
     scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
         "cos_c",
         cosine(F.col(vec_col).cast("array<double>"), F.col("centroid").cast("array<double>")),
     )
-    w = W.partitionBy(id_col).orderBy(F.desc("cos_c"), "centroid_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "centroid_id")
+    best = scored.groupBy(id_col).agg(
+        F.min_by(
+            F.struct(F.col(vec_col).alias("v"), F.col("centroid_id").alias("c")),
+            F.struct((-F.col("cos_c")).alias("neg_cos"), F.col("centroid_id").alias("c")),
+        ).alias("best")
+    )
+    return best.select(
+        id_col,
+        F.col("best.v").alias(vec_col),
+        F.col("best.c").alias("centroid_id"),
     )
 
 
