@@ -83,6 +83,53 @@ def lang_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).drop("__best")
 
 
+def deterministic_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+    train: int = 8000,
+    val: int = 9000,
+) -> DataFrame:
+    """Reproducible train/val/test assignment: bucket = a 32-bit hash of
+    (id, salt) mod 10000; bucket < `train` → train, < `val` → val, else
+    test. Hash-based (not random) so the split is stable across runs,
+    machines, and engines — the training-data-pipeline requirement.
+
+    The 32-bit value is the little-endian first 4 bytes of md5, built from
+    swapped hex pairs so any SQL engine with md5 can reproduce it
+    (DuckDB: md5_number_upper(key) & 0xFFFFFFFF). Narrow map — no shuffle.
+    """
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    le32 = F.conv(
+        F.concat(
+            F.substring(h, 7, 2), F.substring(h, 5, 2),
+            F.substring(h, 3, 2), F.substring(h, 1, 2),
+        ),
+        16, 10,
+    ).cast("long")
+    bucket = le32 % 10000
+    return docs.withColumn(
+        "split",
+        F.when(bucket < train, "train").when(bucket < val, "val").otherwise("test"),
+    )
+
+
+def vocab_top_tokens(docs: DataFrame, text_col: str = "text", k: int = 200) -> DataFrame:
+    """Vocabulary build: whitespace tokens ranked by corpus frequency,
+    deterministic tie-break on the token itself. The classic word-count
+    shape — explode fans out, partial aggregation combines map-side, the
+    shuffle carries one row per distinct token per partition."""
+    toks = tokenize(F.col(text_col))
+    return (
+        docs.select(F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(k)
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
     """Document fingerprint: minimum digest over k-word rolling windows
     (winnowing-style selection with w = document). Identical up-to-window

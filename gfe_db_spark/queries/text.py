@@ -107,9 +107,64 @@ FROM t ORDER BY doc_id
 """
 
 
+def text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split over documents: per-split doc and
+    char totals (the reproducibility contract a training pipeline needs —
+    same assignment on every engine that has md5)."""
+    docs = table(spark, sf_dir, "documents")
+    out = TX.deterministic_split(docs)
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+TEXT_SPLIT_SQL = """
+WITH b AS (
+  SELECT n_chars,
+         CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || ':v1') & 4294967295 AS BIGINT)
+           % 10000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM b
+GROUP BY split
+ORDER BY split
+"""
+
+
+def text_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build: top-200 tokens by corpus frequency (word-count
+    shape: map-side partial aggregation, one shuffle on token)."""
+    docs = table(spark, sf_dir, "documents")
+    return TX.vocab_top_tokens(docs, k=200)
+
+
+TEXT_VOCAB_SQL = r"""
+SELECT tok AS token, COUNT(*) AS freq
+FROM documents,
+     unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS u(tok)
+GROUP BY tok
+ORDER BY freq DESC, token
+LIMIT 200
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_SQL, "token counting"),
     "text_quality_scores": QuerySpec(text_quality_scores, TEXT_QUALITY_SQL, "quality signals"),
     "text_lang_id": QuerySpec(text_lang_id, TEXT_LANG_SQL, "language-ID heuristic"),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL, "doc fingerprint"),
+    "text_split_assign": QuerySpec(
+        text_split_assign, TEXT_SPLIT_SQL, "deterministic train/val/test split"
+    ),
+    "text_vocab_top": QuerySpec(text_vocab_top, TEXT_VOCAB_SQL, "top-k vocabulary build"),
 }
