@@ -55,6 +55,33 @@ def test_minhash_lsh_recall(docs):
     assert (1, 4) not in pairs
 
 
+def test_deterministic_split(spark):
+    docs = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    out = TX.deterministic_split(docs)
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    # hash buckets track the 80/10/10 ratios on 2000 ids (loose bounds)
+    assert 0.7 < counts["train"] / 2000 < 0.9
+    assert 0.05 < counts["val"] / 2000 < 0.15
+    assert 0.05 < counts["test"] / 2000 < 0.15
+    # assignment is a pure function of (id, salt): repartitioning must not
+    # move any document, and a different salt must produce a different split
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in TX.deterministic_split(docs.repartition(7)).collect()
+    }
+    assert a == b
+    c = {r["doc_id"]: r["split"] for r in TX.deterministic_split(docs, salt="v2").collect()}
+    assert a != c
+
+
+def test_vocab_top_tokens(docs):
+    out = TX.vocab_top_tokens(docs, k=3).collect()
+    assert [r["token"] for r in out[:1]] == ["the"]  # 5 occurrences
+    freqs = [r["freq"] for r in out]
+    assert freqs == sorted(freqs, reverse=True)
+
+
 def test_simhash(docs):
     out = {r["doc_id"]: r["simhash64"] for r in DD.simhash(docs).collect()}
     assert out[1] == out[2]
