@@ -214,15 +214,85 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Cosine-threshold near-duplicate pairs over an embedding column.
 
-    This is the exact (all-pairs) baseline — O(n²) pairs, usable per
-    partition-bucket or at validation scale. The scale path buckets
-    vectors first (see operators/similarity.lsh_bucket_ann) so the join
-    key is a hash bucket, not a cross join."""
+    This is the exact (all-pairs) baseline — O(n²) pairs, kept as the
+    recall oracle for property tests. The registered scale path is
+    `embedding_neardup_pairs_bucketed`, which joins on a sign-LSH bucket
+    key instead of cross-joining."""
     av = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
     bv = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
     pairs = av.crossJoin(bv).filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 9))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def probe_masks(n_planes: int, probe_bits: int) -> list[int]:
+    """Multi-probe XOR masks: the bucket itself, then every bucket within
+    Hamming distance `probe_bits` of it. Deterministic and tiny
+    (1 + C(n,1) + C(n,2) for probe_bits=2)."""
+    import itertools
+
+    masks = [0]
+    for r in range(1, probe_bits + 1):
+        masks += [
+            sum(1 << i for i in combo) for combo in itertools.combinations(range(n_planes), r)
+        ]
+    return masks
+
+
+def embedding_neardup_pairs_bucketed(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    probe_bits: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Scale path for embedding near-dup: sign-LSH bucket (integer bucket
+    id, `similarity.hyperplane_bucket_id`) → multi-probe explode of one
+    side into the `probe_masks` XOR neighborhood → equi-join on `bucket`
+    → exact cosine within the candidate set.
+
+    The shuffle is keyed by bucket — never an all-pairs product — so at
+    100 TB this behaves like any other keyed self-join (AQE skew splitting
+    applies; a degenerate bucket can additionally be capped like
+    `ngram_jaccard_pairs` does for stop-shingles). Candidate fan-out is
+    bounded by len(probe_masks) (37 for 8 planes / 2 probe bits), the
+    price of recall: two vectors are compared iff their buckets differ in
+    ≤ probe_bits sign bits. Recall vs the exact all-pairs baseline
+    (`embedding_neardup_pairs`) is pinned by a property test."""
+    from gfe_db_spark.operators import spread_small_input
+    from gfe_db_spark.operators.similarity import hyperplane_bucket_id
+
+    b = hyperplane_bucket_id(
+        spread_small_input(emb), n_planes=n_planes, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    probes = F.array(
+        *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in probe_masks(n_planes, probe_bits)]
+    )
+    a = b.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+        F.explode(probes).alias("bucket"),
+    )
+    bb = b.select(
+        F.col("bucket"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
+    cand = (
+        a.join(bb, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # a pair can collide in several probe buckets — dedupe before the
+        # cosine so each candidate is scored once
+        .select("id_a", "id_b", "va", "vb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 9))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

@@ -102,6 +102,20 @@ def ivf_topk(
     )
 
 
+def hyperplane(p: int, dim: int = 64) -> list[float]:
+    """Deterministic pseudo-random hyperplane p: each coordinate is
+    md5(p:d) first-8-bytes mapped to [-1, 1). Hash-derived, so any engine
+    (or the DuckDB oracle) regenerates the identical plane — no stored
+    model needed."""
+    import hashlib
+
+    vals = []
+    for d in range(dim):
+        h = hashlib.md5(f"{p}:{d}".encode()).digest()
+        vals.append(int.from_bytes(h[:8], "big") / float(1 << 63) - 1.0)
+    return vals
+
+
 def random_hyperplane_buckets(
     emb: DataFrame,
     n_planes: int = 8,
@@ -110,24 +124,35 @@ def random_hyperplane_buckets(
     dim: int = 64,
 ) -> DataFrame:
     """Sign-LSH: bucket = bit-string of sign(v · h_p) for deterministic
-    pseudo-random hyperplanes h_p derived from a hash of (plane, dim index)
-    — reproducible with no stored model. Vectors in the same bucket are
-    ANN candidates; near-dup search joins on `bucket`."""
-    import hashlib
-
-    def plane(p: int) -> list[float]:
-        vals = []
-        for d in range(dim):
-            h = hashlib.md5(f"{p}:{d}".encode()).digest()
-            # map 8 bytes to [-1, 1)
-            vals.append(int.from_bytes(h[:8], "big") / float(1 << 63) - 1.0)
-        return vals
-
+    pseudo-random hyperplanes h_p (see `hyperplane`). Vectors in the same
+    bucket are ANN candidates; near-dup search joins on `bucket`."""
     v = F.col(vec_col).cast("array<double>")
     bits = [
-        F.when(_dot(v, F.array(*[F.lit(x) for x in plane(p)])) >= 0, F.lit("1")).otherwise(
+        F.when(_dot(v, F.array(*[F.lit(x) for x in hyperplane(p, dim)])) >= 0, F.lit("1")).otherwise(
             F.lit("0")
         )
         for p in range(n_planes)
     ]
     return emb.select(F.col(id_col), F.col(vec_col), F.concat(*bits).alias("bucket"))
+
+
+def hyperplane_bucket_id(
+    emb: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-LSH bucket as an *integer* (bit p set iff v · h_p ≥ 0).
+
+    The int form is what multi-probe search wants: probing a neighbor
+    bucket is one `bucket XOR (1<<p)` instead of string surgery, and the
+    join key is 4 bytes instead of an n-char string."""
+    v = F.col(vec_col).cast("array<double>")
+    bucket = None
+    for p in range(n_planes):
+        bit = F.when(
+            _dot(v, F.array(*[F.lit(x) for x in hyperplane(p, dim)])) >= 0, F.lit(1 << p)
+        ).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return emb.select(F.col(id_col), F.col(vec_col), bucket.cast("int").alias("bucket"))

@@ -147,17 +147,50 @@ ORDER BY doc_id
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via the bucketed scale path: sign-LSH int
+    bucket + multi-probe (Hamming ≤ 2) → equi-join on bucket → exact
+    cosine. The exact all-pairs form (`DD.embedding_neardup_pairs`) stays
+    as the recall oracle in tests/test_properties.py."""
     emb = table(spark, sf_dir, "embeddings")
-    return DD.embedding_neardup_pairs(emb, threshold=0.8).orderBy("id_a", "id_b")
+    return DD.embedding_neardup_pairs_bucketed(
+        emb, threshold=0.4, n_planes=8, probe_bits=2
+    ).orderBy("id_a", "id_b")
 
 
-DEDUP_EMBEDDING_SQL = """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 9) AS cos
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 9) >= 0.8
+def _embedding_bucketed_sql(threshold: float = 0.4, n_planes: int = 8, probe_bits: int = 2) -> str:
+    """DuckDB mirror of the bucketed near-dup: identical hash-derived
+    hyperplanes (similarity.hyperplane), identical XOR probe masks."""
+    from gfe_db_spark.operators.dedup import probe_masks
+    from gfe_db_spark.operators.similarity import hyperplane
+
+    bucket_terms = []
+    for p in range(n_planes):
+        plane = ", ".join(repr(x) for x in hyperplane(p, dim=64))
+        bucket_terms.append(
+            f"CASE WHEN list_dot_product(v, [{plane}]) >= 0 THEN {1 << p} ELSE 0 END"
+        )
+    bucket_expr = " + ".join(bucket_terms)
+    probes = ", ".join(f"xor(bucket, {m})" for m in probe_masks(n_planes, probe_bits))
+    return f"""
+WITH v0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), b AS (
+  SELECT vec_id, v, {bucket_expr} AS bucket FROM v0
+), a AS (
+  SELECT vec_id, v, unnest([{probes}]) AS bucket FROM b
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+  FROM a JOIN b ON a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(list_cosine_similarity(va, vb), 9) AS cos
+FROM cand
+WHERE round(list_cosine_similarity(va, vb), 9) >= {threshold}
 ORDER BY id_a, id_b
 """
+
+
+DEDUP_EMBEDDING_SQL = _embedding_bucketed_sql()
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,6 +256,6 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_clusters, DEDUP_CLUSTERS_SQL, "near-dup clusters via connected components"
     ),
     "dedup_embedding_cosine": QuerySpec(
-        dedup_embedding_cosine, DEDUP_EMBEDDING_SQL, "embedding near-dup pairs"
+        dedup_embedding_cosine, DEDUP_EMBEDDING_SQL, "embedding near-dup pairs (LSH-bucketed)"
     ),
 }

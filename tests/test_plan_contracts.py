@@ -107,3 +107,12 @@ def test_whole_stage_codegen_on_hot_path(spark, specs):
     )
     assert "isFinalPlan=true" in simple
     assert re.search(r"\*\(\d+\)", simple), "no WholeStageCodegen stage in q1"
+
+
+def test_embedding_neardup_is_keyed_join(spark, specs):
+    # The registered embedding near-dup entry must candidate-generate via
+    # an equi-join on the LSH bucket — never an all-pairs product.
+    plan = plan_of(run(specs, spark, "dedup_embedding_cosine"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan)

@@ -147,3 +147,59 @@ def test_salted_count_distinct_any_salt(spark, vals, salt):
     expected = len(set(vals))
     got = salted_count_distinct(df, "k", "v", salt=salt).collect()[0]["n_distinct"]
     assert got == expected
+
+
+def test_bucketed_neardup_subset_and_probe_complete(spark):
+    """Contract of the bucketed embedding near-dup vs the exact all-pairs
+    recall oracle (`embedding_neardup_pairs`):
+
+    1. soundness — every bucketed pair appears in the exact result with an
+       identical cosine (bucketing may drop pairs, never invent or distort);
+    2. probe completeness — every exact pair whose sign-LSH buckets differ
+       in ≤ probe_bits bits IS found: the multi-probe neighborhood is the
+       only recall loss, exactly as documented;
+    3. exact duplicates (Hamming 0 by construction) are always found."""
+    from gfe_db_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_bucketed,
+    )
+    from gfe_db_spark.operators.similarity import hyperplane_bucket_id
+    from gfe_db_spark.sources.tables import table
+    from tests.conftest import SF_SMOKE
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    threshold, n_planes, probe_bits = 0.4, 8, 2
+    bucketed = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_neardup_pairs_bucketed(
+            emb, threshold=threshold, n_planes=n_planes, probe_bits=probe_bits
+        ).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_neardup_pairs(emb, threshold=threshold).collect()
+    }
+    # 1. soundness
+    assert set(bucketed) <= set(exact)
+    assert all(exact[p] == c for p, c in bucketed.items())
+    # 2. probe completeness
+    buckets = {r.vec_id: r.bucket for r in hyperplane_bucket_id(emb, n_planes=n_planes).collect()}
+    expected_found = {
+        p for p in exact if bin(buckets[p[0]] ^ buckets[p[1]]).count("1") <= probe_bits
+    }
+    assert expected_found == set(bucketed)
+    assert exact, "fixture must produce near-dup pairs"
+
+    # 3. planted exact duplicate is always recalled
+    first = emb.limit(1).collect()[0]
+    dup = spark.createDataFrame(
+        [(999999, list(first.embedding), first.label)], emb.schema
+    )
+    planted = emb.unionByName(dup)
+    found = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs_bucketed(
+            planted, threshold=0.99, n_planes=n_planes, probe_bits=0
+        ).collect()
+    }
+    assert (first.vec_id, 999999) in found
