@@ -74,7 +74,7 @@ def ivf_assign(
 def ivf_topk(
     assigned: DataFrame,
     centroids: DataFrame,
-    query_vec: list[float],
+    query: list[float] | DataFrame,
     k: int = 10,
     n_probe: int = 2,
     id_col: str = "vec_id",
@@ -82,17 +82,35 @@ def ivf_topk(
 ) -> DataFrame:
     """Probe only the n_probe centroids nearest the query, then exact
     top-k within those buckets. At scale `assigned` is written partitioned
-    by centroid_id → partition pruning skips the rest of the corpus."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    by centroid_id → partition pruning skips the rest of the corpus.
+
+    `query` is a literal vector (constant-folded) or a 1-row DataFrame
+    whose first column is the vector — the DataFrame form keeps the whole
+    query lazy: the vector rides along as a broadcast single row instead
+    of a driver-side `.first()` fetch."""
+    if isinstance(query, DataFrame):
+        qdf = query.select(F.col(query.columns[0]).cast("array<double>").alias("__q"))
+
+        def with_q(df: DataFrame) -> DataFrame:
+            return df.crossJoin(F.broadcast(qdf))
+
+        q = F.col("__q")
+    else:
+
+        def with_q(df: DataFrame) -> DataFrame:
+            return df
+
+        q = F.array(*[F.lit(float(x)) for x in query])
     probe = (
-        centroids.withColumn("cos_q", cosine(F.col("centroid").cast("array<double>"), q))
+        with_q(centroids)
+        .withColumn("cos_q", cosine(F.col("centroid").cast("array<double>"), q))
         .orderBy(F.desc("cos_q"), "centroid_id")
         .limit(n_probe)
         .select("centroid_id")
     )
     v = F.col(vec_col).cast("array<double>")
     return (
-        assigned.join(F.broadcast(probe), "centroid_id")
+        with_q(assigned.join(F.broadcast(probe), "centroid_id"))
         .select(
             F.col(id_col),
             F.round(_dot(v, q) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(q, q))), 9).alias("cos"),

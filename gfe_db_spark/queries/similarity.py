@@ -56,9 +56,9 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("int").alias("centroid_id"),
         F.col("embedding").alias("centroid"),
     )
-    query_vec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    query = emb.filter(F.col("vec_id") == 0).select("embedding")
     assigned = SIM.ivf_assign(emb, centroids)
-    return SIM.ivf_topk(assigned, centroids, query_vec, k=10, n_probe=2)
+    return SIM.ivf_topk(assigned, centroids, query, k=10, n_probe=2)
 
 
 KNN_IVF_SQL = """
