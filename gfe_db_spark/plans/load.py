@@ -60,8 +60,10 @@ class GraphTables:
 
     @staticmethod
     def load(spark: SparkSession, path: str) -> "GraphTables":
+        from gfe_db_spark.plans.merge import read_bucketed
+
         kwargs = {
-            f.name: spark.read.parquet(os.path.join(path, f.name))
+            f.name: read_bucketed(spark, os.path.join(path, f.name))
             for f in fields(GraphTables)
         }
         return GraphTables(**kwargs)
@@ -197,6 +199,64 @@ def load_release(
     if existing is None:
         return new
     return merge_graphs(existing, new)
+
+
+# ON MATCH rule per table, mirroring load.cyp: (merge keys, rule).
+# 'create_only' = ON CREATE only; 'update' = ON MATCH SET (new wins);
+# 'releases_union' = the A6 releases array set-union.
+MERGE_RULES: dict[str, tuple[list[str], str]] = {
+    "nodes_gfe": (["name"], "create_only"),
+    "nodes_sequence": (["name"], "update"),
+    "nodes_feature": (["locus", "rank", "term", "accession", "sequence"], "create_only"),
+    "nodes_ipd_allele": (["name"], "update"),
+    "nodes_ipd_accession": (["name"], "create_only"),
+    "nodes_submitter": (["email"], "create_only"),
+    "edges_has_ipd_allele": (["src", "dst"], "releases_union"),
+    "edges_has_ipd_accession": (["src", "dst"], "create_only"),
+    "edges_submitted": (["src", "dst"], "create_only"),
+    "edges_has_sequence": (["src", "dst"], "create_only"),
+    "edges_has_feature": (
+        ["src", "dst_locus", "dst_rank", "dst_term", "dst_accession"],
+        "create_only",
+    ),
+}
+
+
+def upsert_graph(new: GraphTables, graph_path: str, n_buckets: int = 16) -> dict[str, list[int]]:
+    """Commit one release's graph tables into the on-disk accumulated graph
+    via the partition-pruned MERGE substrate (plans/merge.py): each table
+    is hash-bucketed on its merge key and only the buckets this release
+    touches are read and rewritten — commit cost is O(release), not
+    O(accumulated graph). Semantics per table = merge_graphs (same rules,
+    disk-backed). Returns touched buckets per table."""
+    from gfe_db_spark.plans.merge import partitioned_upsert
+
+    def releases_union(existing: DataFrame, batch: DataFrame) -> DataFrame:
+        # __bucket = f(src, dst), so grouping by it alongside the keys is
+        # exact (load.cyp:93-95 array union, as in merge_graphs)
+        return (
+            existing.unionByName(batch)
+            .groupBy("src", "dst", "__bucket")
+            .agg(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("releases")))
+                ).alias("releases")
+            )
+        )
+
+    touched: dict[str, list[int]] = {}
+    for name, df in new.items():
+        keys, rule = MERGE_RULES[name]
+        path = os.path.join(graph_path, name)
+        if rule == "releases_union":
+            touched[name] = partitioned_upsert(
+                df, path, keys, n_buckets=n_buckets, merge_fn=releases_union
+            )
+        else:
+            touched[name] = partitioned_upsert(
+                df, path, keys, on_match=rule, n_buckets=n_buckets
+            )
+    return touched
 
 
 def merge_graphs(old: GraphTables, new: GraphTables) -> GraphTables:

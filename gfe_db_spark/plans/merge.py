@@ -1,0 +1,105 @@
+"""Partition-pruned MERGE substrate over plain parquet.
+
+The reference's load path is a per-table idempotent upsert (Neo4j MERGE,
+ref ``load.cyp:1-138``). Absent a transactional table format (SURVEY §4
+allows parquet), the naive parquet MERGE is read-union-dedup-overwrite of
+the WHOLE target per commit — O(table) per batch, a scale-killer at
+100 TB. This module is the scale path:
+
+Targets are hash-bucketed on their merge key (``__bucket =
+pmod(xxhash64(keys), n_buckets)`` — deterministic, engine-portable) and
+written ``partitionBy("__bucket")``. A commit then:
+
+1. computes the batch's touched buckets (≤ n_buckets small ints — this is
+   partition *metadata*, not data, so the driver collect is bounded and
+   O(1) in table size);
+2. reads ONLY those partitions of the target (the literal ``IN`` filter on
+   the partition column prunes at scan planning — untouched partitions are
+   never read);
+3. merges batch vs pruned-existing under the table's ON MATCH rule
+   (create_only / update / custom merge_fn);
+4. stages the merged touched partitions, then commits them with dynamic
+   partition overwrite — untouched partition directories are never
+   rewritten.
+
+Cost per commit: O(batch + touched partitions), independent of target
+size once n_buckets exceeds the batch's key spread. On a Delta/Iceberg
+cluster the same call sites become ``MERGE INTO``; the bucket column and
+commit protocol carry over unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 32
+
+
+def bucket_expr(keys: list[str], n_buckets: int = DEFAULT_BUCKETS) -> Column:
+    """Deterministic bucket for a merge key: pmod(xxhash64(keys), n).
+    xxhash64 (not rand/monotonic id) keeps retries and speculative tasks
+    consistent — the same property operators/skew.py relies on."""
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
+
+
+def read_bucketed(spark, target_path: str) -> DataFrame:
+    """Read a bucketed target without the bookkeeping column."""
+    df = spark.read.parquet(target_path)
+    return df.drop("__bucket") if "__bucket" in df.columns else df
+
+
+def partitioned_upsert(
+    batch: DataFrame,
+    target_path: str,
+    keys: list[str],
+    on_match: str = "update",
+    n_buckets: int = DEFAULT_BUCKETS,
+    merge_fn: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
+) -> list[int]:
+    """MERGE `batch` into the bucketed parquet target; returns the list of
+    touched buckets (telemetry / tests).
+
+    on_match='update'      → batch row wins for matched keys (ON MATCH SET)
+    on_match='create_only' → existing row kept, only new keys inserted
+    merge_fn(existing, batch) → custom combine (e.g. releases array union);
+    both inputs carry ``__bucket`` and the result must preserve it.
+    """
+    spark = batch.sparkSession
+    if merge_fn is None:
+        batch = batch.dropDuplicates(keys)
+    batch = batch.withColumn("__bucket", bucket_expr(keys, n_buckets)).persist()
+    try:
+        if not os.path.exists(target_path):
+            batch.write.partitionBy("__bucket").mode("overwrite").parquet(target_path)
+            return sorted(r[0] for r in batch.select("__bucket").distinct().collect())
+
+        touched = sorted(r[0] for r in batch.select("__bucket").distinct().collect())
+        existing = spark.read.parquet(target_path).filter(F.col("__bucket").isin(touched))
+        if merge_fn is not None:
+            merged = merge_fn(existing, batch)
+        elif on_match == "update":
+            merged = batch.unionByName(existing.join(batch, on=keys, how="left_anti"))
+        elif on_match == "create_only":
+            merged = existing.unionByName(batch.join(existing, on=keys, how="left_anti"))
+        else:
+            raise ValueError(f"unknown on_match: {on_match}")
+
+        # two-phase: stage the merged touched partitions (reading `existing`
+        # and overwriting it in one job is illegal), then dynamic-overwrite —
+        # only partitions present in the staged data are replaced.
+        staging = target_path + ".staging"
+        merged.write.partitionBy("__bucket").mode("overwrite").parquet(staging)
+        (
+            spark.read.parquet(staging)
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(target_path)
+        )
+        return touched
+    finally:
+        batch.unpersist()

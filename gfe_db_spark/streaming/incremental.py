@@ -19,7 +19,7 @@ from pyspark.sql import SparkSession
 
 from gfe_db_spark.plans.accession import AccessionRegistry
 from gfe_db_spark.plans.build import build_release
-from gfe_db_spark.plans.load import GraphTables, load_release
+from gfe_db_spark.plans.load import GraphTables, load_release, upsert_graph
 from gfe_db_spark.sources.imgt import read_imgt_dat
 
 # F5 (ref invoke_pipeline/app.py:174-185, app.py:32)
@@ -118,13 +118,11 @@ def run_incremental(
         dat = os.path.join(data_dir, f"hla.{release}.dat")
         alleles = read_imgt_dat(spark, dat)
         tables = build_release(spark, alleles, release, registry, **build_kwargs)
-        graph = load_release(spark, tables, release, existing=graph)
-        # materialize the merged graph before committing the watermark:
-        # commit order = data first, then state (crash-safe replay).
-        tmp_path = graph_path + ".staging"
-        graph.save(tmp_path)
-        graph = GraphTables.load(spark, tmp_path)
-        graph.save(graph_path)
+        # partition-pruned MERGE commit: each table rewrites only the key
+        # buckets this release touches (plans/merge.py), not the whole
+        # accumulated graph. Commit order = data first, then state
+        # (crash-safe: a replayed release re-MERGEs idempotently, ST3).
+        upsert_graph(load_release(spark, tables, release), graph_path)
         graph = GraphTables.load(spark, graph_path)
         state.commit(release)
         processed.append(release)

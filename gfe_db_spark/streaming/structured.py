@@ -122,25 +122,17 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def foreach_batch_upsert(stream_df: DataFrame, target_path: str, keys: list[str]):
+def foreach_batch_upsert(
+    stream_df: DataFrame, target_path: str, keys: list[str], n_buckets: int = 32
+):
     """ST3: exactly-once-ish idempotent sink — per micro-batch MERGE into a
-    parquet target (read-dedup-overwrite; Delta MERGE INTO would replace
-    this body unchanged on a Delta-enabled cluster)."""
+    key-bucketed parquet target (plans/merge.partitioned_upsert): only the
+    partitions whose buckets the batch touches are read and rewritten, so
+    sink cost is O(batch), not O(table). Delta MERGE INTO would replace
+    this body unchanged on a Delta-enabled cluster."""
+    from gfe_db_spark.plans.merge import partitioned_upsert
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        import os
-
-        batch_df = batch_df.dropDuplicates(keys)
-        if os.path.exists(target_path):
-            existing = spark.read.parquet(target_path)
-            merged = batch_df.unionByName(
-                existing.join(batch_df, on=keys, how="left_anti")
-            )
-        else:
-            merged = batch_df
-        staging = target_path + ".staging"
-        merged.write.mode("overwrite").parquet(staging)
-        spark.read.parquet(staging).write.mode("overwrite").parquet(target_path)
+        partitioned_upsert(batch_df, target_path, keys, on_match="update", n_buckets=n_buckets)
 
     return stream_df.writeStream.foreachBatch(upsert).outputMode("update")

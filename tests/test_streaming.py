@@ -151,3 +151,48 @@ def test_foreach_batch_upsert(spark, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert spark.read.parquet(target).count() == n1
+
+
+def test_partitioned_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """The MERGE substrate contract: a batch touching one key bucket reads
+    and rewrites exactly that partition directory — every other partition's
+    files are untouched (dynamic partition overwrite)."""
+    import os
+
+    from gfe_db_spark.plans.merge import partitioned_upsert, read_bucketed
+
+    target = str(tmp_path / "t")
+    base = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v")
+    partitioned_upsert(base, target, ["k"], n_buckets=8)
+
+    def inventory():
+        inv = {}
+        for d in os.listdir(target):
+            if d.startswith("__bucket="):
+                files = {}
+                for f in os.listdir(os.path.join(target, d)):
+                    p = os.path.join(target, d, f)
+                    files[f] = (os.path.getsize(p), os.path.getmtime(p))
+                inv[d] = files
+        return inv
+
+    before = inventory()
+    assert len(before) == 8
+
+    one = spark.createDataFrame([(42, -1)], "k long, v long")
+    touched = partitioned_upsert(one, target, ["k"], n_buckets=8)
+    assert len(touched) == 1
+
+    after = inventory()
+    changed = {d for d in after if after[d] != before.get(d)}
+    assert changed == {f"__bucket={touched[0]}"}
+
+    out = read_bucketed(spark, target)
+    assert out.count() == 1000  # upsert, not append
+    assert out.filter("k = 42").collect()[0].v == -1  # ON MATCH SET wins
+    # create_only: existing row survives, new key inserted
+    two = spark.createDataFrame([(42, 777), (5000, 1)], "k long, v long")
+    partitioned_upsert(two, target, ["k"], on_match="create_only", n_buckets=8)
+    out = read_bucketed(spark, target)
+    assert out.count() == 1001
+    assert out.filter("k = 42").collect()[0].v == -1
