@@ -39,13 +39,23 @@ _IDENT = [*_KEY, "sequence"]
 
 class AccessionRegistry:
     """Persistent (parquet-backed) accession registry with deterministic
-    first-seen numbering."""
+    first-seen numbering.
 
-    def __init__(self, spark: SparkSession, path: str):
+    Each commit appends one small part-file set; after `max_files` parts
+    the registry is compacted (rewritten into `compact_files` parts via
+    the same rename-promote protocol), so a long release history doesn't
+    degrade into a many-tiny-files scan."""
+
+    def __init__(
+        self, spark: SparkSession, path: str, max_files: int = 16, compact_files: int = 4
+    ):
         self.spark = spark
         self.path = path
+        self.max_files = max_files
+        self.compact_files = compact_files
 
     def load(self) -> DataFrame:
+        self._recover()
         if os.path.exists(self.path):
             return self.spark.read.parquet(self.path)
         return self.spark.createDataFrame([], schema=ACCESSION_REGISTRY)
@@ -85,11 +95,62 @@ class AccessionRegistry:
         tmp = self.path + ".tmp"
         numbered.write.mode("overwrite").parquet(tmp)
         self._promote(tmp)
+        self._compact_if_needed()
 
         # No broadcast hint: the registry grows with the corpus vocabulary;
         # let Catalyst/AQE pick broadcast vs shuffle-hash by actual size.
         registry = self.load()
         return features.join(registry.select(*_IDENT, "accession"), on=_IDENT, how="left")
+
+    def _compact_if_needed(self) -> None:
+        """Rewrite the registry into `compact_files` parts once `max_files`
+        part files have accumulated. Contents are unchanged (pure file-
+        layout rewrite); the swap is rename-based with a `.compacting`
+        recovery marker, so a crash at any point leaves a loadable
+        registry (see `_recover`). Runs under the caller's commit
+        serialization (ST6), so no concurrent reader sees the swap."""
+        fs, HPath = self._fs()
+        dst = HPath(self.path)
+        if not fs.exists(dst):
+            return
+        parts = [
+            s for s in fs.listStatus(dst) if s.getPath().getName().endswith(".parquet")
+        ]
+        if len(parts) <= self.max_files:
+            return
+        compacting = self.path + ".compacting"
+        (
+            self.spark.read.parquet(self.path)
+            .repartition(self.compact_files)
+            .write.mode("overwrite")
+            .parquet(compacting)
+        )
+        fs.delete(dst, True)
+        fs.rename(HPath(compacting), dst)
+
+    def _recover(self) -> None:
+        """Finish an interrupted compaction: if the registry dir is gone
+        but a fully-written `.compacting` dir exists (crash between delete
+        and rename in `_compact_if_needed`), promote it."""
+        fs, HPath = self._fs()
+        compacting = HPath(self.path + ".compacting")
+        if not fs.exists(HPath(self.path)) and fs.exists(compacting):
+            if fs.exists(HPath(self.path + ".compacting/_SUCCESS")):
+                fs.rename(compacting, HPath(self.path))
+            else:
+                # can't occur under the protocol (delete runs only after a
+                # successful staged write) — never destroy data silently
+                raise RuntimeError(
+                    f"registry {self.path} missing and {self.path}.compacting "
+                    "is partial; manual recovery required"
+                )
+
+    def _fs(self):
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        HPath = jvm.org.apache.hadoop.fs.Path
+        fs = HPath(self.path).getFileSystem(conf)
+        return fs, HPath
 
     def _promote(self, tmp: str) -> None:
         """Move staged part files into the registry dir via the Hadoop

@@ -203,3 +203,35 @@ def test_bucketed_neardup_subset_and_probe_complete(spark):
         ).collect()
     }
     assert (first.vec_id, 999999) in found
+
+
+def test_registry_compaction_preserves_contents(spark, tmp_path_factory):
+    """10 sequential commits with a low compaction threshold: the registry
+    ends with ≤ max_files part files and the accession mapping is
+    byte-identical to what the commits assigned (compaction is a pure
+    file-layout rewrite)."""
+    import os
+
+    from gfe_db_spark.plans.accession import AccessionRegistry
+
+    path = str(tmp_path_factory.mktemp("reg") / "registry")
+    reg = AccessionRegistry(spark, path, max_files=5, compact_files=2)
+    assigned = {}
+    for batch in range(10):
+        feats = spark.createDataFrame(
+            [("HLA-A", "exon", 1, f"SEQ{batch}_{i}") for i in range(4)],
+            "locus string, term string, rank int, sequence string",
+        )
+        out = reg.assign(feats, release=str(3550 + 10 * batch))
+        for r in out.collect():
+            key = (r.locus, r.term, r.rank, r.sequence)
+            assert assigned.get(key, r.accession) == r.accession
+            assigned[key] = r.accession
+    n_parts = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_parts <= 5, f"{n_parts} part files after compaction"
+    final = {
+        (r.locus, r.term, r.rank, r.sequence): r.accession for r in reg.load().collect()
+    }
+    assert final == assigned
+    # accessions are a bijection per context: 40 distinct seqs → 1..40
+    assert sorted(final.values()) == list(range(1, 41))
