@@ -37,6 +37,7 @@ PRIORITY: tuple[str, ...] = (
     "graph_undirected_2hop",
     "graph_degree_distribution",
     "gfe_end_to_end",
+    "alignment_join",
     # dedup family (beyond-reference LLM-pipeline core)
     "dedup_exact",
     "dedup_minhash_signatures",

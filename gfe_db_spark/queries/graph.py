@@ -113,6 +113,68 @@ def gfe_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("hla_name", "term", "rank")
 
 
+def alignment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/S2 (ref app.py:269-321): the alignment build table, end to end —
+    MSF parse → broadcast lookup join against the built GFE set → hash /
+    label / bp-aa routing. Runs the real pipeline on the deterministic
+    mini-release + MSF fixture; the oracle recomputes the join from the
+    same fixture rows (gfe_name dimension inlined from the pipeline's
+    deterministic accession output, which w6/gfe_end_to_end check)."""
+    import tempfile
+
+    from gfe_db_spark.plans.accession import AccessionRegistry
+    from gfe_db_spark.plans.build import build_release
+    from gfe_db_spark.sources.imgt import read_imgt_dat
+    from gfe_db_spark.sources.msf import read_alignments
+    from gfe_db_spark.testing_fixtures import write_msf, write_release_dat
+
+    tmp = tempfile.mkdtemp(prefix="gfe_align_")
+    dat = write_release_dat(tmp, "3550")
+    aligns = read_alignments(spark, write_msf(tmp))
+    built = build_release(
+        spark,
+        read_imgt_dat(spark, dat),
+        "3550",
+        AccessionRegistry(spark, f"{tmp}/registry"),
+        alignments=aligns,
+    )
+    return built.all_alignments.orderBy("hla_name")
+
+
+# decimal-rendered 128-bit MD5 prefix (C1 seq_hasher) in DuckDB: fold the
+# 32 hex chars into a UHUGEINT, render, truncate — byte-equal to
+# functions/scalars.seq_hash_py.
+_SEQ_HASH_SQL = """left(CAST(list_reduce(list_transform(range(1, 33),
+      i -> CAST(strpos('0123456789abcdef', substr(md5({col}), i, 1)) - 1 AS UHUGEINT)),
+    (acc, x) -> acc * 16 + x) AS VARCHAR), 32)"""
+
+ALIGNMENT_JOIN_SQL = f"""
+WITH aligns(align_type, locus, hla_name, aligned_seq) AS (
+  VALUES ('genomic', 'HLA-A', 'HLA-A*01:01:01:01', 'ACACAAAAGGGGTTTTAGAG'),
+         ('genomic', 'HLA-A', 'HLA-A*01:02', 'ACACCCCCGGGGTTTTCTCT')
+), gfe(gfe_name, locus, hla_name) AS (
+  VALUES ('HLA-Aw1-1-1-1-1', 'HLA-A', 'HLA-A*01:01:01:01'),
+         ('HLA-Aw1-2-1-1-2', 'HLA-A', 'HLA-A*01:02'),
+         ('HLA-Bw1-1-1', 'HLA-B', 'HLA-B*07:02'),
+         ('DRB5w1-1-1-1-1', 'DRB5', 'DRB5*01:02')
+)
+SELECT
+  CASE a.align_type WHEN 'genomic' THEN 'GEN_ALIGN'
+       WHEN 'nucleotide' THEN 'NUC_ALIGN' ELSE 'PROT_ALIGN' END AS label,
+  {_SEQ_HASH_SQL.format(col="a.aligned_seq")} AS seq_id,
+  g.gfe_name,
+  a.hla_name,
+  CAST(length(a.aligned_seq) AS BIGINT) AS length,
+  '0' AS rank,
+  CASE WHEN a.align_type <> 'protein' THEN a.aligned_seq ELSE '' END AS bp_sequence,
+  CASE WHEN a.align_type = 'protein' THEN a.aligned_seq ELSE '' END AS aa_sequence,
+  concat_ws('.', substring('3550', 1, 1), substring('3550', 2, 2), substring('3550', 4, 1))
+    AS imgt_release
+FROM gfe g JOIN aligns a ON g.locus = a.locus AND g.hla_name = a.hla_name
+ORDER BY a.hla_name
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "graph_3hop_motif": QuerySpec(graph_3hop_motif, GRAPH_3HOP_SQL, "3-hop motif J8"),
     "graph_undirected_2hop": QuerySpec(graph_undirected_2hop, GRAPH_2HOP_SQL, "2-hop motif"),
@@ -120,4 +182,7 @@ QUERIES: dict[str, QuerySpec] = {
         graph_degree_distribution, GRAPH_DEGREE_SQL, "degree histogram"
     ),
     "gfe_end_to_end": QuerySpec(gfe_end_to_end, None, "GFE pipeline e2e (rows-only)"),
+    "alignment_join": QuerySpec(
+        alignment_join, ALIGNMENT_JOIN_SQL, "J1 alignment broadcast join + build table"
+    ),
 }
