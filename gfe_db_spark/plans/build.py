@@ -53,9 +53,13 @@ def feature_order_key() -> F.Column:
 
 
 def processable(alleles: DataFrame) -> DataFrame:
-    """F1 (ref app.py:606-611) + F2 skip list (ref constants.py:7-11)."""
+    """F1 (ref app.py:606-611) + F2 skip list (ref constants.py:7-11).
+    Parse-errored records are excluded — they surface only in the error
+    channel (ref app.py:630-667 skips the allele after logging), never as
+    half-built GFEs."""
     return alleles.filter(
-        F.col("sequence").isNotNull()
+        F.col("parse_error").isNull()
+        & F.col("sequence").isNotNull()
         & (F.length("sequence") > 5)
         & F.col("locus").isin([*HLA_LOCI, "DRB5"])
         & ~F.col("hla_name").isin(SKIP_ALLELES)

@@ -43,8 +43,28 @@ _LOC_SPAN = re.compile(r"(\d+)\.\.(\d+)")
 
 def _extract_location(seq: str, location: str) -> str:
     """Extract a feature subsequence for a simple or join(...) location
-    (1-based inclusive coordinates, forward strand)."""
-    return "".join(seq[int(a) - 1 : int(b)] for a, b in _LOC_SPAN.findall(location))
+    (1-based inclusive coordinates, forward strand).
+
+    The supported grammar is exactly what the reference consumes from
+    IMGT/HLA .dat files (ref app.py:127-175): `a..b` and
+    `join(a..b,c..d,...)`. Anything outside it — complement() strands,
+    partial `<a..>b` spans, spans beyond the sequence — raises, which the
+    record parser converts into an error-channel row (ref error contract
+    app.py:630-681) instead of a silently wrong sequence."""
+    if "complement" in location:
+        raise ValueError(f"unsupported location grammar (complement strand): {location!r}")
+    if "<" in location or ">" in location:
+        raise ValueError(f"unsupported location grammar (partial span): {location!r}")
+    spans = _LOC_SPAN.findall(location)
+    if not spans:
+        raise ValueError(f"no coordinate spans in location: {location!r}")
+    out = []
+    for a, b in spans:
+        a_i, b_i = int(a), int(b)
+        if a_i < 1 or b_i < a_i or b_i > len(seq):
+            raise ValueError(f"span {a_i}..{b_i} outside sequence of length {len(seq)}")
+        out.append(seq[a_i - 1 : b_i])
+    return "".join(out)
 
 
 def parse_embl_record(block: str) -> dict | None:
@@ -108,6 +128,9 @@ def parse_embl_record(block: str) -> dict | None:
     cds_bp = None
     cds_aa = None
     parse_error = None
+    if not sequence and (raw_feats or description_parts):
+        parse_error = "missing or empty SQ sequence block"
+        raw_feats = []  # nothing to extract against
     n = len(raw_feats)
     try:
         for i, feat in enumerate(raw_feats):
