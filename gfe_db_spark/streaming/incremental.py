@@ -77,6 +77,60 @@ def monotonicity_ok(releases: list[str]) -> bool:
     return all(b - a == 10 for a, b in zip(xs, xs[1:]))
 
 
+def fetch_release(url: str, dest_dir: str, release: str) -> str:
+    """S3 analog (ref run.sh:119-134, get_alignments.sh:16-50): stage one
+    release's ``hla.<release>.dat`` from a URL (file://, http(s)://) into
+    `dest_dir`. Driver-side by design — staging is orchestration I/O, not a
+    data-plane op (SURVEY maps S3 out of engine scope). Idempotent (skips
+    an existing non-empty file) and atomic (.part + rename)."""
+    import shutil
+    import urllib.request
+
+    os.makedirs(dest_dir, exist_ok=True)
+    dest = os.path.join(dest_dir, f"hla.{release}.dat")
+    if os.path.exists(dest) and os.path.getsize(dest) > 0:
+        return dest
+    tmp = dest + ".part"
+    with urllib.request.urlopen(url) as resp, open(tmp, "wb") as out:
+        shutil.copyfileobj(resp, out)
+    os.replace(tmp, dest)
+    return dest
+
+
+def run_incremental_from_manifest(
+    spark: SparkSession,
+    manifest_url: str,
+    staging_dir: str,
+    state_path: str,
+    registry_path: str,
+    graph_path: str,
+    **build_kwargs,
+) -> "PipelineResult":
+    """ST1 end-to-end from a remote manifest: fetch the manifest (JSON
+    ``{"releases": {"3550": <url>, ...}}``), stage only the releases the
+    watermark hasn't seen, then run the normal incremental pipeline.
+    The manifest is the Spark-native stand-in for the reference's GitHub
+    branch listing (ref invoke_pipeline/app.py:174-185)."""
+    import urllib.request
+
+    with urllib.request.urlopen(manifest_url) as resp:
+        doc = json.load(resp)
+    urls: dict[str, str] = doc["releases"]
+    available = list(urls)
+    state = ReleaseState.load(state_path)
+    for release in detect_new_releases(available, state):
+        fetch_release(urls[release], staging_dir, release)
+    return run_incremental(
+        spark,
+        staging_dir,
+        available,
+        state_path=state_path,
+        registry_path=registry_path,
+        graph_path=graph_path,
+        **build_kwargs,
+    )
+
+
 @dataclass
 class PipelineResult:
     processed: list[str]

@@ -196,3 +196,48 @@ def test_partitioned_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     out = read_bucketed(spark, target)
     assert out.count() == 1001
     assert out.filter("k = 42").collect()[0].v == -1
+
+
+def test_run_incremental_from_manifest(spark, tmp_path):
+    """ST1 from a URL manifest: fetch → detect → build → load, end to end,
+    with idempotent staging (a second run re-fetches nothing)."""
+    import json as _json
+    import os
+
+    from gfe_db_spark.streaming.incremental import run_incremental_from_manifest
+
+    remote = tmp_path / "remote"
+    remote.mkdir()
+    fx.write_release_dat(str(remote), "3550")
+    fx.write_release_dat(str(remote), "3560")
+    manifest = tmp_path / "manifest.json"
+    manifest.write_text(
+        _json.dumps(
+            {
+                "repository_url": "synthetic://imgt-hla",
+                "releases": {
+                    r: f"file://{remote}/hla.{r}.dat" for r in ("3550", "3560")
+                },
+            }
+        )
+    )
+    staging = str(tmp_path / "staging")
+    kwargs = dict(
+        state_path=str(tmp_path / "state.json"),
+        registry_path=str(tmp_path / "registry"),
+        graph_path=str(tmp_path / "graph"),
+    )
+    res = run_incremental_from_manifest(
+        spark, f"file://{manifest}", staging, **kwargs
+    )
+    assert res.processed == ["3550", "3560"]
+    assert res.graph.nodes_gfe.count() > 0
+
+    mtimes = {f: os.path.getmtime(os.path.join(staging, f)) for f in os.listdir(staging)}
+    res2 = run_incremental_from_manifest(
+        spark, f"file://{manifest}", staging, **kwargs
+    )
+    assert res2.processed == []  # watermark skip
+    assert {
+        f: os.path.getmtime(os.path.join(staging, f)) for f in os.listdir(staging)
+    } == mtimes  # nothing re-fetched
