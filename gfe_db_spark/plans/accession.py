@@ -93,7 +93,11 @@ class AccessionRegistry:
         # file-commit protocol performs, and atomic-per-file on HDFS-like
         # filesystems. One write job total; no read-back, no second write.
         tmp = self.path + ".tmp"
-        numbered.write.mode("overwrite").parquet(tmp)
+        # new-vocabulary batches are small (sublinear in corpus size) —
+        # land them in compact_files parts, not one file per shuffle
+        # partition, so a commit adds O(1) files and compaction only
+        # triggers after ~max_files/compact_files commits.
+        numbered.repartition(self.compact_files).write.mode("overwrite").parquet(tmp)
         self._promote(tmp)
         self._compact_if_needed()
 
