@@ -154,6 +154,102 @@ def random_hyperplane_buckets(
     return emb.select(F.col(id_col), F.col(vec_col), F.concat(*bits).alias("bucket"))
 
 
+def ann_topk_join(
+    emb: DataFrame,
+    k: int = 3,
+    n_planes: int = 6,
+    probe_bits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """All-vectors approximate k-NN join: for every vector, its top-k
+    cosine neighbors among candidates sharing a sign-LSH bucket within
+    Hamming ≤ probe_bits (the `dedup.probe_masks` neighborhood).
+
+    This is the batch ANN-join a training pipeline runs corpus-wide (the
+    single-query `ivf_topk`/`brute_force_topk` are point lookups). Plan
+    shape at 100 TB: bucket map → bounded explode (|probe_masks|×) →
+    equi-join on bucket → per-vector top-k as a window partitioned by the
+    vector id. Nothing is all-pairs; the window is keyed, never global."""
+    from pyspark.sql.window import Window as W
+
+    from gfe_db_spark.operators import spread_small_input
+    from gfe_db_spark.operators.dedup import cosine, probe_masks
+
+    b = hyperplane_bucket_id(
+        spread_small_input(emb), n_planes=n_planes, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    probes = F.array(
+        *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in probe_masks(n_planes, probe_bits)]
+    )
+    a = b.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+        F.explode(probes).alias("bucket"),
+    )
+    bb = b.select(
+        F.col("bucket"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
+    cand = (
+        a.join(bb, "bucket")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .distinct()
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 9))
+    )
+    w = W.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("id_a").alias(id_col),
+            F.col("id_b").alias("neighbor_id"),
+            "cos",
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization per vector — the storage/bandwidth lever
+    for 100 TB embedding corpora (4× smaller than float32, 8× than the
+    float64 compute form). scale = max|v| / 127; q_i = floor(v_i/scale
+    + 0.5) (explicit floor keeps rounding engine-portable). Emits the
+    quantized vector plus the round-trip RMS error so a pipeline can gate
+    on quantization loss. Pure builtins — narrow map, no shuffle."""
+    base = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    # the rounded scale is the stored/contractual value, so quantization
+    # uses it too (keeps the op bit-reproducible across engines)
+    scale = F.round(
+        F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))) / F.lit(127.0), 9
+    )
+    out = base.withColumn("scale", scale)
+    q = F.transform(F.col("v"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"))
+    with_q = out.withColumn("q", q)
+    err2 = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.col("q"),
+            lambda x, qi: (x - qi * F.col("scale")) * (x - qi * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return with_q.select(
+        id_col,
+        "scale",
+        "q",
+        F.round(F.sqrt(err2 / F.size(F.col("q"))), 9).alias("rms_err"),
+    )
+
+
 def hyperplane_bucket_id(
     emb: DataFrame,
     n_planes: int = 8,

@@ -130,6 +130,49 @@ def vocab_top_tokens(docs: DataFrame, text_col: str = "text", k: int = 200) -> D
     )
 
 
+def tfidf_top_terms(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (smooth idf: ln((N+1)/(df+1))+1).
+
+    The inverted-index build shape at scale: explode → (doc, term) counts
+    with map-side partial agg; document frequency is a second keyed agg
+    over distinct (doc, term) — already deduped by the first groupBy, no
+    extra distinct shuffle; N is a 1-row broadcast. Ranking is a window
+    keyed by doc (never global). Scores round to 9 before ranking so
+    ordering is engine-portable; ties break on the term."""
+    from pyspark.sql.window import Window as W
+
+    from gfe_db_spark.operators import spread_small_input
+
+    toks = tokenize(F.col(text_col))
+    pairs = (
+        spread_small_input(docs)
+        .select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        pairs.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1), 9
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", F.col("rn").cast("int").alias("rank"))
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
     """Document fingerprint: minimum digest over k-word rolling windows
     (winnowing-style selection with w = document). Identical up-to-window

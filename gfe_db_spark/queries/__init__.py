@@ -50,6 +50,8 @@ PRIORITY: tuple[str, ...] = (
     "knn_brute_force",
     "knn_ivf",
     "ann_lsh_buckets",
+    "ann_topk_join",
+    "embedding_quantize",
     # text-analysis family
     "text_token_stats",
     "text_quality_scores",
@@ -57,6 +59,7 @@ PRIORITY: tuple[str, ...] = (
     "text_fingerprint",
     "text_split_assign",
     "text_vocab_top",
+    "text_tfidf_top_terms",
     # multimodal family
     "multimodal_metadata",
     "multimodal_features",
@@ -81,13 +84,13 @@ PRIORITY: tuple[str, ...] = (
     "j4_composite_key_join",
     "j6_cross_join_singleton",
     "j7_anti_join",
+    "w6_dense_rank_accession",
     "a1_dedup_distinct",
     "a6_array_set_union",
     "a7_label_counts",
     "a8_explode_distinct_count",
     "a12_bool_all_reduce",
     "a13_monotonicity_guard",
-    "w6_dense_rank_accession",
     "so1_except",
 )
 

@@ -160,24 +160,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _embedding_bucketed_sql(threshold: float = 0.4, n_planes: int = 8, probe_bits: int = 2) -> str:
     """DuckDB mirror of the bucketed near-dup: identical hash-derived
     hyperplanes (similarity.hyperplane), identical XOR probe masks."""
-    from gfe_db_spark.operators.dedup import probe_masks
-    from gfe_db_spark.operators.similarity import hyperplane
+    from gfe_db_spark.queries.lsh_sql import bucket_int_sql, probe_unnest_sql
 
-    bucket_terms = []
-    for p in range(n_planes):
-        plane = ", ".join(repr(x) for x in hyperplane(p, dim=64))
-        bucket_terms.append(
-            f"CASE WHEN list_dot_product(v, [{plane}]) >= 0 THEN {1 << p} ELSE 0 END"
-        )
-    bucket_expr = " + ".join(bucket_terms)
-    probes = ", ".join(f"xor(bucket, {m})" for m in probe_masks(n_planes, probe_bits))
     return f"""
 WITH v0 AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), b AS (
-  SELECT vec_id, v, {bucket_expr} AS bucket FROM v0
+  SELECT vec_id, v, {bucket_int_sql("v", n_planes)} AS bucket FROM v0
 ), a AS (
-  SELECT vec_id, v, unnest([{probes}]) AS bucket FROM b
+  SELECT vec_id, v, {probe_unnest_sql("bucket", n_planes, probe_bits)} AS bucket FROM b
 ), cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
   FROM a JOIN b ON a.bucket = b.bucket

@@ -128,8 +128,88 @@ FROM embeddings GROUP BY 1 ORDER BY bucket
 ANN_LSH_SQL = _lsh_bucket_sql()
 
 
+def ann_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide approximate k-NN join: top-3 bucket-mate neighbors per
+    vector (sign-LSH, 6 planes, 1-bit multi-probe)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return SIM.ann_topk_join(emb, k=3, n_planes=6, probe_bits=1).orderBy("vec_id", "rank")
+
+
+def _ann_topk_sql(k: int = 3, n_planes: int = 6, probe_bits: int = 1) -> str:
+    from gfe_db_spark.queries.lsh_sql import bucket_int_sql, probe_unnest_sql
+
+    return f"""
+WITH v0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), b AS (
+  SELECT vec_id, v, {bucket_int_sql("v", n_planes)} AS bucket FROM v0
+), a AS (
+  SELECT vec_id, v, {probe_unnest_sql("bucket", n_planes, probe_bits)} AS bucket FROM b
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+  FROM a JOIN b ON a.bucket = b.bucket
+  WHERE a.vec_id <> b.vec_id
+), scored AS (
+  SELECT id_a, id_b, round(list_cosine_similarity(va, vb), 9) AS cos FROM cand
+)
+SELECT id_a AS vec_id, id_b AS neighbor_id, cos,
+       CAST(row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY vec_id, rank
+"""
+
+
+ANN_TOPK_SQL = _ann_topk_sql()
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 symmetric quantization + round-trip RMS error per vector. The
+    quantized vector is projected as a CSV string for the compare (array
+    cell formatting differs between pandas conversions; the operator
+    itself returns the typed array column)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        SIM.quantize_embeddings(emb)
+        .select(
+            "vec_id",
+            "scale",
+            F.array_join(F.col("q"), ",").alias("q_csv"),
+            "rms_err",
+        )
+        .orderBy("vec_id")
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH v0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         round(list_max(list_transform(v, x -> abs(x))) / 127.0, 9) AS scale
+  FROM v0
+), qq AS (
+  SELECT vec_id, scale, v,
+         list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS q
+  FROM s
+)
+SELECT vec_id, scale,
+       array_to_string(q, ',') AS q_csv,
+       round(sqrt(list_sum(list_transform(range(1, len(v) + 1),
+             i -> (v[i] - q[i] * scale) * (v[i] - q[i] * scale))) / len(q)), 9) AS rms_err
+FROM qq
+ORDER BY vec_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "knn_brute_force": QuerySpec(knn_brute_force, KNN_BRUTE_SQL, "exact cosine top-k"),
     "knn_ivf": QuerySpec(knn_ivf, KNN_IVF_SQL, "IVF bucketed ANN"),
     "ann_lsh_buckets": QuerySpec(ann_lsh_buckets, ANN_LSH_SQL, "sign-LSH buckets"),
+    "ann_topk_join": QuerySpec(
+        ann_topk_join, ANN_TOPK_SQL, "corpus-wide bucketed k-NN join"
+    ),
+    "embedding_quantize": QuerySpec(
+        embedding_quantize, EMBEDDING_QUANTIZE_SQL, "int8 quantization + RMS error"
+    ),
 }

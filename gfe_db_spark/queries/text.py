@@ -158,6 +158,36 @@ LIMIT 200
 """
 
 
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (inverted-index build shape)."""
+    docs = table(spark, sf_dir, "documents")
+    return TX.tfidf_top_terms(docs, k=3).orderBy("doc_id", "rank")
+
+
+TEXT_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, tok AS term
+  FROM documents,
+       unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS u(tok)
+), pairs AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM pairs GROUP BY term
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT p.doc_id, p.term, p.tf, d.df,
+         round(p.tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1), 9) AS tfidf
+  FROM pairs p JOIN dfreq d USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_SQL, "token counting"),
     "text_quality_scores": QuerySpec(text_quality_scores, TEXT_QUALITY_SQL, "quality signals"),
@@ -167,4 +197,7 @@ QUERIES: dict[str, QuerySpec] = {
         text_split_assign, TEXT_SPLIT_SQL, "deterministic train/val/test split"
     ),
     "text_vocab_top": QuerySpec(text_vocab_top, TEXT_VOCAB_SQL, "top-k vocabulary build"),
+    "text_tfidf_top_terms": QuerySpec(
+        text_tfidf_top_terms, TEXT_TFIDF_SQL, "per-doc TF-IDF top terms"
+    ),
 }

@@ -182,3 +182,44 @@ def test_multimodal_resize_and_frames(media):
     frames = MM.sample_video_frames(media, every_ms=1000).collect()
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
     assert all(r["media_id"] == 2 for r in frames)
+
+
+def test_ann_topk_join_contract(spark):
+    """Every emitted neighbor is a true bucket-neighborhood candidate with
+    the exact cosine, ranks are dense from 1 per vector, and an exact
+    duplicate vector is always its twin's #1 neighbor."""
+    from pyspark.sql import functions as F
+
+    from gfe_db_spark.operators.similarity import ann_topk_join
+    from gfe_db_spark.sources.tables import table
+    from tests.conftest import SF_SMOKE
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    first = emb.limit(1).collect()[0]
+    dup = spark.createDataFrame([(999999, list(first.embedding), first.label)], emb.schema)
+    out = ann_topk_join(emb.unionByName(dup), k=3, n_planes=6, probe_bits=1).collect()
+
+    by_vec = {}
+    for r in out:
+        by_vec.setdefault(r.vec_id, []).append(r)
+    for rows in by_vec.values():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        ordered = sorted(rows, key=lambda r: r.rank)
+        assert all(a.cos >= b.cos for a, b in zip(ordered, ordered[1:]))
+    # identical vector (Hamming 0) must surface as the top neighbor
+    assert by_vec[999999][0].neighbor_id == first.vec_id
+    assert by_vec[999999][0].cos == 1.0
+
+
+def test_quantize_embeddings_roundtrip_bound(spark):
+    """Quantization error per element is ≤ scale/2 (the rounding bound),
+    so rms_err ≤ scale/2; values fit int8 range."""
+    from gfe_db_spark.operators.similarity import quantize_embeddings
+    from gfe_db_spark.sources.tables import table
+    from tests.conftest import SF_SMOKE
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    for r in quantize_embeddings(emb).collect():
+        assert all(-128 <= q <= 127 for q in r.q)
+        assert r.rms_err <= r.scale / 2 + 1e-12
