@@ -38,8 +38,11 @@ BENCH_QUERIES = [
     "f6_conditional_pivot",
     "a13_monotonicity_guard",
     "dedup_lsh_pairs",
+    "dedup_embedding_cosine",
     "knn_brute_force",
+    "ann_topk_join",
     "text_token_stats",
+    "text_tfidf_top_terms",
     "multimodal_metadata",
     "sessionize",
     "graph_3hop_motif",

@@ -264,35 +264,74 @@ def embedding_neardup_pairs_bucketed(
     price of recall: two vectors are compared iff their buckets differ in
     ≤ probe_bits sign bits. Recall vs the exact all-pairs baseline
     (`embedding_neardup_pairs`) is pinned by a property test."""
+    scored = _bucketed_candidate_scores(
+        emb,
+        n_planes=n_planes,
+        probe_bits=probe_bits,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        ordered_pairs=True,
+    )
+    return scored.filter(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
+
+
+def _bucketed_candidate_scores(
+    emb: DataFrame,
+    n_planes: int,
+    probe_bits: int,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    ordered_pairs: bool,
+) -> DataFrame:
+    """Shared candidate-generation core for the bucketed embedding ops:
+    sign-LSH int bucket → multi-probe explode → equi-join on bucket →
+    cosine per candidate → dedupe collisions.
+
+    Two scale choices: per-vector norms are computed once per ROW before
+    the join (not 3 dot products per pair), and the cosine is scored
+    *before* the collision dedupe so the groupBy shuffles 20-byte
+    (id_a, id_b, cos) rows instead of pairs of 64-double vectors.
+    `ordered_pairs=True` keeps only id_a < id_b (near-dup pair semantics);
+    False keeps both directions (k-NN join semantics)."""
     from gfe_db_spark.operators import spread_small_input
     from gfe_db_spark.operators.similarity import hyperplane_bucket_id
 
     b = hyperplane_bucket_id(
         spread_small_input(emb), n_planes=n_planes, id_col=id_col, vec_col=vec_col, dim=dim
-    )
+    ).withColumn("__v", F.col(vec_col).cast("array<double>"))
+    b = b.withColumn("__norm", F.sqrt(_dot(F.col("__v"), F.col("__v"))))
     probes = F.array(
         *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in probe_masks(n_planes, probe_bits)]
     )
     a = b.select(
         F.col(id_col).alias("id_a"),
-        F.col(vec_col).cast("array<double>").alias("va"),
+        F.col("__v").alias("va"),
+        F.col("__norm").alias("na"),
         F.explode(probes).alias("bucket"),
     )
     bb = b.select(
         F.col("bucket"),
         F.col(id_col).alias("id_b"),
-        F.col(vec_col).cast("array<double>").alias("vb"),
+        F.col("__v").alias("vb"),
+        F.col("__norm").alias("nb"),
     )
-    cand = (
-        a.join(bb, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        # a pair can collide in several probe buckets — dedupe before the
-        # cosine so each candidate is scored once
-        .select("id_a", "id_b", "va", "vb")
-        .distinct()
+    pair_filter = (
+        (F.col("id_a") < F.col("id_b")) if ordered_pairs else (F.col("id_a") != F.col("id_b"))
     )
     return (
-        cand.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 9))
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
+        a.join(bb, "bucket")
+        .filter(pair_filter)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 9
+            ).alias("cos"),
+        )
+        # a pair colliding in several probe buckets scores identically —
+        # min() is a pure dedupe, and the shuffle carries scalars only
+        .groupBy("id_a", "id_b")
+        .agg(F.min("cos").alias("cos"))
     )

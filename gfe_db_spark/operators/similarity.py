@@ -174,31 +174,16 @@ def ann_topk_join(
     vector id. Nothing is all-pairs; the window is keyed, never global."""
     from pyspark.sql.window import Window as W
 
-    from gfe_db_spark.operators import spread_small_input
-    from gfe_db_spark.operators.dedup import cosine, probe_masks
+    from gfe_db_spark.operators.dedup import _bucketed_candidate_scores
 
-    b = hyperplane_bucket_id(
-        spread_small_input(emb), n_planes=n_planes, id_col=id_col, vec_col=vec_col, dim=dim
-    )
-    probes = F.array(
-        *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in probe_masks(n_planes, probe_bits)]
-    )
-    a = b.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).cast("array<double>").alias("va"),
-        F.explode(probes).alias("bucket"),
-    )
-    bb = b.select(
-        F.col("bucket"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).cast("array<double>").alias("vb"),
-    )
-    cand = (
-        a.join(bb, "bucket")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
-        .distinct()
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 9))
+    cand = _bucketed_candidate_scores(
+        emb,
+        n_planes=n_planes,
+        probe_bits=probe_bits,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        ordered_pairs=False,
     )
     w = W.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
     return (

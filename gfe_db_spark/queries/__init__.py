@@ -64,9 +64,12 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_metadata",
     "multimodal_features",
     "multimodal_frame_sample",
+    "multimodal_dedup",
     # streaming twins
     "sessionize",
     "tumbling_window",
+    # skew toolkit
+    "skew_salted_count_distinct",
     # TPC-H shapes with no round-1 driver row
     "q9_profit_by_nation_year",
     "q11_important_balance",

@@ -133,6 +133,33 @@ ORDER BY media_id
 """
 
 
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups over the binary payload column (md5 digest
+    groupBy — the binary twin of dedup_exact). One shuffle on the digest;
+    at 100 TB the digest (32 bytes) shuffles, never the payload."""
+    media = media_from_documents(spark, sf_dir)
+    return (
+        media.select(F.md5(F.col("payload")).alias("payload_hash"), "media_id")
+        .groupBy("payload_hash")
+        .agg(
+            F.min("media_id").alias("representative"),
+            F.count(F.lit(1)).alias("n_media"),
+        )
+        .orderBy("payload_hash")
+    )
+
+
+MULTIMODAL_DEDUP_SQL = """
+-- payload is the UTF-8 encoding of text, so md5(text) hashes the same bytes
+SELECT md5(text) AS payload_hash,
+       MIN(doc_id) AS representative,
+       COUNT(*) AS n_media
+FROM documents
+GROUP BY 1
+ORDER BY payload_hash
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "multimodal_metadata": QuerySpec(
         multimodal_metadata, MULTIMODAL_METADATA_SQL, "binary payload round-trip stats"
@@ -142,5 +169,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "multimodal_frame_sample": QuerySpec(
         multimodal_frame_sample, MULTIMODAL_FRAMES_SQL, "metadata-driven frame sampling"
+    ),
+    "multimodal_dedup": QuerySpec(
+        multimodal_dedup, MULTIMODAL_DEDUP_SQL, "binary payload exact dedup"
     ),
 }

@@ -936,6 +936,26 @@ FROM releases ORDER BY release
 """
 
 
+def skew_salted_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew toolkit's registered form: exact distinct-count per group
+    via deterministic value-sharding (operators/skew.salted_count_distinct)
+    — result-identical to a plain COUNT(DISTINCT) (the oracle), but the
+    shuffle never sees one giant group: phase 1 dedups within (group,
+    shard), phase 2 sums disjoint shard counts."""
+    from gfe_db_spark.operators.skew import salted_count_distinct
+
+    li = table(spark, sf_dir, "lineitem")
+    return salted_count_distinct(li, "l_returnflag", "l_orderkey", salt=16).orderBy(
+        "l_returnflag"
+    )
+
+
+SKEW_SALTED_COUNT_DISTINCT_SQL = """
+SELECT l_returnflag, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL, "TPC-H Q1 headline agg"),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL, "join+group+topk"),
@@ -971,4 +991,9 @@ QUERIES: dict[str, QuerySpec] = {
     "c10_date_kit": QuerySpec(c10_date_kit, C10_SQL, "date/time scalars"),
     "c12_json_extraction": QuerySpec(c12_json_extraction, C12_SQL, "JSON extract"),
     "c5_version_format": QuerySpec(c5_version_format, C5_SQL, "version reformat C5"),
+    "skew_salted_count_distinct": QuerySpec(
+        skew_salted_count_distinct,
+        SKEW_SALTED_COUNT_DISTINCT_SQL,
+        "skew toolkit: sharded exact distinct count",
+    ),
 }
