@@ -109,6 +109,35 @@ def lsh_candidate_pairs(
     )
 
 
+def minhash_jaccard_estimate(
+    signatures: DataFrame, pairs: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """Estimated Jaccard for candidate pairs: the fraction of matching
+    MinHash components (the unbiased MinHash estimator). This is the
+    at-scale verification shortcut — O(pairs) with two keyed joins against
+    the (small) signature table, instead of re-joining the full shingle
+    set per pair as `ngram_jaccard_pairs` does."""
+    sig_cols = [f"sig_{i}" for i in range(num_hashes)]
+    sa = signatures.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(c).alias(f"a_{c}") for c in sig_cols]
+    )
+    sb = signatures.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(c).alias(f"b_{c}") for c in sig_cols]
+    )
+    matches = sum(
+        F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0) for c in sig_cols
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(float(num_hashes)), 9).alias("jaccard_est"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     shingle_df: DataFrame, threshold: float = 0.5, max_bucket_size: int | None = None
 ) -> DataFrame:

@@ -99,6 +99,17 @@ def deterministic_split(
     swapped hex pairs so any SQL engine with md5 can reproduce it
     (DuckDB: md5_number_upper(key) & 0xFFFFFFFF). Narrow map — no shuffle.
     """
+    bucket = hash_bucket_10k(id_col, salt)
+    return docs.withColumn(
+        "split",
+        F.when(bucket < train, "train").when(bucket < val, "val").otherwise("test"),
+    )
+
+
+def hash_bucket_10k(id_col: str, salt: str) -> Column:
+    """Deterministic per-row bucket in [0, 10000): little-endian first 4
+    bytes of md5(id:salt), mod 10000 (see deterministic_split for the
+    portability rationale)."""
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
     le32 = F.conv(
         F.concat(
@@ -107,11 +118,21 @@ def deterministic_split(
         ),
         16, 10,
     ).cast("long")
-    bucket = le32 % 10000
-    return docs.withColumn(
-        "split",
-        F.when(bucket < train, "train").when(bucket < val, "val").otherwise("test"),
-    )
+    return le32 % 10000
+
+
+def deterministic_sample(
+    docs: DataFrame,
+    rate_bp: int = 1000,
+    id_col: str = "doc_id",
+    salt: str = "smp",
+) -> DataFrame:
+    """Deterministic corpus subsample: keep rows whose hash bucket falls
+    below `rate_bp` basis points (1000 → 10%). Unlike df.sample(), the
+    kept set is a pure function of (id, salt): re-runs, retries, and other
+    engines select the same rows, and the filter is a narrow map that
+    composes with predicate pushdown upstream."""
+    return docs.filter(hash_bucket_10k(id_col, salt) < rate_bp)
 
 
 def vocab_top_tokens(docs: DataFrame, text_col: str = "text", k: int = 200) -> DataFrame:

@@ -44,6 +44,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_lsh_pairs",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_minhash_est",
     "dedup_clusters",
     "dedup_embedding_cosine",
     # similarity / ANN family
@@ -60,6 +61,7 @@ PRIORITY: tuple[str, ...] = (
     "text_split_assign",
     "text_vocab_top",
     "text_tfidf_top_terms",
+    "corpus_sample",
     # multimodal family
     "multimodal_metadata",
     "multimodal_features",

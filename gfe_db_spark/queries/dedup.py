@@ -70,7 +70,7 @@ _BAND_UNION = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, band_{b} AS band_hash FROM sigs" for b in range(4)
 )
 
-DEDUP_LSH_SQL = (
+_LSH_BANDED_CTE = (
     _SHINGLE_CTE
     + f""", sigs AS (
   SELECT doc_id, {_SIG_COLS.replace(chr(10) + '       ', ' ')}
@@ -80,9 +80,44 @@ DEDUP_LSH_SQL = (
 ), banded AS (
   {_BAND_UNION.replace('sigs', 'banded_raw')}
 )
+"""
+)
+
+DEDUP_LSH_SQL = (
+    _LSH_BANDED_CTE
+    + """
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
 WHERE a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+)
+
+
+def dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated Jaccard over the LSH candidate pairs from the MinHash
+    signatures alone — the O(pairs) verification shortcut."""
+    docs = table(spark, sf_dir, "documents")
+    sigs = DD.minhash_signatures(DD.shingles(docs, n=3, distinct=False), num_hashes=8)
+    pairs = DD.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    return DD.minhash_jaccard_estimate(sigs, pairs, num_hashes=8).orderBy("doc_a", "doc_b")
+
+
+_EST_MATCHES = " + ".join(
+    f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END" for i in range(8)
+)
+
+DEDUP_MINHASH_EST_SQL = (
+    _LSH_BANDED_CTE
+    + f""", pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b, round(({_EST_MATCHES}) / 8.0, 9) AS jaccard_est
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.doc_a
+JOIN sigs sb ON sb.doc_id = p.doc_b
 ORDER BY doc_a, doc_b
 """
 )
@@ -243,6 +278,9 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_ngram_jaccard, DEDUP_JACCARD_SQL, "n-gram Jaccard pairs"
     ),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL, "SimHash fingerprints"),
+    "dedup_minhash_est": QuerySpec(
+        dedup_minhash_est, DEDUP_MINHASH_EST_SQL, "MinHash Jaccard estimate per pair"
+    ),
     "dedup_clusters": QuerySpec(
         dedup_clusters, DEDUP_CLUSTERS_SQL, "near-dup clusters via connected components"
     ),

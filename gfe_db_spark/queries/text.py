@@ -158,6 +158,25 @@ LIMIT 200
 """
 
 
+def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus subsample (hash-gated, engine-portable):
+    the reproducible alternative to df.sample() for training-data cuts."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        TX.deterministic_sample(docs, rate_bp=1000)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_SAMPLE_SQL = """
+SELECT doc_id, n_chars FROM documents
+WHERE CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || ':smp') & 4294967295 AS BIGINT)
+      % 10000 < 1000
+ORDER BY doc_id
+"""
+
+
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF terms (inverted-index build shape)."""
     docs = table(spark, sf_dir, "documents")
@@ -199,5 +218,8 @@ QUERIES: dict[str, QuerySpec] = {
     "text_vocab_top": QuerySpec(text_vocab_top, TEXT_VOCAB_SQL, "top-k vocabulary build"),
     "text_tfidf_top_terms": QuerySpec(
         text_tfidf_top_terms, TEXT_TFIDF_SQL, "per-doc TF-IDF top terms"
+    ),
+    "corpus_sample": QuerySpec(
+        corpus_sample, CORPUS_SAMPLE_SQL, "deterministic hash-gated subsample"
     ),
 }

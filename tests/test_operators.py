@@ -223,3 +223,44 @@ def test_quantize_embeddings_roundtrip_bound(spark):
     for r in quantize_embeddings(emb).collect():
         assert all(-128 <= q <= 127 for q in r.q)
         assert r.rms_err <= r.scale / 2 + 1e-12
+
+
+def test_deterministic_sample_stable_and_composable(spark):
+    """Same (id, salt) → same kept set on every run; disjoint salts give
+    different cuts; rate scales the kept fraction."""
+    from gfe_db_spark.operators.text import deterministic_sample
+    from gfe_db_spark.sources.tables import table
+    from tests.conftest import SF_SMOKE
+
+    docs = table(spark, SF_SMOKE, "documents")
+    s1 = {r.doc_id for r in deterministic_sample(docs, 2000).select("doc_id").collect()}
+    s2 = {r.doc_id for r in deterministic_sample(docs, 2000).select("doc_id").collect()}
+    assert s1 == s2  # reproducible
+    bigger = {
+        r.doc_id for r in deterministic_sample(docs, 5000).select("doc_id").collect()
+    }
+    assert s1 <= bigger  # rate is a nested gate, not a reshuffle
+    n = docs.count()
+    assert 0 < len(s1) < n
+
+
+def test_minhash_estimate_exact_duplicates_score_one(spark):
+    """Identical docs share every signature component → estimate 1.0;
+    estimates live in [0, 1]."""
+    from gfe_db_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_jaccard_estimate,
+        minhash_signatures,
+        shingles,
+    )
+
+    rows = [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w q v")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(shingles(docs, distinct=False))
+    pairs = lsh_candidate_pairs(sigs)
+    est = {
+        (r.doc_a, r.doc_b): r.jaccard_est
+        for r in minhash_jaccard_estimate(sigs, pairs).collect()
+    }
+    assert est[(1, 2)] == 1.0
+    assert all(0.0 <= v <= 1.0 for v in est.values())
