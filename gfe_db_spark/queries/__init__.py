@@ -67,9 +67,12 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_dedup",
-    # streaming twins
+    # streaming: batch twins + real streaming executions + DataSource scan
     "sessionize",
     "tumbling_window",
+    "stream_user_totals",
+    "stream_upsert_sink",
+    "imgt_datasource_scan",
     # skew toolkit
     "skew_salted_count_distinct",
     # TPC-H shapes with no round-1 driver row

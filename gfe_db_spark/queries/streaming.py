@@ -91,7 +91,102 @@ FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
 """
 
 
+def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful streaming operator (applyInPandasWithState,
+    §2.8+) executed for real: file-source stream over the events parquet →
+    per-user running totals → memory sink, driven to completion
+    (processAllAvailable). Rows-only by design — arbitrary-state streaming
+    semantics are exactly the non-SQL-expressible case."""
+    import uuid
+
+    from gfe_db_spark.streaming.structured import read_event_stream, stateful_user_totals
+
+    name = f"ut_{uuid.uuid4().hex[:8]}"
+    events = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    q = (
+        stateful_user_totals(events)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(
+        f"SELECT user_id, n_events, total_value FROM {name} ORDER BY user_id"
+    )
+
+
+def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3 executed for real: stream the events parquet through the
+    bucketed foreachBatch MERGE sink twice (second pass replays the same
+    input) and return per-bucket target counts — idempotence shows as
+    first-pass counts. Rows-only: the sink's effect is filesystem state."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gfe_db_spark.streaming.structured import foreach_batch_upsert, read_event_stream
+
+    target = tempfile.mkdtemp(prefix="gfe_sink_") + "/events_upserted"
+    for _ in range(2):  # replay → MERGE idempotence
+        events = read_event_stream(spark, f"{sf_dir}/events.parquet")
+        q = foreach_batch_upsert(
+            events.select("event_id", "user_id", "value"), target, ["event_id"], n_buckets=8
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+    return (
+        spark.read.parquet(target)
+        .groupBy("__bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("__bucket")
+    )
+
+
+def imgt_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 via the registered Python DataSource (`spark.read.format("imgt")`)
+    with record-aligned byte splits, on the deterministic mini-release —
+    the second, catalog-integrated scan path next to read_imgt_dat."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gfe_db_spark.sources.imgt_datasource import register
+    from gfe_db_spark.testing_fixtures import write_release_dat
+
+    tmp = tempfile.mkdtemp(prefix="gfe_ds_")
+    dat = write_release_dat(tmp, "3550")
+    register(spark)
+    df = spark.read.format("imgt").load(dat)
+    return df.select("allele_id", "hla_name", "locus", F.col("length").cast("long").alias("length")).orderBy(
+        "allele_id"
+    )
+
+
+IMGT_DS_SQL = """
+SELECT * FROM (VALUES
+  ('HLA00001', 'HLA-A*01:01:01:01', 'HLA-A', CAST(20 AS BIGINT)),
+  ('HLA00002', 'HLA-A*01:02',       'HLA-A', CAST(20 AS BIGINT)),
+  ('HLA00003', 'HLA-B*07:02',       'HLA-B', CAST(12 AS BIGINT)),
+  ('HLA00004', 'DRB5*01:02',        'DRB5',  CAST(20 AS BIGINT)),
+  ('HLA00005', 'HLA-DRB5*01:11',    'HLA-DRB5', CAST(20 AS BIGINT)),
+  ('HLA00006', 'HLA-A*99:99',       'HLA-A', CAST(3 AS BIGINT))
+) AS t(allele_id, hla_name, locus, length)
+ORDER BY allele_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sessionize": QuerySpec(sessionize, SESSIONIZE_SQL, "gap sessionization"),
     "tumbling_window": QuerySpec(tumbling_window, TUMBLING_SQL, "6h tumbling agg"),
+    "stream_user_totals": QuerySpec(
+        stream_user_totals, None, "applyInPandasWithState executed (rows-only)"
+    ),
+    "stream_upsert_sink": QuerySpec(
+        stream_upsert_sink, None, "foreachBatch bucketed MERGE sink + replay (rows-only)"
+    ),
+    "imgt_datasource_scan": QuerySpec(
+        imgt_datasource_scan, IMGT_DS_SQL, "Python DataSource scan (S1)"
+    ),
 }
