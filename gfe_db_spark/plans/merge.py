@@ -74,7 +74,7 @@ def partitioned_upsert(
     batch = batch.withColumn("__bucket", bucket_expr(keys, n_buckets)).persist()
     try:
         if not os.path.exists(target_path):
-            batch.write.partitionBy("__bucket").mode("overwrite").parquet(target_path)
+            _write_bucketed(batch, target_path)
             return sorted(r[0] for r in batch.select("__bucket").distinct().collect())
 
         touched = sorted(r[0] for r in batch.select("__bucket").distinct().collect())
@@ -92,7 +92,7 @@ def partitioned_upsert(
         # and overwriting it in one job is illegal), then dynamic-overwrite —
         # only partitions present in the staged data are replaced.
         staging = target_path + ".staging"
-        merged.write.partitionBy("__bucket").mode("overwrite").parquet(staging)
+        _write_bucketed(merged, staging)
         (
             spark.read.parquet(staging)
             .write.partitionBy("__bucket")
@@ -103,3 +103,14 @@ def partitioned_upsert(
         return touched
     finally:
         batch.unpersist()
+
+
+def _write_bucketed(df: DataFrame, path: str) -> None:
+    """partitionBy write with small-file control: hash-cluster rows by
+    __bucket first so each partition directory gets one file per writing
+    task that owns the bucket (≈1), not one per (task × bucket). At 100 TB
+    per-bucket volume grows and the cluster shuffle is what keeps a commit
+    from spraying n_tasks × n_buckets tiny files."""
+    df.repartition(F.col("__bucket")).write.partitionBy("__bucket").mode(
+        "overwrite"
+    ).parquet(path)
