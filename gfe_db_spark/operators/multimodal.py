@@ -94,6 +94,133 @@ def extract_features(media: DataFrame, batch_size_hint: int = 64) -> DataFrame:
     return cols.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Real decoders for self-contained formats (no external libs): 24-bit BMP
+# and 8-bit PCM WAV are fully specified public formats parseable with
+# struct. These make the decode path REAL — header validation, dimension
+# extraction, pixel/sample arithmetic — while PIL/torchaudio decoders for
+# compressed formats (JPEG/MP3/H.264) slot into the same functions by kind.
+# ---------------------------------------------------------------------------
+
+import struct
+
+
+def encode_bmp_rgb24(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal 24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up rows,
+    4-byte row padding). `pixels` supplies width*height*3 bytes, cycled if
+    short — a deterministic fixture builder for the decode path."""
+    row_raw = width * 3
+    pad = (4 - row_raw % 4) % 4
+    body = bytearray()
+    need = width * height * 3
+    px = (pixels * (need // max(len(pixels), 1) + 2))[:need] if pixels else b"\x00" * need
+    for r in range(height):
+        body += px[r * row_raw : (r + 1) * row_raw]
+        body += b"\x00" * pad
+    size = 14 + 40 + len(body)
+    return (
+        struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        + bytes(body)
+    )
+
+
+def decode_bmp_rgb24(payload: bytes) -> tuple[int, int, float]:
+    """Parse a 24-bit BMP → (width, height, mean pixel byte). Raises on
+    anything that isn't the supported subset — decode errors are data
+    errors, surfaced not swallowed."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_sz, width, height, _planes, bpp = struct.unpack_from("<IiiHH", payload, 14)
+    if hdr_sz < 40 or bpp != 24:
+        raise ValueError(f"unsupported BMP variant (header {hdr_sz}, {bpp} bpp)")
+    row_raw = width * 3
+    pad = (4 - row_raw % 4) % 4
+    total = 0
+    for r in range(abs(height)):
+        start = offset + r * (row_raw + pad)
+        row = payload[start : start + row_raw]
+        total += sum(row)
+    n = width * abs(height) * 3
+    return width, abs(height), total / n
+
+
+def encode_wav_pcm8(sample_rate: int, samples: bytes) -> bytes:
+    """Minimal RIFF/WAVE container, 8-bit PCM mono."""
+    data_sz = len(samples)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + data_sz, b"WAVE")
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate, 1, 8)
+        + struct.pack("<4sI", b"data", data_sz)
+        + samples
+    )
+
+
+def decode_wav_pcm8(payload: bytes) -> tuple[int, int, float]:
+    """Parse 8-bit PCM WAV → (n_samples, sample_rate, mean sample)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    fmt_tag, channels, rate = struct.unpack_from("<HHI", payload, 20)
+    bits = struct.unpack_from("<H", payload, 34)[0]
+    if fmt_tag != 1 or channels != 1 or bits != 8:
+        raise ValueError(f"unsupported WAV variant (fmt {fmt_tag}, {channels}ch, {bits}bit)")
+    data_sz = struct.unpack_from("<I", payload, 40)[0]
+    samples = payload[44 : 44 + data_sz]
+    return len(samples), rate, sum(samples) / max(len(samples), 1)
+
+
+MEDIA_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("mean_value", T.DoubleType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def decode_media_stats(media: DataFrame) -> DataFrame:
+    """REAL decode pass over binary media columns: BMP images and PCM WAV
+    audio are struct-parsed inside an Arrow-batched mapInPandas — header
+    validation, dimensions, and content statistics all computed from the
+    actual bytes. Unsupported/corrupt payloads land in `decode_error`
+    (never a silently wrong row). Compressed formats register the same
+    way once their libs exist — the Spark plan does not change."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                w = h = rate = None
+                n_samp = None
+                mean = None
+                err = None
+                try:
+                    b = bytes(payload) if payload is not None else b""
+                    if kind == "image":
+                        w, h, mean = decode_bmp_rgb24(b)
+                    elif kind == "audio":
+                        n_samp, rate, mean = decode_wav_pcm8(b)
+                    else:
+                        err = f"no decoder for kind {kind!r}"
+                except Exception as e:  # noqa: BLE001 — error channel by contract
+                    err = str(e)
+                rows.append((mid, kind, w, h, n_samp, rate, mean, err))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_STATS_SCHEMA.fields]
+            )
+
+    from gfe_db_spark.operators import spread_small_input
+
+    cols = spread_small_input(media.select("media_id", "kind", "payload"))
+    return cols.mapInPandas(run, schema=MEDIA_STATS_SCHEMA)
+
+
 RESIZERS: dict[str, Callable[[bytes, int, int], bytes]] = {}
 
 

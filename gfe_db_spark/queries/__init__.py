@@ -38,6 +38,7 @@ PRIORITY: tuple[str, ...] = (
     "graph_degree_distribution",
     "gfe_end_to_end",
     "alignment_join",
+    "graph_triangle_count",
     # dedup family (beyond-reference LLM-pipeline core)
     "dedup_exact",
     "dedup_minhash_signatures",
@@ -67,6 +68,7 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_dedup",
+    "multimodal_real_decode",
     # streaming: batch twins + real streaming executions + DataSource scan
     "sessionize",
     "tumbling_window",

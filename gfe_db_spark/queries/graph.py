@@ -113,6 +113,71 @@ def gfe_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("hla_name", "term", "rank")
 
 
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle participation in the nation trade graph
+    (nations adjacent when a customer in one ordered from a supplier in
+    the other — lineitem⨝orders⨝customer⨝supplier). The classic
+    triangle-join: the edge list E (u<v) self-joins twice; at scale E is
+    orders of magnitude smaller than the fact tables that derive it, so
+    the triangle enumeration is a small-dim join after one heavy keyed
+    join pipeline."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    sup = table(spark, sf_dir, "supplier")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(e3, (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")))
+        .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c"))
+    )
+    member = (
+        tri.select(F.col("a").alias("nationkey"))
+        .unionAll(tri.select(F.col("b").alias("nationkey")))
+        .unionAll(tri.select(F.col("c").alias("nationkey")))
+    )
+    return (
+        member.groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("nationkey")
+    )
+
+
+GRAPH_TRIANGLE_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT least(c_nationkey, s_nationkey) AS u,
+                  greatest(c_nationkey, s_nationkey) AS v
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE least(c_nationkey, s_nationkey) < greatest(c_nationkey, s_nationkey)
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e1.v = e2.u
+  JOIN pairs e3 ON e1.u = e3.u AND e2.v = e3.v
+), member AS (
+  SELECT a AS nationkey FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT nationkey, COUNT(*) AS n_triangles
+FROM member GROUP BY nationkey ORDER BY nationkey
+"""
+
+
 def alignment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1/S2 (ref app.py:269-321): the alignment build table, end to end —
     MSF parse → broadcast lookup join against the built GFE set → hash /
@@ -184,5 +249,8 @@ QUERIES: dict[str, QuerySpec] = {
     "gfe_end_to_end": QuerySpec(gfe_end_to_end, None, "GFE pipeline e2e (rows-only)"),
     "alignment_join": QuerySpec(
         alignment_join, ALIGNMENT_JOIN_SQL, "J1 alignment broadcast join + build table"
+    ),
+    "graph_triangle_count": QuerySpec(
+        graph_triangle_count, GRAPH_TRIANGLE_SQL, "triangle join over derived graph"
     ),
 }

@@ -133,6 +133,118 @@ ORDER BY media_id
 """
 
 
+def real_media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic REAL media fixture: image docs get a valid 8×4 24-bit
+    BMP whose pixels cycle md5(doc_id:img); audio docs a valid 8-bit PCM
+    WAV whose 192 samples cycle md5(doc_id:aud); video keeps an opaque
+    payload (no self-contained video format exists to hand-build). Built
+    in an Arrow-batched mapInPandas — the same shape real ingestion has."""
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    from gfe_db_spark.operators.multimodal import encode_bmp_rgb24, encode_wav_pcm8
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                kind = KINDS[int(did) % 3]
+                if kind == "image":
+                    payload = encode_bmp_rgb24(
+                        8, 4, hashlib.md5(f"{did}:img".encode()).digest()
+                    )
+                elif kind == "audio":
+                    payload = encode_wav_pcm8(
+                        8000, hashlib.md5(f"{did}:aud".encode()).digest() * 12
+                    )
+                else:
+                    payload = b"opaque-video"
+                rows.append((int(did), kind, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    from gfe_db_spark.operators import spread_small_input
+
+    return spread_small_input(docs).mapInPandas(build, schema=schema)
+
+
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL decode path end-to-end: build valid BMP/WAV payloads,
+    struct-parse them back inside mapInPandas (header validation +
+    dimensions + content stats), unsupported kinds to the error column.
+    The oracle recomputes every stat from the md5 bytes the payloads were
+    built from — the decode arithmetic is fully checked."""
+    from gfe_db_spark.operators.multimodal import decode_media_stats
+
+    media = real_media_from_documents(spark, sf_dir)
+    out = decode_media_stats(media)
+    return out.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "n_samples",
+        "sample_rate",
+        F.round(F.col("mean_value"), 6).alias("mean_value"),
+        "decode_error",
+    ).orderBy("media_id")
+
+
+# mean over the 16 md5 digest bytes (payloads cycle the digest, so the
+# cycled mean equals the digest mean); bytes via the LE halves.
+_D16 = "(" + " + ".join(
+    [f"((md5_number_upper(k) >> {8 * i}) & 255)" for i in range(8)]
+    + [f"((md5_number_lower(k) >> {8 * i}) & 255)" for i in range(8)]
+) + ")"
+
+MULTIMODAL_REAL_DECODE_SQL = f"""
+WITH base AS (
+  SELECT doc_id AS media_id,
+         CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+  FROM documents
+), img AS (
+  SELECT media_id, kind, CAST(doc_id AS VARCHAR) || ':img' AS k
+  FROM documents JOIN base ON doc_id = media_id WHERE kind = 'image'
+), aud AS (
+  SELECT media_id, kind, CAST(doc_id AS VARCHAR) || ':aud' AS k
+  FROM documents JOIN base ON doc_id = media_id WHERE kind = 'audio'
+)
+SELECT media_id, kind,
+       8 AS width, 4 AS height,
+       CAST(NULL AS BIGINT) AS n_samples, CAST(NULL AS INTEGER) AS sample_rate,
+       round({_D16} / 16.0, 6) AS mean_value,
+       CAST(NULL AS VARCHAR) AS decode_error
+FROM img
+UNION ALL
+SELECT media_id, kind,
+       CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+       CAST(192 AS BIGINT), 8000,
+       round({_D16} / 16.0, 6),
+       CAST(NULL AS VARCHAR)
+FROM aud
+UNION ALL
+SELECT media_id, kind,
+       CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+       CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+       CAST(NULL AS DOUBLE),
+       'no decoder for kind ''video''' AS decode_error
+FROM base WHERE kind = 'video'
+ORDER BY media_id
+"""
+
+
 def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate groups over the binary payload column (md5 digest
     groupBy — the binary twin of dedup_exact). One shuffle on the digest;
@@ -172,5 +284,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "multimodal_dedup": QuerySpec(
         multimodal_dedup, MULTIMODAL_DEDUP_SQL, "binary payload exact dedup"
+    ),
+    "multimodal_real_decode": QuerySpec(
+        multimodal_real_decode,
+        MULTIMODAL_REAL_DECODE_SQL,
+        "real BMP/WAV struct decode + stats",
     ),
 }

@@ -264,3 +264,41 @@ def test_minhash_estimate_exact_duplicates_score_one(spark):
     }
     assert est[(1, 2)] == 1.0
     assert all(0.0 <= v <= 1.0 for v in est.values())
+
+
+def test_bmp_wav_roundtrip_and_error_channel(spark):
+    """The real media codecs: encode→decode is exact (dimensions, rate,
+    content mean); corrupt payloads land in decode_error, never a wrong
+    row."""
+    from gfe_db_spark.operators.multimodal import (
+        decode_bmp_rgb24,
+        decode_media_stats,
+        decode_wav_pcm8,
+        encode_bmp_rgb24,
+        encode_wav_pcm8,
+    )
+
+    px = bytes(range(96))
+    w, h, mean = decode_bmp_rgb24(encode_bmp_rgb24(8, 4, px))
+    assert (w, h) == (8, 4)
+    assert mean == sum(px) / 96
+    # odd width exercises row padding
+    w2, h2, mean2 = decode_bmp_rgb24(encode_bmp_rgb24(3, 2, bytes(range(18))))
+    assert (w2, h2) == (3, 2)
+    assert mean2 == sum(range(18)) / 18
+
+    n, rate, smean = decode_wav_pcm8(encode_wav_pcm8(44100, bytes([5, 10, 15])))
+    assert (n, rate, smean) == (3, 44100, 10.0)
+
+    rows = [
+        (1, "image", encode_bmp_rgb24(4, 4, bytes(48))),
+        (2, "audio", encode_wav_pcm8(8000, bytes([1, 2, 3, 4]))),
+        (3, "image", b"not a bitmap"),
+        (4, "video", b"whatever"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = {r.media_id: r for r in decode_media_stats(media).collect()}
+    assert (got[1].width, got[1].height, got[1].mean_value) == (4, 4, 0.0)
+    assert (got[2].n_samples, got[2].sample_rate, got[2].mean_value) == (4, 8000, 2.5)
+    assert got[3].decode_error is not None and got[3].width is None
+    assert "no decoder" in got[4].decode_error
