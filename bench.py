@@ -95,6 +95,7 @@ def main() -> None:
         spark.catalog.clearCache()
 
     extras = _bench_gfe_build(spark)
+    extras.update(_bench_incremental_load(spark))
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     print(
@@ -159,6 +160,48 @@ def _bench_gfe_build(spark) -> dict:
         }
     except Exception:
         return {}
+
+
+def _bench_incremental_load(spark) -> dict:
+    """End-to-end incremental ingestion: detect → build → partitioned
+    graph MERGE commit → watermark, for two consecutive releases.
+    BASELINE.md's reference figure is ≥1 h per release-load; this reports
+    seconds per release for the same logical work (graph upsert included)."""
+    import shutil
+    import tempfile
+
+    n = int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_ALLELES", "500"))
+    if n <= 0:
+        return {}
+    from gfe_db_spark.streaming.incremental import run_incremental
+    from gfe_db_spark.testing_fixtures import write_synthetic_dat
+
+    tmp = tempfile.mkdtemp(prefix="gfe_bench_incr_")
+    try:
+        for rel in ("3550", "3560"):
+            write_synthetic_dat(tmp, rel, n)
+        t0 = time.perf_counter()
+        res = run_incremental(
+            spark,
+            tmp,
+            ["3550", "3560"],
+            state_path=f"{tmp}/state.json",
+            registry_path=f"{tmp}/registry",
+            graph_path=f"{tmp}/graph",
+        )
+        dt = time.perf_counter() - t0
+        if res.processed != ["3550", "3560"]:
+            return {}
+        return {
+            "incremental_releases": 2,
+            "incremental_alleles_per_release": n,
+            "incremental_s_per_release": round(dt / 2, 2),
+        }
+    except Exception:
+        return {}
+    finally:
+        spark.catalog.clearCache()
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

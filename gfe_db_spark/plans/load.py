@@ -244,19 +244,24 @@ def upsert_graph(new: GraphTables, graph_path: str, n_buckets: int = 16) -> dict
             )
         )
 
-    touched: dict[str, list[int]] = {}
-    for name, df in new.items():
+    def commit_one(item):
+        name, df = item
         keys, rule = MERGE_RULES[name]
         path = os.path.join(graph_path, name)
         if rule == "releases_union":
-            touched[name] = partitioned_upsert(
+            return name, partitioned_upsert(
                 df, path, keys, n_buckets=n_buckets, merge_fn=releases_union
             )
-        else:
-            touched[name] = partitioned_upsert(
-                df, path, keys, on_match=rule, n_buckets=n_buckets
-            )
-    return touched
+        return name, partitioned_upsert(df, path, keys, on_match=rule, n_buckets=n_buckets)
+
+    # the 11 table MERGEs are independent — run them as concurrent driver
+    # jobs so the cluster pipelines them instead of paying 11 sequential
+    # job-latency rounds (intra-release parallelism; releases themselves
+    # stay serialized per ST6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        return dict(pool.map(commit_one, new.items()))
 
 
 def merge_graphs(old: GraphTables, new: GraphTables) -> GraphTables:
