@@ -134,6 +134,53 @@ def hyperplane(p: int, dim: int = 64) -> list[float]:
     return vals
 
 
+def ivf_train(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means for the IVF index, DataFrame-native and
+    deterministic: init = the k lowest-id vectors; each iteration
+    broadcasts the centroids, assigns every vector to its nearest
+    (the same min_by-aggregate shape as `ivf_assign` — N-row shuffle,
+    no window), and recomputes element-wise means per cluster.
+
+    The centroid table is model state (k × dim floats) — it lives on the
+    driver between iterations exactly as MLlib keeps it, while the N-row
+    corpus never leaves executors. Ties in distance break toward the
+    lowest centroid_id, and empty clusters keep their previous centroid,
+    so training is a pure function of the input."""
+    v = F.col(vec_col).cast("array<double>")
+    base = emb.select(F.col(id_col).alias("__id"), v.alias("__v"))
+    init = base.orderBy("__id").limit(k).collect()
+    centroids = [(i, list(r["__v"])) for i, r in enumerate(init)]
+
+    for _ in range(iters):
+        cdf = emb.sparkSession.createDataFrame(
+            centroids, "centroid_id int, centroid array<double>"
+        )
+        assigned = ivf_assign(base, cdf, id_col="__id", vec_col="__v")
+        means = (
+            assigned.select("centroid_id", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("centroid")
+            )
+        )
+        updated = {r.centroid_id: list(r.centroid) for r in means.collect()}
+        centroids = [(cid, updated.get(cid, c)) for cid, c in centroids]
+
+    return emb.sparkSession.createDataFrame(
+        centroids, "centroid_id int, centroid array<double>"
+    )
+
+
 def random_hyperplane_buckets(
     emb: DataFrame,
     n_planes: int = 8,

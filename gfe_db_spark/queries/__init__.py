@@ -51,6 +51,7 @@ PRIORITY: tuple[str, ...] = (
     # similarity / ANN family
     "knn_brute_force",
     "knn_ivf",
+    "knn_ivf_trained",
     "ann_lsh_buckets",
     "ann_topk_join",
     "embedding_quantize",

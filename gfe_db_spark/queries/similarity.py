@@ -92,6 +92,18 @@ LIMIT 10
 """
 
 
+def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with REAL k-means centroids (operators/similarity.ivf_train,
+    Lloyd's, deterministic): train → assign → probe. Rows-only: the
+    oracle cannot reasonably replay 2 distributed k-means iterations in
+    SQL; determinism is pinned by test_ivf_train_deterministic_and_improves."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents = SIM.ivf_train(emb, k=4, iters=2)
+    assigned = SIM.ivf_assign(emb, cents)
+    query = emb.filter(F.col("vec_id") == 0).select("embedding")
+    return SIM.ivf_topk(assigned, cents, query, k=10, n_probe=2)
+
+
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucket histogram: vectors per hyperplane-sign bucket."""
     emb = table(spark, sf_dir, "embeddings")
@@ -205,6 +217,9 @@ ORDER BY vec_id
 QUERIES: dict[str, QuerySpec] = {
     "knn_brute_force": QuerySpec(knn_brute_force, KNN_BRUTE_SQL, "exact cosine top-k"),
     "knn_ivf": QuerySpec(knn_ivf, KNN_IVF_SQL, "IVF bucketed ANN"),
+    "knn_ivf_trained": QuerySpec(
+        knn_ivf_trained, None, "IVF with k-means-trained centroids (rows-only)"
+    ),
     "ann_lsh_buckets": QuerySpec(ann_lsh_buckets, ANN_LSH_SQL, "sign-LSH buckets"),
     "ann_topk_join": QuerySpec(
         ann_topk_join, ANN_TOPK_SQL, "corpus-wide bucketed k-NN join"

@@ -302,3 +302,33 @@ def test_bmp_wav_roundtrip_and_error_channel(spark):
     assert (got[2].n_samples, got[2].sample_rate, got[2].mean_value) == (4, 8000, 2.5)
     assert got[3].decode_error is not None and got[3].width is None
     assert "no decoder" in got[4].decode_error
+
+
+def test_ivf_train_deterministic_and_improves(spark):
+    """k-means training: deterministic across runs; distortion (mean
+    distance to assigned centroid) does not increase with more
+    iterations; trained centroids beat the untrained init."""
+    from pyspark.sql import functions as F
+
+    from gfe_db_spark.operators.dedup import cosine
+    from gfe_db_spark.operators.similarity import ivf_assign, ivf_train
+    from gfe_db_spark.sources.tables import table
+    from tests.conftest import SF_SMOKE
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+
+    def distortion(cents):
+        a = ivf_assign(emb, cents)
+        scored = a.join(F.broadcast(cents), "centroid_id").select(
+            cosine(
+                F.col("embedding").cast("array<double>"),
+                F.col("centroid").cast("array<double>"),
+            ).alias("cos")
+        )
+        return scored.agg(F.avg("cos")).collect()[0][0]
+
+    c0 = ivf_train(emb, k=4, iters=0)
+    c2 = ivf_train(emb, k=4, iters=2)
+    c2_again = ivf_train(emb, k=4, iters=2)
+    assert [r.asDict() for r in c2.collect()] == [r.asDict() for r in c2_again.collect()]
+    assert distortion(c2) >= distortion(c0) - 1e-9  # cosine: higher = tighter
