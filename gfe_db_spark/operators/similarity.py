@@ -181,6 +181,29 @@ def ivf_train(
     )
 
 
+def ivf_write_index(assigned: DataFrame, path: str) -> None:
+    """Materialize an IVF assignment as a parquet dataset partitioned by
+    centroid_id — the at-rest index layout. A probe that filters on
+    centroid_id then scans only the probed partitions (PartitionFilters —
+    pinned by test_plan_contracts), which is what makes IVF touch 1/K of
+    a 100 TB corpus."""
+    (
+        assigned.repartition(F.col("centroid_id"))
+        .write.partitionBy("centroid_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ivf_probe_index(
+    spark, path: str, centroids: DataFrame, query: DataFrame, k: int = 10, n_probe: int = 2
+) -> DataFrame:
+    """ANN search against the materialized index: pick the n_probe nearest
+    centroids, read ONLY their partitions, exact top-k within them."""
+    assigned = spark.read.parquet(path)
+    return ivf_topk(assigned, centroids, query, k=k, n_probe=n_probe)
+
+
 def random_hyperplane_buckets(
     emb: DataFrame,
     n_planes: int = 8,

@@ -134,3 +134,31 @@ def test_partitioned_upsert_scan_prunes_partitions(spark, tmp_path):
     assert re.search(r"PartitionFilters: \[[^\]]*__bucket", plan), plan[:600]
     # and a non-partition filter would NOT prune: guard the distinction
     assert scan.count() < 512
+
+
+def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
+    # The materialized IVF index must be probed with partition pruning:
+    # the scan shows a dynamic pruning expression on centroid_id, so a
+    # 2-probe search reads 2/K of the corpus, not all of it.
+    from pyspark.sql import functions as F
+
+    from gfe_db_spark.operators.similarity import (
+        ivf_assign,
+        ivf_probe_index,
+        ivf_write_index,
+    )
+    from gfe_db_spark.sources.tables import table
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    idx = str(tmp_path / "ivf")
+    ivf_write_index(ivf_assign(emb, cents), idx)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding")
+    df = ivf_probe_index(spark, idx, cents, q, k=10, n_probe=2)
+    plan = plan_of(df)
+    assert re.search(r"PartitionFilters: \[[^\]]*dynamicpruning[^\]]*centroid_id", plan) or \
+        re.search(r"PartitionFilters: \[[^\]]*centroid_id[^\]]*dynamicpruning", plan), plan[:800]
+    assert len(df.collect()) == 10
