@@ -4,6 +4,7 @@ Structured Streaming operators driven to completion on local parquet."""
 from __future__ import annotations
 
 import json
+import os
 
 from gfe_db_spark.streaming.incremental import (
     ReleaseState,
@@ -241,3 +242,37 @@ def test_run_incremental_from_manifest(spark, tmp_path):
     assert {
         f: os.path.getmtime(os.path.join(staging, f)) for f in os.listdir(staging)
     } == mtimes  # nothing re-fetched
+
+
+def test_progress_heartbeat_listener(spark, tmp_path):
+    """ST5: the heartbeat listener appends started/progress/terminated
+    NDJSON lines while a stream runs; rows add up to the input."""
+    import json as _json
+    import time
+
+    from gfe_db_spark.streaming.progress import attach_heartbeat
+
+    hb_path = str(tmp_path / "heartbeat.ndjson")
+    hb = attach_heartbeat(spark, hb_path)
+    try:
+        events = read_event_stream(spark, f"{SF_SMOKE}/events.parquet")
+        run_to_memory(
+            events.groupBy("event_type").count(), "hb_counts", output_mode="complete"
+        )
+        # listener bus delivers asynchronously — poll briefly
+        for _ in range(50):
+            if os.path.exists(hb_path) and any(
+                _json.loads(ln)["event"] == "terminated"
+                for ln in open(hb_path)
+            ):
+                break
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(hb)
+
+    lines = [_json.loads(ln) for ln in open(hb_path)]
+    kinds = {ln["event"] for ln in lines}
+    assert {"started", "progress", "terminated"} <= kinds
+    rows = sum(ln.get("num_input_rows", 0) for ln in lines if ln["event"] == "progress")
+    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    assert rows == batch.count()
