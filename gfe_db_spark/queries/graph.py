@@ -128,7 +128,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        # no broadcast hint: supplier grows with SF (unlike nation/region);
+        # AQE picks broadcast at benchmark scale and SMJ beyond it
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .select(
             F.least("c_nationkey", "s_nationkey").alias("u"),
             F.greatest("c_nationkey", "s_nationkey").alias("v"),
