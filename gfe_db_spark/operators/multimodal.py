@@ -128,22 +128,33 @@ def encode_bmp_rgb24(width: int, height: int, pixels: bytes) -> bytes:
 def decode_bmp_rgb24(payload: bytes) -> tuple[int, int, float]:
     """Parse a 24-bit BMP → (width, height, mean pixel byte). Raises on
     anything that isn't the supported subset — decode errors are data
-    errors, surfaced not swallowed."""
-    if payload[:2] != b"BM":
+    errors, surfaced not swallowed. Header-declared dimensions are
+    validated against the actual payload length, so truncated or
+    dimension-forging payloads error instead of yielding a silently wrong
+    mean (or a data-driven CPU blowup)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     offset = struct.unpack_from("<I", payload, 10)[0]
     hdr_sz, width, height, _planes, bpp = struct.unpack_from("<IiiHH", payload, 14)
     if hdr_sz < 40 or bpp != 24:
         raise ValueError(f"unsupported BMP variant (header {hdr_sz}, {bpp} bpp)")
+    height = abs(height)
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid BMP dimensions {width}x{height}")
     row_raw = width * 3
     pad = (4 - row_raw % 4) % 4
+    need = offset + height * (row_raw + pad)
+    if need > len(payload):
+        raise ValueError(
+            f"truncated BMP: header declares {width}x{height} "
+            f"({need} bytes needed, {len(payload)} present)"
+        )
     total = 0
-    for r in range(abs(height)):
+    for r in range(height):
         start = offset + r * (row_raw + pad)
-        row = payload[start : start + row_raw]
-        total += sum(row)
-    n = width * abs(height) * 3
-    return width, abs(height), total / n
+        total += sum(payload[start : start + row_raw])
+    n = width * height * 3
+    return width, height, total / n
 
 
 def encode_wav_pcm8(sample_rate: int, samples: bytes) -> bytes:
@@ -158,16 +169,35 @@ def encode_wav_pcm8(sample_rate: int, samples: bytes) -> bytes:
 
 
 def decode_wav_pcm8(payload: bytes) -> tuple[int, int, float]:
-    """Parse 8-bit PCM WAV → (n_samples, sample_rate, mean sample)."""
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+    """Parse 8-bit PCM WAV → (n_samples, sample_rate, mean sample).
+
+    Walks the RIFF chunk list instead of assuming fixed offsets, so
+    standard layouts with an 18-byte fmt chunk (PCM + cbSize) or extra
+    chunks (LIST/fact) before 'data' decode correctly rather than
+    producing silently wrong stats."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
-    fmt_tag, channels, rate = struct.unpack_from("<HHI", payload, 20)
-    bits = struct.unpack_from("<H", payload, 34)[0]
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        sz = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + sz]
+        if tag == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif tag == b"data":
+            if len(body) < sz:
+                raise ValueError(f"truncated WAV data chunk ({len(body)} of {sz} bytes)")
+            data = body
+            break
+        pos += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    fmt_tag, channels, rate, _byte_rate, _align, bits = fmt
     if fmt_tag != 1 or channels != 1 or bits != 8:
         raise ValueError(f"unsupported WAV variant (fmt {fmt_tag}, {channels}ch, {bits}bit)")
-    data_sz = struct.unpack_from("<I", payload, 40)[0]
-    samples = payload[44 : 44 + data_sz]
-    return len(samples), rate, sum(samples) / max(len(samples), 1)
+    return len(data), rate, sum(data) / max(len(data), 1)
 
 
 MEDIA_STATS_SCHEMA = T.StructType(

@@ -150,8 +150,11 @@ def ivf_train(
     The centroid table is model state (k × dim floats) — it lives on the
     driver between iterations exactly as MLlib keeps it, while the N-row
     corpus never leaves executors. Ties in distance break toward the
-    lowest centroid_id, and empty clusters keep their previous centroid,
-    so training is a pure function of the input."""
+    lowest centroid_id, and empty clusters keep their previous centroid.
+    Centroid means are rounded to 9 decimals each iteration so the
+    partial-aggregate merge order of the distributed F.avg (which can
+    differ across runs at the last ulp) cannot leak into the model —
+    training is reproducible up to that rounding."""
     v = F.col(vec_col).cast("array<double>")
     base = emb.select(F.col(id_col).alias("__id"), v.alias("__v"))
     init = base.orderBy("__id").limit(k).collect()
@@ -165,7 +168,7 @@ def ivf_train(
         means = (
             assigned.select("centroid_id", F.posexplode("__v").alias("pos", "x"))
             .groupBy("centroid_id", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.round(F.avg("x"), 9).alias("m"))
             .groupBy("centroid_id")
             .agg(
                 F.transform(

@@ -30,7 +30,6 @@ commit protocol carry over unchanged.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame
@@ -73,8 +72,14 @@ def partitioned_upsert(
         batch = batch.dropDuplicates(keys)
     batch = batch.withColumn("__bucket", bucket_expr(keys, n_buckets)).persist()
     try:
-        if not os.path.exists(target_path):
-            _write_bucketed(batch, target_path)
+        if not _fs_exists(spark, target_path):
+            if merge_fn is not None:
+                # the combine invariant must hold from the bootstrap commit
+                # too: merge the batch against an empty existing side
+                batch_merged = merge_fn(batch.filter(F.lit(False)), batch)
+            else:
+                batch_merged = batch
+            _write_bucketed(batch_merged, target_path)
             return sorted(r[0] for r in batch.select("__bucket").distinct().collect())
 
         touched = sorted(r[0] for r in batch.select("__bucket").distinct().collect())
@@ -90,7 +95,8 @@ def partitioned_upsert(
 
         # two-phase: stage the merged touched partitions (reading `existing`
         # and overwriting it in one job is illegal), then dynamic-overwrite —
-        # only partitions present in the staged data are replaced.
+        # only partitions present in the staged data are replaced. The
+        # staging copy is deleted after the commit lands.
         staging = target_path + ".staging"
         _write_bucketed(merged, staging)
         (
@@ -100,9 +106,28 @@ def partitioned_upsert(
             .option("partitionOverwriteMode", "dynamic")
             .parquet(target_path)
         )
+        _fs_delete(spark, staging)
         return touched
     finally:
         batch.unpersist()
+
+
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _fs_exists(spark, path: str) -> bool:
+    """Existence via the Hadoop FileSystem API — os.path only sees the
+    local FS; targets here may be hdfs:// or s3a://."""
+    fs, hpath = _hadoop_fs(spark, path)
+    return fs.exists(hpath)
+
+
+def _fs_delete(spark, path: str) -> None:
+    fs, hpath = _hadoop_fs(spark, path)
+    fs.delete(hpath, True)
 
 
 def _write_bucketed(df: DataFrame, path: str) -> None:

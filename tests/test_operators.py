@@ -332,3 +332,34 @@ def test_ivf_train_deterministic_and_improves(spark):
     c2_again = ivf_train(emb, k=4, iters=2)
     assert [r.asDict() for r in c2.collect()] == [r.asDict() for r in c2_again.collect()]
     assert distortion(c2) >= distortion(c0) - 1e-9  # cosine: higher = tighter
+
+
+def test_wav_chunk_walk_and_bmp_truncation():
+    """Review regressions: an 18-byte fmt chunk (PCM + cbSize) decodes
+    correctly; truncated BMPs and dimension-forging headers raise."""
+    import struct
+
+    import pytest
+
+    from gfe_db_spark.operators.multimodal import (
+        decode_bmp_rgb24,
+        decode_wav_pcm8,
+        encode_bmp_rgb24,
+    )
+
+    samples = bytes([10, 20, 30, 40])
+    fmt18 = struct.pack("<HHIIHHH", 1, 1, 8000, 8000, 1, 8, 0)  # cbSize=0
+    wav18 = (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt18) + 8 + len(samples), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt18)) + fmt18
+        + struct.pack("<4sI", b"data", len(samples)) + samples
+    )
+    assert decode_wav_pcm8(wav18) == (4, 8000, 25.0)
+
+    good = encode_bmp_rgb24(8, 4, bytes(96))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp_rgb24(good[:-10])
+    forged = bytearray(good)
+    struct.pack_into("<i", forged, 22, 2**30)  # hostile height
+    with pytest.raises(ValueError, match="truncated|invalid"):
+        decode_bmp_rgb24(bytes(forged))

@@ -276,3 +276,32 @@ def test_progress_heartbeat_listener(spark, tmp_path):
     rows = sum(ln.get("num_input_rows", 0) for ln in lines if ln["event"] == "progress")
     batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
     assert rows == batch.count()
+
+
+def test_partitioned_upsert_cleans_staging_and_bootstrap_merge(spark, tmp_path):
+    """Review regressions: the staging copy is deleted after a commit; a
+    merge_fn is applied on the bootstrap commit too."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gfe_db_spark.plans.merge import partitioned_upsert, read_bucketed
+
+    target = str(tmp_path / "t")
+
+    def combine(existing, batch):
+        return (
+            existing.unionByName(batch)
+            .groupBy("k", "__bucket")
+            .agg(F.sum("v").alias("v"))
+        )
+
+    dup = spark.createDataFrame([(1, 10), (1, 5), (2, 1)], "k long, v long")
+    partitioned_upsert(dup, target, ["k"], merge_fn=combine, n_buckets=4)
+    got = {r.k: r.v for r in read_bucketed(spark, target).collect()}
+    assert got == {1: 15, 2: 1}  # combined on bootstrap, not written raw
+    more = spark.createDataFrame([(1, 1)], "k long, v long")
+    partitioned_upsert(more, target, ["k"], merge_fn=combine, n_buckets=4)
+    got = {r.k: r.v for r in read_bucketed(spark, target).collect()}
+    assert got == {1: 16, 2: 1}
+    assert not os.path.exists(target + ".staging")  # staging cleaned up
