@@ -56,7 +56,8 @@ class AccessionRegistry:
 
     def load(self) -> DataFrame:
         self._recover()
-        if os.path.exists(self.path):
+        fs, HPath = self._fs()
+        if fs.exists(HPath(self.path)):  # Hadoop FS: works for hdfs/s3a too
             return self.spark.read.parquet(self.path)
         return self.spark.createDataFrame([], schema=ACCESSION_REGISTRY)
 
