@@ -73,6 +73,7 @@ PRIORITY: tuple[str, ...] = (
     # streaming: batch twins + real streaming executions + DataSource scan
     "sessionize",
     "tumbling_window",
+    "event_funnel",
     "stream_user_totals",
     "stream_upsert_sink",
     "imgt_datasource_scan",

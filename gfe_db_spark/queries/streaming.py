@@ -91,6 +91,69 @@ FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
 """
 
 
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over the event stream: users who progressed
+    signup → view → click → purchase, each step strictly after the
+    previous (first-occurrence semantics). One keyed aggregation computes
+    all per-user step timestamps (conditional min — map-side partial agg),
+    then four counts; no self-joins, no window over the full stream."""
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+            for s in ("signup", "view", "click", "purchase")
+        ]
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & (F.col("t_view") > F.col("t_signup"))
+    s3 = s2 & (F.col("t_click") > F.col("t_view"))
+    s4 = s3 & (F.col("t_purchase") > F.col("t_click"))
+    agg = firsts.agg(
+        F.sum(s1.cast("long")).alias("n1"),
+        F.sum(s2.cast("long")).alias("n2"),
+        F.sum(s3.cast("long")).alias("n3"),
+        F.sum(s4.cast("long")).alias("n4"),
+    )
+    stages = F.array(
+        F.struct(F.lit("1_signup").alias("stage"), F.col("n1").alias("n_users")),
+        F.struct(F.lit("2_view").alias("stage"), F.col("n2").alias("n_users")),
+        F.struct(F.lit("3_click").alias("stage"), F.col("n3").alias("n_users")),
+        F.struct(F.lit("4_purchase").alias("stage"), F.col("n4").alias("n_users")),
+    )
+    return (
+        agg.select(F.explode(stages).alias("s"))
+        .select(F.col("s.stage").alias("stage"), F.col("s.n_users").alias("n_users"))
+        .orderBy("stage")
+    )
+
+
+EVENT_FUNNEL_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END)   AS t_signup,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)     AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END)    AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+), agg AS (
+  SELECT
+    SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS n1,
+    SUM(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup THEN 1 ELSE 0 END) AS n2,
+    SUM(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup AND t_click > t_view
+             THEN 1 ELSE 0 END) AS n3,
+    SUM(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup AND t_click > t_view
+                  AND t_purchase > t_click THEN 1 ELSE 0 END) AS n4
+  FROM firsts
+)
+SELECT stage, n_users FROM (
+  SELECT '1_signup' AS stage, CAST(n1 AS BIGINT) AS n_users FROM agg
+  UNION ALL SELECT '2_view', CAST(n2 AS BIGINT) FROM agg
+  UNION ALL SELECT '3_click', CAST(n3 AS BIGINT) FROM agg
+  UNION ALL SELECT '4_purchase', CAST(n4 AS BIGINT) FROM agg
+) ORDER BY stage
+"""
+
+
 def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom stateful streaming operator (applyInPandasWithState,
     §2.8+) executed for real: file-source stream over the events parquet →
@@ -180,6 +243,7 @@ ORDER BY allele_id
 QUERIES: dict[str, QuerySpec] = {
     "sessionize": QuerySpec(sessionize, SESSIONIZE_SQL, "gap sessionization"),
     "tumbling_window": QuerySpec(tumbling_window, TUMBLING_SQL, "6h tumbling agg"),
+    "event_funnel": QuerySpec(event_funnel, EVENT_FUNNEL_SQL, "ordered funnel analysis"),
     "stream_user_totals": QuerySpec(
         stream_user_totals, None, "applyInPandasWithState executed (rows-only)"
     ),
