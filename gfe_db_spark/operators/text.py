@@ -151,6 +151,32 @@ def vocab_top_tokens(docs: DataFrame, text_col: str = "text", k: int = 200) -> D
     )
 
 
+# PII patterns: RE2-safe (no backtracking pathology), shared verbatim with
+# the SQL oracle so redaction is engine-portable.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+    "url": r"https?://[^\s]+",
+}
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing for training corpora: emails, phone-like numbers, and
+    URLs replaced with typed sentinels, with per-kind hit counts emitted
+    alongside (the audit trail a compliance pass needs). Pure builtin
+    regexp ops — narrow map at scan speed, no Python."""
+    t = F.col(text_col)
+    out = docs
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}", F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long")
+        )
+    red = t
+    for kind, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+    return out.withColumn("text_redacted", red)
+
+
 def tfidf_top_terms(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:

@@ -64,6 +64,7 @@ PRIORITY: tuple[str, ...] = (
     "text_vocab_top",
     "text_tfidf_top_terms",
     "corpus_sample",
+    "text_redact_pii",
     # multimodal family
     "multimodal_metadata",
     "multimodal_features",

@@ -158,6 +158,47 @@ LIMIT 200
 """
 
 
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents: typed sentinels + per-kind hit counts.
+    The corpus is synthetic prose (hits are usually 0) — the contract
+    checked is the redaction transform itself, byte-for-byte vs the
+    oracle running the same regexes."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        TX.redact_pii(docs)
+        .select(
+            "doc_id",
+            "n_email",
+            "n_phone",
+            "n_url",
+            F.md5(F.col("text_redacted")).alias("redacted_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _redact_sql() -> str:
+    from gfe_db_spark.operators.text import PII_PATTERNS
+
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items()
+    )
+    red = "text"
+    for kind, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '<{kind.upper()}>', 'g')"
+    return f"""
+SELECT doc_id,
+       {counts},
+       md5({red}) AS redacted_hash
+FROM documents
+ORDER BY doc_id
+"""
+
+
+TEXT_REDACT_SQL = _redact_sql()
+
+
 def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% corpus subsample (hash-gated, engine-portable):
     the reproducible alternative to df.sample() for training-data cuts."""
@@ -221,5 +262,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "corpus_sample": QuerySpec(
         corpus_sample, CORPUS_SAMPLE_SQL, "deterministic hash-gated subsample"
+    ),
+    "text_redact_pii": QuerySpec(
+        text_redact_pii, TEXT_REDACT_SQL, "PII scrub with audit counts"
     ),
 }

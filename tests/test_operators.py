@@ -363,3 +363,20 @@ def test_wav_chunk_walk_and_bmp_truncation():
     struct.pack_into("<i", forged, 22, 2**30)  # hostile height
     with pytest.raises(ValueError, match="truncated|invalid"):
         decode_bmp_rgb24(bytes(forged))
+
+
+def test_redact_pii_replaces_and_counts(spark):
+    from gfe_db_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "mail me at jo.doe+x@example.org or call +1 (555) 123-4567 now"),
+        (2, "see https://example.com/a?b=c and http://foo.bar"),
+        (3, "clean text, nothing to scrub"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert got[1].n_email == 1 and got[1].n_phone == 1
+    assert "<EMAIL>" in got[1].text_redacted and "<PHONE>" in got[1].text_redacted
+    assert "example.org" not in got[1].text_redacted
+    assert got[2].n_url == 2 and got[2].text_redacted.count("<URL>") == 2
+    assert got[3].text_redacted == rows[2][1]
