@@ -1,0 +1,131 @@
+"""CLI entry point — the Spark-native analog of the reference's container
+entrypoint (ref ``run.sh:85-172``: fetch → build → extract → load) plus a
+query runner over the registered inventory.
+
+    python -m gfe_db_spark build -i hla.3560.dat -r 3560 -o out/ [--limit N]
+    python -m gfe_db_spark load --manifest file:///.../manifest.json \
+        --staging st/ --state state.json --registry reg/ --graph graph/
+    python -m gfe_db_spark query q1_pricing_summary --sf-dir /root/testdata/sf0.01
+    python -m gfe_db_spark list
+
+Exit codes mirror the reference's build contract (ref ``app.py:473,684-688``):
+0 = success, 1 = critical failure, 2 = completed with per-record errors
+(the error ledger is written as NDJSON next to the output).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _spark(app: str):
+    from gfe_db_spark.session import get_spark
+
+    spark = get_spark(app)
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def cmd_build(args) -> int:
+    from gfe_db_spark.plans.accession import AccessionRegistry
+    from gfe_db_spark.plans.build import build_release
+    from gfe_db_spark.sources.compat import write_error_ndjson
+    from gfe_db_spark.sources.imgt import read_imgt_dat
+
+    spark = _spark("gfe-build")
+    alleles = read_imgt_dat(spark, args.input)
+    registry = AccessionRegistry(spark, args.registry or os.path.join(args.output, "registry"))
+    tables = build_release(spark, alleles, args.release, registry, limit=args.limit)
+    for name in ("gfe_sequences", "all_features", "all_groups", "all_cds"):
+        getattr(tables, name).write.mode("overwrite").parquet(
+            os.path.join(args.output, name)
+        )
+    errors = tables.errors.cache()
+    n_err = errors.count()
+    if n_err:
+        _, capped = write_error_ndjson(errors, args.output, args.release)
+        print(f"build completed with {n_err} record errors (exit 2)", file=sys.stderr)
+        # > max-errors is the reference's critical condition (app.py:596)
+        return 1 if capped > 10 else 2
+    return 0
+
+
+def cmd_load(args) -> int:
+    from gfe_db_spark.streaming.incremental import run_incremental_from_manifest
+
+    spark = _spark("gfe-load")
+    res = run_incremental_from_manifest(
+        spark,
+        args.manifest,
+        args.staging,
+        state_path=args.state,
+        registry_path=args.registry,
+        graph_path=args.graph,
+    )
+    print(f"processed={res.processed} rejected={res.rejected}")
+    return 0 if not res.rejected else 2
+
+
+def cmd_query(args) -> int:
+    from gfe_db_spark.queries import all_queries
+
+    specs = all_queries()
+    if args.name not in specs:
+        print(f"unknown query {args.name!r}; see `python -m gfe_db_spark list`", file=sys.stderr)
+        return 1
+    spark = _spark(f"gfe-query-{args.name}")
+    df = specs[args.name].fn(spark, args.sf_dir)
+    if args.output:
+        df.write.mode("overwrite").parquet(args.output)
+    else:
+        df.show(args.rows, truncate=False)
+    return 0
+
+
+def cmd_list(args) -> int:
+    from gfe_db_spark.queries import all_queries
+
+    for name, spec in all_queries().items():
+        kind = "sql " if spec.sql is not None else "rows"
+        print(f"{kind}  {name:32s}  {spec.doc}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="gfe_db_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="parse one release .dat and write the build tables")
+    b.add_argument("-i", "--input", required=True, help="hla.<release>.dat path")
+    b.add_argument("-r", "--release", required=True, help="release number, e.g. 3560")
+    b.add_argument("-o", "--output", required=True, help="output directory")
+    b.add_argument("--registry", help="accession registry path (default <output>/registry)")
+    b.add_argument("--limit", type=int, default=None, help="build at most N alleles (W1)")
+    b.set_defaults(fn=cmd_build)
+
+    ld = sub.add_parser("load", help="incremental fetch+build+graph-load from a manifest")
+    ld.add_argument("--manifest", required=True, help="URL of the release manifest JSON")
+    ld.add_argument("--staging", required=True)
+    ld.add_argument("--state", required=True)
+    ld.add_argument("--registry", required=True)
+    ld.add_argument("--graph", required=True)
+    ld.set_defaults(fn=cmd_load)
+
+    q = sub.add_parser("query", help="run a registered query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    q.add_argument("--rows", type=int, default=20)
+    q.add_argument("-o", "--output", help="write result parquet here instead of showing")
+    q.set_defaults(fn=cmd_query)
+
+    ls = sub.add_parser("list", help="list registered queries")
+    ls.set_defaults(fn=cmd_list)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

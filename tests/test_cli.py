@@ -1,0 +1,51 @@
+"""CLI entry point (__main__): the run.sh-analog surface — build with the
+exit-code contract, manifest load, query runner, inventory listing."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from gfe_db_spark.__main__ import main
+from tests import gfe_fixtures as fx
+
+
+def test_cli_build_and_exit_code_contract(spark, tmp_path, capsys):
+    dat = fx.write_release_dat(str(tmp_path), "3550")
+    out = str(tmp_path / "out")
+    # fixture contains a no-CDS allele → completes with record errors → 2
+    rc = main(["build", "-i", dat, "-r", "3550", "-o", out])
+    assert rc == 2
+    assert os.path.exists(os.path.join(out, "gfe_sequences"))
+    ledger = [p for p in os.listdir(out) if p.startswith("errors.")]
+    assert ledger, "error ledger written"
+
+
+def test_cli_query_and_list(spark, tmp_path, capsys):
+    rc = main(["query", "a7_label_counts", "--sf-dir", "/root/testdata/sf0.001",
+               "-o", str(tmp_path / "res")])
+    assert rc == 0
+    assert spark.read.parquet(str(tmp_path / "res")).count() > 0
+    assert main(["query", "nope_not_real"]) == 1
+    assert main(["list"]) == 0
+    listing = capsys.readouterr().out
+    assert "q1_pricing_summary" in listing and "gfe_end_to_end" in listing
+
+
+def test_cli_load_from_manifest(spark, tmp_path):
+    remote = tmp_path / "remote"
+    remote.mkdir()
+    fx.write_release_dat(str(remote), "3550")
+    manifest = tmp_path / "m.json"
+    manifest.write_text(json.dumps({
+        "releases": {"3550": f"file://{remote}/hla.3550.dat"}
+    }))
+    rc = main([
+        "load", "--manifest", f"file://{manifest}",
+        "--staging", str(tmp_path / "st"),
+        "--state", str(tmp_path / "state.json"),
+        "--registry", str(tmp_path / "reg"),
+        "--graph", str(tmp_path / "graph"),
+    ])
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "graph" / "nodes_gfe"))
