@@ -223,3 +223,43 @@ def test_merge_idempotent_replay(spark, tmp_path_factory):
         assert df1.count() == df2.count(), name
     edges = {tuple(r[:2]): r["releases"] for r in g2.edges_has_ipd_allele.collect()}
     assert all(v == [3550] for v in edges.values())
+
+
+def test_motif_compiler_patterns(spark, tmp_path):
+    """J8 motif→join compiler: forward hop, reversed hop, composite
+    feature key, and shared-variable unification (the diamond
+    'two GFEs sharing a feature')."""
+    from gfe_db_spark.plans.accession import AccessionRegistry
+    from gfe_db_spark.plans.build import build_release
+    from gfe_db_spark.plans.load import load_release
+    from gfe_db_spark.plans.motif import find
+    from gfe_db_spark.sources.imgt import read_imgt_dat
+    from tests import gfe_fixtures as fx
+
+    dat = fx.write_release_dat(str(tmp_path), "3550")
+    built = build_release(
+        spark, read_imgt_dat(spark, dat), "3550",
+        AccessionRegistry(spark, str(tmp_path / "reg")),
+    )
+    g = load_release(spark, built, "3550")
+
+    fwd = find(g, "(a:GFE)-[:HAS_IPD_ALLELE]->(w:IPD_Allele)")
+    rev = find(g, "(w:IPD_Allele)<-[:HAS_IPD_ALLELE]-(a:GFE)")
+    assert {(r["a_name"], r["w_name"]) for r in fwd.collect()} == {
+        (r["a_name"], r["w_name"]) for r in rev.collect()
+    }
+    assert fwd.count() > 0
+
+    feats = find(g, "(a:GFE)-[:HAS_FEATURE]->(f:Feature)")
+    assert feats.filter("f_term = 'EXON'").count() > 0
+
+    # diamond: two different GFEs sharing the same feature node
+    diamond = find(
+        g,
+        "(g1:GFE)-[:HAS_FEATURE]->(f:Feature)<-[:HAS_FEATURE]-(g2:GFE)",
+    ).filter("g1_name < g2_name")
+    pairs = {(r["g1_name"], r["g2_name"], r["f_term"]) for r in diamond.collect()}
+    # A1 and A2 share the 5'UTR (ACAC), intron1 (GGGG) and exon2 (TTTT)
+    shared_terms = {t for a, b, t in pairs
+                    if {a, b} == {"HLA-Aw1-1-1-1-1", "HLA-Aw1-2-1-1-2"}}
+    assert {"FIVE_PRIME_UTR", "INTRON", "EXON"} <= shared_terms
