@@ -263,3 +263,57 @@ def test_motif_compiler_patterns(spark, tmp_path):
     shared_terms = {t for a, b, t in pairs
                     if {a, b} == {"HLA-Aw1-1-1-1-1", "HLA-Aw1-2-1-1-2"}}
     assert {"FIVE_PRIME_UTR", "INTRON", "EXON"} <= shared_terms
+
+
+def test_snapshot_versioning_and_diff(spark, tmp_path):
+    """S12 depth: versioned snapshots are append-only (v0001, v0002…),
+    restore-by-version works, and the diff reports the release delta."""
+    from gfe_db_spark.plans.accession import AccessionRegistry
+    from gfe_db_spark.plans.build import build_release
+    from gfe_db_spark.plans.load import load_release, merge_graphs
+    from gfe_db_spark.plans.snapshots import (
+        list_snapshots,
+        load_snapshot,
+        save_snapshot,
+        snapshot_diff,
+    )
+    from gfe_db_spark.sources.imgt import read_imgt_dat
+    from tests import gfe_fixtures as fx
+
+    reg = AccessionRegistry(spark, str(tmp_path / "reg"))
+    root = str(tmp_path / "snaps")
+
+    g1 = load_release(
+        spark,
+        build_release(
+            spark, read_imgt_dat(spark, fx.write_release_dat(str(tmp_path), "3550")), "3550", reg
+        ),
+        "3550",
+    )
+    assert save_snapshot(g1, root) == "v0001"
+    g2 = merge_graphs(
+        g1,
+        load_release(
+            spark,
+            build_release(
+                spark,
+                read_imgt_dat(spark, fx.write_release_dat(str(tmp_path), "3560")),
+                "3560",
+                reg,
+            ),
+            "3560",
+        ),
+    )
+    assert save_snapshot(g2, root) == "v0002"
+    assert list_snapshots(spark, root) == ["v0001", "v0002"]
+
+    diff = {r.table: r for r in snapshot_diff(
+        load_snapshot(spark, root, "v0001"), load_snapshot(spark, root)
+    ).collect()}
+    # 3560 adds one allele (A3) → new GFE node, and HAS_IPD_ALLELE edges
+    # gain a release in their arrays (changed rows)
+    assert diff["nodes_gfe"].n_added == 1
+    assert diff["nodes_gfe"].n_removed == 0
+    assert diff["edges_has_ipd_allele"].n_changed > 0
+    # restore-by-version round-trips
+    assert load_snapshot(spark, root, "v0001").nodes_gfe.count() == g1.nodes_gfe.count()
