@@ -151,11 +151,10 @@ class AccessionRegistry:
                 )
 
     def _fs(self):
-        jvm = self.spark._jvm
-        conf = self.spark._jsc.hadoopConfiguration()
-        HPath = jvm.org.apache.hadoop.fs.Path
-        fs = HPath(self.path).getFileSystem(conf)
-        return fs, HPath
+        from gfe_db_spark.plans.merge import hadoop_fs
+
+        fs, _ = hadoop_fs(self.spark, self.path)
+        return fs, self.spark._jvm.org.apache.hadoop.fs.Path
 
     def _promote(self, tmp: str) -> None:
         """Move staged part files into the registry dir via the Hadoop

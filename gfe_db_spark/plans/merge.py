@@ -72,7 +72,7 @@ def partitioned_upsert(
         batch = batch.dropDuplicates(keys)
     batch = batch.withColumn("__bucket", bucket_expr(keys, n_buckets)).persist()
     try:
-        if not _fs_exists(spark, target_path):
+        if not fs_exists(spark, target_path):
             if merge_fn is not None:
                 # the combine invariant must hold from the bootstrap commit
                 # too: merge the batch against an empty existing side
@@ -106,27 +106,30 @@ def partitioned_upsert(
             .option("partitionOverwriteMode", "dynamic")
             .parquet(target_path)
         )
-        _fs_delete(spark, staging)
+        fs_delete(spark, staging)
         return touched
     finally:
         batch.unpersist()
 
 
-def _hadoop_fs(spark, path: str):
+def hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for any Hadoop-supported scheme — the shared
+    filesystem door for every module that checks/renames/deletes paths
+    (local file://, hdfs://, s3a:// alike)."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
 
 
-def _fs_exists(spark, path: str) -> bool:
+def fs_exists(spark, path: str) -> bool:
     """Existence via the Hadoop FileSystem API — os.path only sees the
     local FS; targets here may be hdfs:// or s3a://."""
-    fs, hpath = _hadoop_fs(spark, path)
+    fs, hpath = hadoop_fs(spark, path)
     return fs.exists(hpath)
 
 
-def _fs_delete(spark, path: str) -> None:
-    fs, hpath = _hadoop_fs(spark, path)
+def fs_delete(spark, path: str) -> None:
+    fs, hpath = hadoop_fs(spark, path)
     fs.delete(hpath, True)
 
 

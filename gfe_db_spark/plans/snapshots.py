@@ -24,9 +24,9 @@ _VERSION_RE = re.compile(r"^v(\d{4})$")
 def list_snapshots(spark: SparkSession, root: str) -> list[str]:
     """Snapshot versions under root, ascending (Hadoop FS — works on
     hdfs/s3a prefixes too)."""
-    from gfe_db_spark.plans.merge import _hadoop_fs
+    from gfe_db_spark.plans.merge import hadoop_fs
 
-    fs, hpath = _hadoop_fs(spark, root)
+    fs, hpath = hadoop_fs(spark, root)
     if not fs.exists(hpath):
         return []
     names = [s.getPath().getName() for s in fs.listStatus(hpath)]
@@ -55,41 +55,42 @@ def load_snapshot(spark: SparkSession, root: str, version: str | None = None) ->
 
 def snapshot_diff(old: GraphTables, new: GraphTables) -> DataFrame:
     """Table-by-table diff on merge keys: rows added / removed / changed
-    between two snapshots. Each table contributes three anti/inner joins
-    on its merge key — all keyed equi-joins, no full-row comparisons
-    shuffled (changed = key match with differing non-key columns, detected
-    via a hash of the concatenated row)."""
-    parts: list[DataFrame] = []
-    for name, old_df in old.items():
-        new_df = getattr(new, name)
-        keys, _rule = MERGE_RULES[name]
-        o = old_df
-        n = new_df
-        added = n.join(o, on=keys, how="left_anti").count()
-        removed = o.join(n, on=keys, how="left_anti").count()
+    between two snapshots. Fully lazy: each table is one full-outer join of
+    per-row signatures (key + md5 of the sorted, concatenated row) reduced
+    to a single counts row; the tables union into one plan, so the whole
+    diff is one Spark action with only keyed equi-join shuffles — no
+    full-width rows move, and nothing runs until the caller acts."""
 
-        def row_sig(df: DataFrame) -> DataFrame:
+    def table_delta(name: str, old_df: DataFrame, new_df: DataFrame) -> DataFrame:
+        keys, _rule = MERGE_RULES[name]
+
+        def row_sig(df: DataFrame, sig_name: str) -> DataFrame:
             cols = sorted(df.columns)
             sig = F.md5(
                 F.concat_ws(
                     "\x00", *[F.coalesce(F.col(c).cast("string"), F.lit("\x01")) for c in cols]
                 )
             )
-            return df.select(*keys, sig.alias("__sig"))
+            return df.select(*keys, sig.alias(sig_name))
 
-        changed = (
-            row_sig(n)
-            .join(row_sig(o).withColumnRenamed("__sig", "__old_sig"), on=keys)
-            .filter(F.col("__sig") != F.col("__old_sig"))
-            .count()
+        joined = row_sig(new_df, "__new_sig").join(
+            row_sig(old_df, "__old_sig"), on=keys, how="full_outer"
         )
-        spark = old_df.sparkSession
-        parts.append(
-            spark.createDataFrame(
-                [(name, added, removed, changed)],
-                "table string, n_added long, n_removed long, n_changed long",
-            )
+        def nsum(cond) -> F.Column:
+            return F.coalesce(F.sum(cond.cast("long")), F.lit(0))  # empty table → 0
+
+        return joined.agg(
+            F.lit(name).alias("table"),
+            nsum(F.col("__old_sig").isNull()).alias("n_added"),
+            nsum(F.col("__new_sig").isNull()).alias("n_removed"),
+            nsum(
+                F.col("__old_sig").isNotNull()
+                & F.col("__new_sig").isNotNull()
+                & (F.col("__old_sig") != F.col("__new_sig"))
+            ).alias("n_changed"),
         )
+
+    parts = [table_delta(name, old_df, getattr(new, name)) for name, old_df in old.items()]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

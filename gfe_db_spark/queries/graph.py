@@ -80,26 +80,42 @@ SELECT degree, COUNT(*) AS n_nodes FROM degrees GROUP BY degree ORDER BY degree
 """
 
 
+def _fixture_build(spark: SparkSession, with_alignments: bool = False):
+    """Shared scaffold for the fixture-backed queries: write the
+    deterministic mini-release (plus MSF alignments when asked) into a
+    fresh tempdir and run the real parse → accession → build pipeline."""
+    import tempfile
+
+    from gfe_db_spark.plans.accession import AccessionRegistry
+    from gfe_db_spark.plans.build import build_release
+    from gfe_db_spark.sources.imgt import read_imgt_dat
+    from gfe_db_spark.testing_fixtures import write_msf, write_release_dat
+
+    tmp = tempfile.mkdtemp(prefix="gfe_fx_")
+    dat = write_release_dat(tmp, "3550")
+    aligns = None
+    if with_alignments:
+        from gfe_db_spark.sources.msf import read_alignments
+
+        aligns = read_alignments(spark, write_msf(tmp))
+    return build_release(
+        spark,
+        read_imgt_dat(spark, dat),
+        "3550",
+        AccessionRegistry(spark, f"{tmp}/registry"),
+        alignments=aligns,
+    )
+
+
 def gfe_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The GFE domain pipeline end-to-end on the deterministic mini-release
     (rows-only: EMBL parse → build → accession registry → graph load →
     motif query). Returns the per-allele feature listing for every loaded
     allele — the reference's documented query surface."""
-    import tempfile
-
-    from gfe_db_spark.plans.accession import AccessionRegistry
-    from gfe_db_spark.plans.build import build_release
     from gfe_db_spark.plans.load import load_release
     from gfe_db_spark.plans.motif import find
-    from gfe_db_spark.sources.imgt import read_imgt_dat
-    from gfe_db_spark.testing_fixtures import write_release_dat
 
-    tmp = tempfile.mkdtemp(prefix="gfe_e2e_")
-    dat = write_release_dat(tmp, "3550")
-    alleles = read_imgt_dat(spark, dat)
-    built = build_release(
-        spark, alleles, "3550", AccessionRegistry(spark, f"{tmp}/registry")
-    )
+    built = _fixture_build(spark)
     graph = load_release(spark, built, "3550")
     motif = find(
         graph, "(w:IPD_Allele)<-[:HAS_IPD_ALLELE]-(g:GFE)-[:HAS_FEATURE]->(f:Feature)"
@@ -187,24 +203,7 @@ def alignment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     mini-release + MSF fixture; the oracle recomputes the join from the
     same fixture rows (gfe_name dimension inlined from the pipeline's
     deterministic accession output, which w6/gfe_end_to_end check)."""
-    import tempfile
-
-    from gfe_db_spark.plans.accession import AccessionRegistry
-    from gfe_db_spark.plans.build import build_release
-    from gfe_db_spark.sources.imgt import read_imgt_dat
-    from gfe_db_spark.sources.msf import read_alignments
-    from gfe_db_spark.testing_fixtures import write_msf, write_release_dat
-
-    tmp = tempfile.mkdtemp(prefix="gfe_align_")
-    dat = write_release_dat(tmp, "3550")
-    aligns = read_alignments(spark, write_msf(tmp))
-    built = build_release(
-        spark,
-        read_imgt_dat(spark, dat),
-        "3550",
-        AccessionRegistry(spark, f"{tmp}/registry"),
-        alignments=aligns,
-    )
+    built = _fixture_build(spark, with_alignments=True)
     return built.all_alignments.orderBy("hla_name")
 
 

@@ -187,8 +187,6 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-pass counts. Rows-only: the sink's effect is filesystem state."""
     import tempfile
 
-    from pyspark.sql import functions as F
-
     from gfe_db_spark.streaming.structured import foreach_batch_upsert, read_event_stream
 
     target = tempfile.mkdtemp(prefix="gfe_sink_") + "/events_upserted"
@@ -212,8 +210,6 @@ def imgt_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     with record-aligned byte splits, on the deterministic mini-release —
     the second, catalog-integrated scan path next to read_imgt_dat."""
     import tempfile
-
-    from pyspark.sql import functions as F
 
     from gfe_db_spark.sources.imgt_datasource import register
     from gfe_db_spark.testing_fixtures import write_release_dat

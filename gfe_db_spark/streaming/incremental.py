@@ -156,12 +156,12 @@ def run_incremental(
     state = ReleaseState.load(state_path)
     new = detect_new_releases(available_releases, state)
 
-    from gfe_db_spark.plans.merge import _fs_exists
+    from gfe_db_spark.plans.merge import fs_exists
 
     graph: GraphTables | None = None
     # Hadoop-FS check (graph_path may be hdfs://s3a://); a populated graph
     # dir always contains the nodes_gfe table
-    if _fs_exists(spark, os.path.join(graph_path, "nodes_gfe")):
+    if fs_exists(spark, os.path.join(graph_path, "nodes_gfe")):
         graph = GraphTables.load(spark, graph_path)
 
     registry = AccessionRegistry(spark, registry_path)
