@@ -82,3 +82,54 @@ def connected_components(
             break
 
     return labels.select("node", F.col("label").alias("component"))
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank (undirected edges treated as two directed
+    arcs). Each iteration is the classic pair of keyed shuffles —
+    contributions grouped by destination, joined back to ranks — with the
+    rank rounded to 9 decimals per iteration so distributed summation
+    order cannot leak into the result (engine-portable, like ivf_train).
+
+    Dangling nodes keep their damped base rank. `nodes` must list every
+    vertex (one column `node`). Fixed `iters` (not convergence-tested)
+    keeps the plan finitely unrollable — the oracle replays the same
+    iterations in SQL. Lineage is cut per round like connected_components."""
+    arcs = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    degree = arcs.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = nodes.count()  # model-scale scalar (the 1/N teleport term)
+    base = (1.0 - damping) / n_nodes
+
+    ranks = nodes.select(F.col("node"), F.lit(round(1.0 / n_nodes, 9)).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            arcs.join(ranks, arcs.u == ranks.node)
+            .join(degree, "u")
+            .select(F.col("v").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_rank"))
+        )
+        ranks = (
+            ranks.select("node")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_rank"), F.lit(0.0)),
+                    9,
+                ).alias("rank"),
+            )
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks

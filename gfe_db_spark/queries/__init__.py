@@ -39,6 +39,7 @@ PRIORITY: tuple[str, ...] = (
     "gfe_end_to_end",
     "alignment_join",
     "graph_triangle_count",
+    "graph_pagerank",
     # dedup family (beyond-reference LLM-pipeline core)
     "dedup_exact",
     "dedup_minhash_signatures",

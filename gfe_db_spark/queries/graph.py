@@ -129,19 +129,17 @@ def gfe_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("hla_name", "term", "rank")
 
 
-def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-nation triangle participation in the nation trade graph
-    (nations adjacent when a customer in one ordered from a supplier in
-    the other — lineitem⨝orders⨝customer⨝supplier). The classic
-    triangle-join: the edge list E (u<v) self-joins twice; at scale E is
-    orders of magnitude smaller than the fact tables that derive it, so
-    the triangle enumeration is a small-dim join after one heavy keyed
-    join pipeline."""
+def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected nation trade edges (u < v): nations adjacent when a
+    customer in one ordered from a supplier in the other
+    (lineitem⨝orders⨝customer⨝supplier). The edge list is orders of
+    magnitude smaller than the fact tables deriving it — the graph ops
+    downstream join a small dim after one heavy keyed join pipeline."""
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
     sup = table(spark, sf_dir, "supplier")
-    pairs = (
+    return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         # no broadcast hint: supplier grows with SF (unlike nation/region);
@@ -154,6 +152,24 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < F.col("v"))
         .distinct()
     )
+
+
+_TRADE_PAIRS_CTE = """
+pairs AS (
+  SELECT DISTINCT least(c_nationkey, s_nationkey) AS u,
+                  greatest(c_nationkey, s_nationkey) AS v
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE least(c_nationkey, s_nationkey) < greatest(c_nationkey, s_nationkey)
+)"""
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle participation in the nation trade graph: the
+    classic triangle-join — the edge list E (u<v) self-joins twice."""
+    pairs = _trade_pairs(spark, sf_dir)
     e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.v") == F.col("e2.u"))
@@ -172,16 +188,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-GRAPH_TRIANGLE_SQL = """
-WITH pairs AS (
-  SELECT DISTINCT least(c_nationkey, s_nationkey) AS u,
-                  greatest(c_nationkey, s_nationkey) AS v
-  FROM lineitem
-  JOIN orders   ON l_orderkey = o_orderkey
-  JOIN customer ON o_custkey = c_custkey
-  JOIN supplier ON l_suppkey = s_suppkey
-  WHERE least(c_nationkey, s_nationkey) < greatest(c_nationkey, s_nationkey)
-), tri AS (
+GRAPH_TRIANGLE_SQL = f"""
+WITH {_TRADE_PAIRS_CTE}, tri AS (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
   FROM pairs e1
   JOIN pairs e2 ON e1.v = e2.u
@@ -194,6 +202,55 @@ WITH pairs AS (
 SELECT nationkey, COUNT(*) AS n_triangles
 FROM member GROUP BY nationkey ORDER BY nationkey
 """
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (3 rounds, d=0.85) over the nation trade
+    graph — the second genuinely iterative graph algorithm next to
+    connected components. Per-iteration round-9 makes it engine-portable;
+    the oracle replays the identical unrolled iterations in SQL."""
+    from gfe_db_spark.plans.graph_algos import pagerank
+
+    pairs = _trade_pairs(spark, sf_dir)
+    nodes = table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("node"))
+    pr = pagerank(
+        nodes, pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")), iters=3
+    )
+    return pr.select(F.col("node").alias("nationkey"), "rank").orderBy("nationkey")
+
+
+def _pagerank_sql(iters: int = 3, damping: float = 0.85, n_nodes: int = 25) -> str:
+    """Unrolled PageRank oracle: same teleport base, same per-iteration
+    rounding. n_nodes=25 — the nation table is fixed-size at every TPC-H
+    scale factor (the Spark side counts it; the constant keeps the SQL
+    self-contained)."""
+    base = (1.0 - damping) / n_nodes
+    init = round(1.0 / n_nodes, 9)
+    ctes = [
+        _TRADE_PAIRS_CTE.strip(),
+        "arcs AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs)",
+        "deg AS (SELECT u, COUNT(*) AS deg FROM arcs GROUP BY u)",
+        "nodes AS (SELECT n_nationkey AS node FROM nation)",
+        f"r0 AS (SELECT node, {init!r} AS rank FROM nodes)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""r{i + 1} AS (
+  SELECT n.node,
+         round({base!r} + {damping!r} * coalesce(s.in_rank, 0), 9) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT a.v AS node, SUM(r.rank / d.deg) AS in_rank
+    FROM arcs a JOIN r{i} r ON a.u = r.node JOIN deg d ON d.u = a.u
+    GROUP BY a.v
+  ) s ON s.node = n.node
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT node AS nationkey, rank FROM r{iters} ORDER BY nationkey"
+    )
+
+
+GRAPH_PAGERANK_SQL = _pagerank_sql()
 
 
 def alignment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -253,5 +310,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "graph_triangle_count": QuerySpec(
         graph_triangle_count, GRAPH_TRIANGLE_SQL, "triangle join over derived graph"
+    ),
+    "graph_pagerank": QuerySpec(
+        graph_pagerank, GRAPH_PAGERANK_SQL, "fixed-iteration PageRank"
     ),
 }

@@ -38,3 +38,27 @@ def test_star_and_direction_ignored(spark):
 def test_no_edges(spark):
     got = _cc(spark, 4, [])
     assert got == {i: i for i in range(4)}
+
+
+def test_pagerank_properties(spark):
+    """Fixed-iteration PageRank: ranks stay a probability distribution
+    (sum ≈ 1 up to per-iteration rounding), isolated nodes keep the damped
+    base rank, and higher-degree hubs outrank leaves."""
+    from pyspark.sql import functions as F
+
+    from gfe_db_spark.plans.graph_algos import pagerank
+
+    # star with no dangling nodes: rank mass is conserved
+    edges = spark.createDataFrame([(0, i) for i in range(1, 5)], "src long, dst long")
+    star = spark.createDataFrame([(i,) for i in range(5)], "node long")
+    r = {row.node: row.rank for row in pagerank(star, edges, iters=5).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-6
+    assert r[0] > r[1]  # hub > leaf
+    assert r[1] == r[2] == r[3] == r[4]  # symmetry
+
+    # isolated node: keeps only the damped teleport base (mass leaks by
+    # design — documented dangling behavior), everything still ordered
+    nodes6 = spark.createDataFrame([(i,) for i in range(6)], "node long")
+    r6 = {row.node: row.rank for row in pagerank(nodes6, edges, iters=5).collect()}
+    assert r6[0] > r6[1] > r6[5]
+    assert abs(r6[5] - round(0.15 / 6, 9)) < 1e-9
