@@ -48,6 +48,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_minhash_est",
     "dedup_clusters",
+    "dedup_keep_list",
     "dedup_embedding_cosine",
     # similarity / ANN family
     "knn_brute_force",

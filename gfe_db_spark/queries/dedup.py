@@ -268,6 +268,59 @@ ORDER BY component
 )
 
 
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision list a dedup pass actually applies: every document with
+    its near-dup cluster id and a keep flag (keep = cluster representative,
+    i.e. the min doc_id — deterministic). Documents in no cluster keep
+    themselves. This is `dedup_clusters` carried to the per-document
+    verdict, the join target for filtering a corpus."""
+    from gfe_db_spark.plans.graph_algos import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(DD.shingles(docs, n=3), threshold=0.5)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    cc = connected_components(nodes, pairs.select("doc_a", "doc_b"), "doc_a", "doc_b")
+    return (
+        cc.select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            (F.col("node") == F.col("component")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# per-document verdict over the same recursive-CTE closure as dedup_clusters
+DEDUP_KEEP_LIST_SQL = (
+    _SHINGLE_CTE.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+    + """, sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  ) c
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_common / (sa.sz + sb.sz - n_common), 9) >= 0.5
+), edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+), reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+)
+SELECT node AS doc_id, MIN(lab) AS cluster_id, node = MIN(lab) AS keep
+FROM reach GROUP BY node
+ORDER BY doc_id
+"""
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "exact hash dedup"),
     "dedup_minhash_signatures": QuerySpec(
@@ -283,6 +336,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dedup_clusters": QuerySpec(
         dedup_clusters, DEDUP_CLUSTERS_SQL, "near-dup clusters via connected components"
+    ),
+    "dedup_keep_list": QuerySpec(
+        dedup_keep_list, DEDUP_KEEP_LIST_SQL, "per-document keep/drop verdict"
     ),
     "dedup_embedding_cosine": QuerySpec(
         dedup_embedding_cosine, DEDUP_EMBEDDING_SQL, "embedding near-dup pairs (LSH-bucketed)"
