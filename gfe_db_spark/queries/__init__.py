@@ -49,6 +49,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_minhash_est",
     "dedup_clusters",
     "dedup_keep_list",
+    "corpus_prep_pipeline",
     "dedup_embedding_cosine",
     # similarity / ANN family
     "knn_brute_force",

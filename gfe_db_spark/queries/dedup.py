@@ -321,6 +321,100 @@ ORDER BY doc_id
 )
 
 
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus prep a real pipeline runs, end to end:
+    quality gate (≥5 tokens) → exact dedup (md5, min-id representative) →
+    near-dup dedup (n-gram Jaccard ≥ 0.5 → connected components → keep
+    representatives) → deterministic train/val/test split → per-split
+    stats. Every stage is one of the registered operators; this entry
+    checks their *composition* against a single SQL oracle."""
+    from gfe_db_spark.operators.text import deterministic_split, token_stats
+    from gfe_db_spark.plans.graph_algos import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    q = token_stats(docs).filter(F.col("n_tokens") >= 5)
+    ex = q.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    survivors = q.join(ex.select("doc_id"), "doc_id")
+    pairs = DD.ngram_jaccard_pairs(DD.shingles(survivors, n=3), threshold=0.5)
+    cc = connected_components(
+        survivors.select(F.col("doc_id").alias("node")),
+        pairs.select("doc_a", "doc_b"),
+        "doc_a",
+        "doc_b",
+    )
+    keep = cc.filter(F.col("node") == F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    final = survivors.join(keep, "doc_id")
+    return (
+        deterministic_split(final)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+CORPUS_PREP_SQL = r"""
+WITH RECURSIVE q AS (
+  SELECT doc_id, text, n_chars FROM documents
+  WHERE len(string_split_regex(text, '\s+')) >= 5
+), ex AS (
+  SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)
+), s AS (
+  SELECT q.* FROM q JOIN ex USING (doc_id)
+), t AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM s
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                  i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+    FROM t
+  )
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  ) c
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_common / (sa.sz + sb.sz - n_common), 9) >= 0.5
+), edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+), reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM s
+  UNION
+  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+), keep AS (
+  SELECT node AS doc_id FROM (
+    SELECT node, MIN(lab) AS component FROM reach GROUP BY node
+  ) WHERE node = component
+), final AS (
+  SELECT s.* FROM s JOIN keep USING (doc_id)
+), b AS (
+  SELECT n_chars,
+         CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || ':v1') & 4294967295 AS BIGINT)
+           % 10000 AS bucket
+  FROM final
+)
+SELECT CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY 1 ORDER BY split
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "exact hash dedup"),
     "dedup_minhash_signatures": QuerySpec(
@@ -339,6 +433,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dedup_keep_list": QuerySpec(
         dedup_keep_list, DEDUP_KEEP_LIST_SQL, "per-document keep/drop verdict"
+    ),
+    "corpus_prep_pipeline": QuerySpec(
+        corpus_prep_pipeline, CORPUS_PREP_SQL, "composed quality→dedup→split pipeline"
     ),
     "dedup_embedding_cosine": QuerySpec(
         dedup_embedding_cosine, DEDUP_EMBEDDING_SQL, "embedding near-dup pairs (LSH-bucketed)"
