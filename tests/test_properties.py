@@ -235,3 +235,43 @@ def test_registry_compaction_preserves_contents(spark, tmp_path_factory):
     assert final == assigned
     # accessions are a bijection per context: 40 distinct seqs → 1..40
     assert sorted(final.values()) == list(range(1, 41))
+
+
+@given(
+    vec=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        min_size=1,
+        max_size=16,
+    ).filter(lambda v: any(x != 0 for x in v))
+)
+@settings(**SETTINGS)
+def test_quantize_roundtrip_error_bound_property(spark, vec):
+    """For ANY nonzero vector: int8 quantization round-trips within
+    scale/2 per element and q stays in int8 range (the operator contract,
+    not just the fixture)."""
+    from gfe_db_spark.operators.similarity import quantize_embeddings
+
+    emb = spark.createDataFrame([(0, vec)], "vec_id long, embedding array<float>")
+    r = quantize_embeddings(emb).collect()[0]
+    assert all(-128 <= q <= 127 for q in r.q)
+    # elementwise bound implies the rms bound; allow rounding slack on scale
+    for x, q in zip([float(f) for f in emb.collect()[0].embedding], r.q):
+        assert abs(x - q * r.scale) <= r.scale / 2 + 1e-9
+
+
+@given(rates=st.lists(st.integers(min_value=0, max_value=10000), min_size=2, max_size=4))
+@settings(**SETTINGS)
+def test_deterministic_sample_nested_property(spark, rates):
+    """Sampling gates nest: for any rates r1 ≤ r2, sample(r1) ⊆ sample(r2)
+    under the same salt — the property that makes rate changes safe on a
+    live corpus (only adds/removes the delta, never reshuffles)."""
+    from gfe_db_spark.operators.text import deterministic_sample
+
+    docs = spark.range(0, 300).selectExpr("id AS doc_id")
+    rates = sorted(rates)
+    prev: set[int] | None = None
+    for rate in rates:
+        cur = {r.doc_id for r in deterministic_sample(docs, rate).collect()}
+        if prev is not None:
+            assert prev <= cur
+        prev = cur
