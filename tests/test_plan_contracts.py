@@ -162,3 +162,37 @@ def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
     assert re.search(r"PartitionFilters: \[[^\]]*dynamicpruning[^\]]*centroid_id", plan) or \
         re.search(r"PartitionFilters: \[[^\]]*centroid_id[^\]]*dynamicpruning", plan), plan[:800]
     assert len(df.collect()) == 10
+
+
+def test_python_eval_only_where_justified(spark, specs):
+    # The Python boundary contract: row-at-a-time Python (BatchEvalPython)
+    # appears NOWHERE; Arrow-batched Python appears only in the documented
+    # justified set (EMBL parse, seq-hash decimal-128, SimHash packing,
+    # media decode). Everything else must stay JVM-side.
+    allowed_arrow = {
+        "gfe_end_to_end",      # EMBL parse mapInPandas + seq-hash
+        "alignment_join",      # same pipeline
+        "dedup_simhash",       # 64-bit packing pandas UDF
+        "multimodal_metadata", # media decode mapInPandas
+        "multimodal_features",
+        "multimodal_real_decode",
+    }
+    # streaming executions run real queries on .fn(); skip them here
+    skip = {"stream_user_totals", "stream_upsert_sink", "knn_ivf_trained"}
+    offenders = []
+    for name, spec in specs.items():
+        if name in skip:
+            continue
+        try:
+            plan = plan_of(spec.fn(spark, SF_SMOKE))
+        except Exception:
+            continue
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython"))
+        arrow = any(
+            m in plan
+            for m in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+        )
+        if arrow and name not in allowed_arrow:
+            offenders.append((name, "unexpected Arrow-Python node"))
+    assert not offenders, f"Python eval outside the justified set: {offenders}"
