@@ -41,21 +41,32 @@ from gfe_db_spark.schemas import ALLELE_RECORD
 _LOC_SPAN = re.compile(r"(\d+)\.\.(\d+)")
 
 
-def _extract_location(seq: str, location: str) -> str:
-    """Extract a feature subsequence for a simple or join(...) location
-    (1-based inclusive coordinates, forward strand).
+_COMPLEMENT = str.maketrans("ACGTUacgtu", "TGCAAtgcaa")
 
-    The supported grammar is exactly what the reference consumes from
-    IMGT/HLA .dat files (ref app.py:127-175): `a..b` and
-    `join(a..b,c..d,...)`. Anything outside it — complement() strands,
-    partial `<a..>b` spans, spans beyond the sequence — raises, which the
-    record parser converts into an error-channel row (ref error contract
-    app.py:630-681) instead of a silently wrong sequence."""
-    if "complement" in location:
-        raise ValueError(f"unsupported location grammar (complement strand): {location!r}")
+
+def _extract_location(seq: str, location: str) -> str:
+    """Extract a feature subsequence for an EMBL location (1-based
+    inclusive coordinates).
+
+    Supported grammar — the subset the reference consumes from IMGT/HLA
+    .dat files (ref app.py:127-175, BioPython `extract` semantics):
+    `a..b`, `join(a..b,c..d,...)`, and `complement(...)` around either
+    (extract the joined spans, then reverse-complement — minus-strand
+    features). Anything outside it — partial `<a..>b` spans, spans beyond
+    the sequence — raises, which the record parser converts into an
+    error-channel row (ref error contract app.py:630-681) instead of a
+    silently wrong sequence."""
     if "<" in location or ">" in location:
         raise ValueError(f"unsupported location grammar (partial span): {location!r}")
-    spans = _LOC_SPAN.findall(location)
+    loc = location.strip()
+    reverse = False
+    if loc.startswith("complement(") and loc.endswith(")"):
+        reverse = True
+        loc = loc[len("complement(") : -1]
+    elif "complement" in loc:
+        # nested/inner complements (per-span strand mixes) stay unsupported
+        raise ValueError(f"unsupported location grammar (inner complement): {location!r}")
+    spans = _LOC_SPAN.findall(loc)
     if not spans:
         raise ValueError(f"no coordinate spans in location: {location!r}")
     out = []
@@ -64,7 +75,10 @@ def _extract_location(seq: str, location: str) -> str:
         if a_i < 1 or b_i < a_i or b_i > len(seq):
             raise ValueError(f"span {a_i}..{b_i} outside sequence of length {len(seq)}")
         out.append(seq[a_i - 1 : b_i])
-    return "".join(out)
+    extracted = "".join(out)
+    if reverse:
+        return extracted.translate(_COMPLEMENT)[::-1]
+    return extracted
 
 
 def parse_embl_record(block: str) -> dict | None:

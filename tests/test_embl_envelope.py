@@ -51,11 +51,26 @@ def test_multiline_qualifier_value_concatenates():
     assert rec["cds_aa"] == "MKVWTQRS"
 
 
-def test_complement_location_goes_to_error_channel():
+def test_complement_location_reverse_complements():
+    # seq starts ACGT → complement(1..4) extracts revcomp = ACGT;
+    # use 1..6 (ACGTAC) → revcomp GTACGT to make direction observable
     rec = parse_embl_record(
         _record(
             [
-                "FT   exon            complement(1..4)",
+                "FT   exon            complement(1..6)",
+                'FT                   /number="1"',
+            ]
+        )
+    )
+    assert rec["parse_error"] is None
+    assert rec["features"][0]["sequence"] == "GTACGT"
+
+
+def test_inner_complement_goes_to_error_channel():
+    rec = parse_embl_record(
+        _record(
+            [
+                "FT   exon            join(1..4,complement(9..12))",
                 'FT                   /number="1"',
             ]
         )
@@ -118,10 +133,7 @@ def test_errors_surface_in_build_errors_table(spark, tmp_path):
     from gfe_db_spark.testing_fixtures import release_records
 
     bad = _record(
-        [
-            "FT   exon            complement(1..4)",
-            'FT                   /number="1"',
-        ]
+        ["FT   exon            <1..12", 'FT                   /number="1"']
     )
     dat = tmp_path / "hla.3550.dat"
     dat.write_text("\n//\n".join([*release_records("3550"), bad]) + "\n//\n")
@@ -131,7 +143,7 @@ def test_errors_surface_in_build_errors_table(spark, tmp_path):
         spark, alleles, "3550", AccessionRegistry(spark, str(tmp_path / "reg"))
     )
     errs = [(r["hla_name"], r["error"]) for r in built.errors.collect()]
-    assert any(name == "HLA-A*77:77" and "complement" in err for name, err in errs)
+    assert any(name == "HLA-A*77:77" and "partial" in err for name, err in errs)
     # the errored allele is NOT half-built as a GFE…
     assert built.gfe_sequences.filter("hla_name = 'HLA-A*77:77'").count() == 0
     # …and good alleles still build
