@@ -220,6 +220,35 @@ def tfidf_top_terms(
     )
 
 
+def bigram_next_tokens(
+    docs: DataFrame, text_col: str = "text", k: int = 3, min_count: int = 2
+) -> DataFrame:
+    """Bigram LM counts: for each token, its top-k next tokens by corpus
+    frequency (the n-gram language-model build). Word-count shape twice
+    over: explode adjacent pairs (via the shingle machinery with n=2,
+    multiplicity kept — LM counts need it), keyed agg with map-side
+    partials, then a window keyed by the first token — never global."""
+    from pyspark.sql.window import Window as W
+
+    from gfe_db_spark.operators.dedup import shingles
+
+    pairs = (
+        shingles(docs, n=2, text_col=text_col, distinct=False)
+        .select(F.split("shingle", " ").alias("bg"))
+        .filter((F.size("bg") == 2) & (F.col("bg")[0] != "") & (F.col("bg")[1] != ""))
+        .select(F.col("bg")[0].alias("w1"), F.col("bg")[1].alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    w = W.partitionBy("w1").orderBy(F.desc("n"), F.asc("w2"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("w1", "w2", "n", "rank")
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
     """Document fingerprint: minimum digest over k-word rolling windows
     (winnowing-style selection with w = document). Identical up-to-window

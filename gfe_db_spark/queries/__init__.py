@@ -68,6 +68,7 @@ PRIORITY: tuple[str, ...] = (
     "text_tfidf_top_terms",
     "corpus_sample",
     "text_redact_pii",
+    "text_bigram_lm",
     # multimodal family
     "multimodal_metadata",
     "multimodal_features",

@@ -199,6 +199,34 @@ ORDER BY doc_id
 TEXT_REDACT_SQL = _redact_sql()
 
 
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM build: top-3 next tokens per token (count ≥ 2)."""
+    docs = table(spark, sf_dir, "documents")
+    return TX.bigram_next_tokens(docs, k=3, min_count=2).orderBy("w1", "rank")
+
+
+TEXT_BIGRAM_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+), bg AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                i -> [toks[i], toks[i + 1]])) AS pair
+  FROM t
+), pairs AS (
+  SELECT pair[1] AS w1, pair[2] AS w2, COUNT(*) AS n
+  FROM bg
+  WHERE pair[1] <> '' AND pair[2] <> ''
+  GROUP BY pair[1], pair[2]
+  HAVING COUNT(*) >= 2
+)
+SELECT w1, w2, n,
+       CAST(row_number() OVER (PARTITION BY w1 ORDER BY n DESC, w2) AS INT) AS rank
+FROM pairs
+QUALIFY rank <= 3
+ORDER BY w1, rank
+"""
+
+
 def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% corpus subsample (hash-gated, engine-portable):
     the reproducible alternative to df.sample() for training-data cuts."""
@@ -265,5 +293,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "text_redact_pii": QuerySpec(
         text_redact_pii, TEXT_REDACT_SQL, "PII scrub with audit counts"
+    ),
+    "text_bigram_lm": QuerySpec(
+        text_bigram_lm, TEXT_BIGRAM_SQL, "bigram LM top next-tokens"
     ),
 }
