@@ -305,3 +305,62 @@ def test_partitioned_upsert_cleans_staging_and_bootstrap_merge(spark, tmp_path):
     got = {r.k: r.v for r in read_bucketed(spark, target).collect()}
     assert got == {1: 16, 2: 1}
     assert not os.path.exists(target + ".staging")  # staging cleaned up
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Watermarked windowed agg (append mode): an event arriving in batch 2
+    with a timestamp older than the advanced watermark is dropped — its
+    window's emitted count excludes it (bounded-state contract at scale)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gfe_db_spark.streaming.structured import (
+        read_event_stream,
+        windowed_counts,
+    )
+
+    src = tmp_path / "stream"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), src / name)
+
+    hour = 3_600_000_000_000  # ns
+    # batch 1: events at t=0h and t=10h → watermark advances to 10h-2h = 8h
+    write_batch("b1.parquet", [
+        (1, 0 * hour, 1, "click", 1.0, "{}"),
+        (2, 10 * hour, 1, "click", 1.0, "{}"),
+    ])
+    out = windowed_counts(read_event_stream(spark, str(src)), window="1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: one on-time event (t=10h) and one LATE event back at t=0h
+    write_batch("b2.parquet", [
+        (3, 10 * hour, 1, "click", 1.0, "{}"),
+        (4, 0 * hour, 1, "click", 99.0, "{}"),  # late: window 0h closed at wm 8h
+    ])
+    q.processAllAvailable()
+    # advance watermark past 10h so that window also closes and emits
+    write_batch("b3.parquet", [(5, 20 * hour, 1, "click", 1.0, "{}")])
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {
+        r["window_start"]: (r["n"], r["total_value"])
+        for r in spark.sql("SELECT * FROM late_test").collect()
+    }
+    first_window = min(rows)
+    # the late event (value 99) did NOT make it into the closed first window
+    assert rows[first_window] == (1, 1.0)
+    # the 10h window counted both its on-time events
+    assert (2, 2.0) in rows.values()
