@@ -38,26 +38,41 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     predicate pushdown + column pruning (check via .explain: PushedFilters /
     ReadSchema).
 
-    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read it as nanos-long and convert to a
-    microsecond timestamp inside the scan projection (stays distributed,
-    truncation matches DuckDB's ms/µs flooring for positive epochs).
+    Timestamp encodings vary across driver testdata generations —
+    TIMESTAMP(NANOS) (vectorized reader rejects it; read nanos-long and
+    convert in the scan projection) and plain timestamp[us] (Spark 4 infers
+    TIMESTAMP_NTZ, which `unix_millis`/interval arithmetic reject). Both are
+    normalized here to session-zone TIMESTAMP; the session zone is pinned to
+    UTC (session.py) so the NTZ cast is value-preserving.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     ship_package(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        from pyspark.sql import functions as F
-
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+    df = spark.read.parquet(path)
+    return _normalize_timestamps(df)
+
+
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Rewrite nanos-long `ts` and any TIMESTAMP_NTZ column to TIMESTAMP."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    changed = False
+    for fname, dtype in df.dtypes:
+        if fname == "ts" and dtype == "bigint":
             # integer division: ts/1000 as double loses sub-µs precision at
             # ~1.7e18 ns (double ulp ≈ 0.25 µs there) → off-by-1-ms bugs
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+            cols.append(F.timestamp_micros(F.expr("ts div 1000")).alias("ts"))
+            changed = True
+        elif dtype == "timestamp_ntz":
+            cols.append(F.col(fname).cast("timestamp").alias(fname))
+            changed = True
+        else:
+            cols.append(F.col(fname))
+    return df.select(*cols) if changed else df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

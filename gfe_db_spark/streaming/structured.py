@@ -13,31 +13,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-long (see sources/tables.py)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over the events parquet (ST1's Spark-native
-    form: new files under the path are the 'new releases')."""
+    form: new files under the path are the 'new releases').
+
+    The file stream needs a declared schema; infer it from a static read of
+    the same path so the stream adapts to whichever timestamp encoding the
+    driver's generator used (nanos-long or TIMESTAMP_NTZ — see
+    sources/tables.py), then normalize `ts` to session-zone TIMESTAMP.
+    """
     import os
 
+    from gfe_db_spark.sources.tables import _normalize_timestamps
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
     if os.path.isfile(path):
         # FileStreamSource requires a directory or glob (its internal
         # basePath must be a directory); turn a bare file into a glob
         root, ext = os.path.splitext(path)
         path = f"{root}*{ext}"
-    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = spark.readStream.schema(schema).parquet(path)
+    return _normalize_timestamps(raw)
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

@@ -52,6 +52,21 @@ class ParityResult:
         return msg
 
 
+def _numeric_kind(dtype) -> str:
+    """Classify a dtype as 'int' / 'float' / 'other' for strict comparison.
+
+    Only the int-vs-float distinction is enforced: object columns carry
+    heterogeneous payloads (Decimal, str, list) whose pandas dtype differs
+    legitimately between Spark's toPandas and DuckDB's fetchdf.
+    """
+    kind = getattr(dtype, "kind", "O")
+    if kind in "iu":
+        return "int"
+    if kind == "f":
+        return "float"
+    return "other"
+
+
 def compare(name: str, spark_df, oracle_df: pd.DataFrame) -> ParityResult:
     sp = _normalize(spark_df.toPandas())
     oc = _normalize(oracle_df)
@@ -67,6 +82,18 @@ def compare(name: str, spark_df, oracle_df: pd.DataFrame) -> ParityResult:
         return res
     for col in sp.columns:
         a, b = sp[col], oc[col]
+        kind_a, kind_b = _numeric_kind(a.dtype), _numeric_kind(b.dtype)
+        if kind_a != kind_b:
+            # The driver's value-hash is dtype-sensitive: an int64 Spark
+            # column vs a float64 oracle column hash-mismatches even when
+            # every value is equal (how q12 shipped red in round 2). Flag
+            # the int-vs-float class locally so it can't pass this gate.
+            res.ok = False
+            res.mismatches.append(
+                f"col {col}: numeric dtype kind differs "
+                f"(spark={a.dtype} [{kind_a}] vs oracle={b.dtype} [{kind_b}])"
+            )
+            continue
         a_na, b_na = a.isna(), b.isna()
         if not a_na.equals(b_na):
             res.ok = False
