@@ -51,6 +51,52 @@ def read_bucketed(spark, target_path: str) -> DataFrame:
     return df.drop("__bucket") if "__bucket" in df.columns else df
 
 
+def _sidecar_path(target_path: str) -> str:
+    """Bucket-count sidecar lives NEXT to the target directory (not inside
+    it) so neither full-overwrite bootstrap nor dynamic partition overwrite
+    can clobber it."""
+    return target_path.rstrip("/") + ".n_buckets"
+
+
+def _check_bucket_count(spark, target_path: str, n_buckets: int) -> None:
+    """Enforce one n_buckets per target across commits.
+
+    A commit with a different n_buckets silently mis-buckets keys — matched
+    rows are missed and the upsert degrades into duplicate-key appends — so
+    this is a hard error, not a warning. Legacy targets without a sidecar
+    are adopted: the current n_buckets is recorded and enforced from then
+    on (in-repo call sites were already consistent per target).
+    """
+    side = _sidecar_path(target_path)
+    if fs_exists(spark, side):
+        recorded = int(fs_read_text(spark, side).strip())
+        if recorded != n_buckets:
+            raise ValueError(
+                f"bucket-count mismatch for {target_path}: target was created "
+                f"with n_buckets={recorded}, commit requested {n_buckets}"
+            )
+    else:
+        fs_write_text(spark, side, str(n_buckets))
+
+
+def recover_staging(spark, target_path: str) -> bool:
+    """Drop a leftover ``.staging`` dir from a crashed commit; True if one
+    was found.
+
+    Safe at every crash point: before the dynamic overwrite starts the
+    target is untouched, and a crash mid-overwrite leaves a mix of old and
+    new partition dirs that replaying the same batch repairs (the merge
+    rules are idempotent — 'update' re-wins, 'create_only' re-keeps, a
+    merge_fn must be idempotent by contract). The staging copy itself is
+    never the source of truth, so deleting it is always correct.
+    """
+    staging = target_path + ".staging"
+    if fs_exists(spark, staging):
+        fs_delete(spark, staging)
+        return True
+    return False
+
+
 def partitioned_upsert(
     batch: DataFrame,
     target_path: str,
@@ -68,11 +114,13 @@ def partitioned_upsert(
     both inputs carry ``__bucket`` and the result must preserve it.
     """
     spark = batch.sparkSession
+    recover_staging(spark, target_path)
     if merge_fn is None:
         batch = batch.dropDuplicates(keys)
     batch = batch.withColumn("__bucket", bucket_expr(keys, n_buckets)).persist()
     try:
         if not fs_exists(spark, target_path):
+            _check_bucket_count(spark, target_path, n_buckets)
             if merge_fn is not None:
                 # the combine invariant must hold from the bootstrap commit
                 # too: merge the batch against an empty existing side
@@ -82,6 +130,7 @@ def partitioned_upsert(
             _write_bucketed(batch_merged, target_path)
             return sorted(r[0] for r in batch.select("__bucket").distinct().collect())
 
+        _check_bucket_count(spark, target_path, n_buckets)
         touched = sorted(r[0] for r in batch.select("__bucket").distinct().collect())
         existing = spark.read.parquet(target_path).filter(F.col("__bucket").isin(touched))
         if merge_fn is not None:
@@ -131,6 +180,29 @@ def fs_exists(spark, path: str) -> bool:
 def fs_delete(spark, path: str) -> None:
     fs, hpath = hadoop_fs(spark, path)
     fs.delete(hpath, True)
+
+
+def fs_write_text(spark, path: str, text: str) -> None:
+    """Small text file via the Hadoop FS API (works for file://, hdfs://,
+    s3a:// alike — sidecar metadata must live wherever the target lives)."""
+    fs, hpath = hadoop_fs(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def fs_read_text(spark, path: str) -> str:
+    fs, hpath = hadoop_fs(spark, path)
+    stream = fs.open(hpath)
+    try:
+        jvm = spark._jvm
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, jvm.java.nio.charset.StandardCharsets.UTF_8
+        )
+    finally:
+        stream.close()
 
 
 def _write_bucketed(df: DataFrame, path: str) -> None:

@@ -307,6 +307,88 @@ def test_partitioned_upsert_cleans_staging_and_bootstrap_merge(spark, tmp_path):
     assert not os.path.exists(target + ".staging")  # staging cleaned up
 
 
+def test_partitioned_upsert_rejects_bucket_count_change(spark, tmp_path):
+    """A later commit with a different n_buckets would silently mis-bucket
+    keys (missed matches → duplicate-key appends); the recorded sidecar
+    turns that into a hard error."""
+    import pytest as _pytest
+
+    from gfe_db_spark.plans.merge import partitioned_upsert, read_bucketed
+
+    target = str(tmp_path / "t")
+    base = spark.range(0, 100).selectExpr("id AS k", "id AS v")
+    partitioned_upsert(base, target, ["k"], n_buckets=8)
+    with _pytest.raises(ValueError, match="bucket-count mismatch"):
+        partitioned_upsert(base, target, ["k"], n_buckets=16)
+    # same count still works, and the target stayed consistent
+    partitioned_upsert(base, target, ["k"], n_buckets=8)
+    assert read_bucketed(spark, target).count() == 100
+
+
+def test_partitioned_upsert_adopts_legacy_target(spark, tmp_path):
+    """Targets created before the sidecar existed are adopted on the next
+    commit: the current n_buckets is recorded, then enforced."""
+    import os
+
+    import pytest as _pytest
+
+    from gfe_db_spark.plans.merge import partitioned_upsert
+
+    target = str(tmp_path / "t")
+    base = spark.range(0, 100).selectExpr("id AS k", "id AS v")
+    partitioned_upsert(base, target, ["k"], n_buckets=8)
+    os.remove(target + ".n_buckets")  # simulate a pre-sidecar target
+    partitioned_upsert(base, target, ["k"], n_buckets=8)
+    assert open(target + ".n_buckets").read().strip() == "8"
+    with _pytest.raises(ValueError, match="bucket-count mismatch"):
+        partitioned_upsert(base, target, ["k"], n_buckets=4)
+
+
+def test_partitioned_upsert_recovers_from_crashed_commit(spark, tmp_path):
+    """Crash between the staging write and the dynamic overwrite leaves a
+    .staging dir and an untouched target; the next commit drops the
+    leftover and replaying the batch converges to the correct state."""
+    import os
+
+    from gfe_db_spark.plans import merge as M
+    from gfe_db_spark.plans.merge import partitioned_upsert, read_bucketed
+
+    target = str(tmp_path / "t")
+    base = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+    partitioned_upsert(base, target, ["k"], n_buckets=4)
+
+    batch = spark.createDataFrame([(7, -1), (500, 1)], "k long, v long")
+    # simulate the crash: run the commit but fail right before the
+    # dynamic overwrite by making the staged read explode
+    real_write = M._write_bucketed
+    calls = []
+
+    def crashing_write(df, path):
+        real_write(df, path)
+        if path.endswith(".staging"):
+            calls.append(path)
+            raise RuntimeError("injected crash after staging write")
+
+    M._write_bucketed = crashing_write
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="injected crash"):
+            partitioned_upsert(batch, target, ["k"], n_buckets=4)
+    finally:
+        M._write_bucketed = real_write
+    assert calls and os.path.exists(target + ".staging")
+    # target unchanged by the crashed commit
+    assert read_bucketed(spark, target).filter("k = 7").collect()[0].v == 14
+
+    # replay: leftover staging is dropped, merge lands
+    partitioned_upsert(batch, target, ["k"], n_buckets=4)
+    assert not os.path.exists(target + ".staging")
+    out = read_bucketed(spark, target)
+    assert out.count() == 101
+    assert out.filter("k = 7").collect()[0].v == -1
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Watermarked windowed agg (append mode): an event arriving in batch 2
     with a timestamp older than the advanced watermark is dropped — its
