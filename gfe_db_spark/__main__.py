@@ -37,8 +37,18 @@ def cmd_build(args) -> int:
     spark = _spark("gfe-build")
     alleles = read_imgt_dat(spark, args.input)
     registry = AccessionRegistry(spark, args.registry or os.path.join(args.output, "registry"))
-    tables = build_release(spark, alleles, args.release, registry, limit=args.limit)
-    for name in ("gfe_sequences", "all_features", "all_groups", "all_cds"):
+    alignments = None
+    if args.alignments:
+        from gfe_db_spark.sources.msf import alignment_files_from_paths, read_alignments
+
+        alignments = read_alignments(spark, alignment_files_from_paths(args.alignments))
+    tables = build_release(
+        spark, alleles, args.release, registry, alignments=alignments, limit=args.limit
+    )
+    out_tables = ["gfe_sequences", "all_features", "all_groups", "all_cds"]
+    if tables.all_alignments is not None:
+        out_tables.append("all_alignments")
+    for name in out_tables:
         getattr(tables, name).write.mode("overwrite").parquet(
             os.path.join(args.output, name)
         )
@@ -103,6 +113,14 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("-o", "--output", required=True, help="output directory")
     b.add_argument("--registry", help="accession registry path (default <output>/registry)")
     b.add_argument("--limit", type=int, default=None, help="build at most N alleles (W1)")
+    b.add_argument(
+        "--alignments",
+        nargs="+",
+        default=None,
+        metavar="MSF",
+        help="MSF alignment files named <locus>_<type>.msf; enables the "
+        "all_alignments build table",
+    )
     b.set_defaults(fn=cmd_build)
 
     ld = sub.add_parser("load", help="incremental fetch+build+graph-load from a manifest")

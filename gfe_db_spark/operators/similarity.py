@@ -289,7 +289,11 @@ def quantize_embeddings(
         F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))) / F.lit(127.0), 9
     )
     out = base.withColumn("scale", scale)
-    q = F.transform(F.col("v"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"))
+    # an all-zero vector has scale 0; dividing by it would yield null/NaN q
+    # values silently. Divide by 1 instead — every element is 0, so q is the
+    # zero vector and rms_err 0, with the stored scale staying 0.
+    safe_scale = F.when(F.col("scale") == 0, F.lit(1.0)).otherwise(F.col("scale"))
+    q = F.transform(F.col("v"), lambda x: F.floor(x / safe_scale + F.lit(0.5)).cast("int"))
     with_q = out.withColumn("q", q)
     err2 = F.aggregate(
         F.zip_with(

@@ -130,8 +130,18 @@ class AccessionRegistry:
             .write.mode("overwrite")
             .parquet(compacting)
         )
+        # Own completion marker, written only after the staged write
+        # returned: clusters can disable the committer's _SUCCESS marker
+        # (mapreduce.fileoutputcommitter.marksuccessfuljobs=false), and
+        # recovery must not depend on committer configuration.
+        from gfe_db_spark.plans.merge import fs_write_text
+
+        fs_write_text(self.spark, compacting + "/_COMPACTION_COMPLETE", "ok")
         fs.delete(dst, True)
         fs.rename(HPath(compacting), dst)
+        # the marker has served its purpose; drop it so the registry dir
+        # holds only parquet parts (plus any committer bookkeeping)
+        fs.delete(HPath(self.path + "/_COMPACTION_COMPLETE"), False)
 
     def _recover(self) -> None:
         """Finish an interrupted compaction: if the registry dir is gone
@@ -140,8 +150,15 @@ class AccessionRegistry:
         fs, HPath = self._fs()
         compacting = HPath(self.path + ".compacting")
         if not fs.exists(HPath(self.path)) and fs.exists(compacting):
-            if fs.exists(HPath(self.path + ".compacting/_SUCCESS")):
+            complete = fs.exists(HPath(self.path + ".compacting/_COMPACTION_COMPLETE"))
+            # legacy staged dirs predate the explicit marker; their
+            # committer _SUCCESS is an acceptable completion witness
+            complete = complete or fs.exists(HPath(self.path + ".compacting/_SUCCESS"))
+            if complete:
                 fs.rename(compacting, HPath(self.path))
+                marker = HPath(self.path + "/_COMPACTION_COMPLETE")
+                if fs.exists(marker):
+                    fs.delete(marker, False)
             else:
                 # can't occur under the protocol (delete runs only after a
                 # successful staged write) — never destroy data silently

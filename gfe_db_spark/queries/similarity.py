@@ -202,7 +202,8 @@ WITH v0 AS (
   FROM v0
 ), qq AS (
   SELECT vec_id, scale, v,
-         list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS q
+         list_transform(v, x -> CAST(floor(
+             x / (CASE WHEN scale = 0 THEN 1.0 ELSE scale END) + 0.5) AS INT)) AS q
   FROM s
 )
 SELECT vec_id, scale,

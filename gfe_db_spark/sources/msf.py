@@ -56,6 +56,33 @@ def parse_msf_text(text: str) -> dict[str, str]:
     return {name: "".join(chunks) for name, chunks in seqs.items()}
 
 
+def alignment_files_from_paths(paths: list[str]) -> dict[tuple[str, str], str]:
+    """Map MSF paths named by the reference convention ``<locus>_<type>.msf``
+    (e.g. ``A_gen.msf`` → ``("gen", "HLA-A")``; ref app.py:97-124 builds the
+    same keys from its alignments directory listing). The locus prefix is
+    added the way the reference does unless the filename already carries it.
+    """
+    import os
+
+    files: dict[tuple[str, str], str] = {}
+    for path in paths:
+        stem = os.path.splitext(os.path.basename(path))[0]
+        if "_" not in stem:
+            raise ValueError(
+                f"MSF filename {path!r} not in '<locus>_<type>.msf' form"
+            )
+        locus, _, align_type = stem.rpartition("_")
+        if align_type not in _TYPE_ALIASES:
+            raise ValueError(
+                f"unknown alignment type {align_type!r} in {path!r}; "
+                f"expected one of {sorted(_TYPE_ALIASES)}"
+            )
+        if not locus.startswith("HLA-") and not locus.startswith("KIR"):
+            locus = f"HLA-{locus}"
+        files[(align_type, locus)] = path
+    return files
+
+
 def read_alignments(
     spark: SparkSession, files: dict[tuple[str, str], str]
 ) -> DataFrame:

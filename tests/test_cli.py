@@ -21,6 +21,22 @@ def test_cli_build_and_exit_code_contract(spark, tmp_path, capsys):
     assert ledger, "error ledger written"
 
 
+def test_cli_build_with_alignments(spark, tmp_path):
+    """--alignments feeds build_release(alignments=...) and writes the
+    fifth build table; filenames follow the reference's <locus>_<type>.msf
+    convention."""
+    dat = fx.write_release_dat(str(tmp_path), "3550")
+    msf_files = fx.write_msf(str(tmp_path))
+    out = str(tmp_path / "out")
+    rc = main(["build", "-i", dat, "-r", "3550", "-o", out,
+               "--alignments", *msf_files.values()])
+    assert rc == 2  # fixture still carries the no-CDS allele
+    aligns = spark.read.parquet(os.path.join(out, "all_alignments"))
+    assert {r.hla_name for r in aligns.collect()} == {
+        "HLA-A*01:01:01:01", "HLA-A*01:02",
+    }
+
+
 def test_cli_query_and_list(spark, tmp_path, capsys):
     rc = main(["query", "a7_label_counts", "--sf-dir", "/root/testdata/sf0.001",
                "-o", str(tmp_path / "res")])

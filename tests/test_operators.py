@@ -225,6 +225,32 @@ def test_quantize_embeddings_roundtrip_bound(spark):
         assert r.rms_err <= r.scale / 2 + 1e-12
 
 
+def test_hyperplane_and_probe_masks_pinned():
+    """Hard-coded expected outputs for the generators SHARED between the
+    Spark operators and their DuckDB oracle SQL (queries/lsh_sql.py). The
+    oracle is derived from these same fragments, so a generator bug would
+    cancel out in the hash-check; pinning literal values here keeps the
+    generator itself independently verified. Recompute by hand:
+    coordinate d of plane p = int(md5(f"{p}:{d}")[:8]) / 2**63 - 1."""
+    import hashlib
+
+    from gfe_db_spark.operators.dedup import probe_masks
+    from gfe_db_spark.operators.similarity import hyperplane
+
+    assert hyperplane(0, 4) == [
+        -0.5103722530494315,
+        0.013964474207067479,
+        0.6273674092571808,
+        0.3449757675994314,
+    ]
+    # independent recomputation straight from the definition
+    h = hashlib.md5(b"3:1").digest()
+    assert hyperplane(3, 2)[1] == int.from_bytes(h[:8], "big") / float(1 << 63) - 1.0
+    # probe neighborhooods: identity, then single-bit, then 2-bit XOR masks
+    assert probe_masks(8, 1) == [0, 1, 2, 4, 8, 16, 32, 64, 128]
+    assert probe_masks(4, 2) == [0, 1, 2, 4, 8, 3, 5, 9, 6, 10, 12]
+
+
 def test_deterministic_sample_stable_and_composable(spark):
     """Same (id, salt) → same kept set on every run; disjoint salts give
     different cuts; rate scales the kept fraction."""

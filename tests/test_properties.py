@@ -237,23 +237,70 @@ def test_registry_compaction_preserves_contents(spark, tmp_path_factory):
     assert sorted(final.values()) == list(range(1, 41))
 
 
+def test_registry_compaction_recovers_without_success_marker(spark, tmp_path_factory):
+    """Crash between delete and rename during compaction, on a cluster
+    where the committer's _SUCCESS marker is disabled: recovery promotes
+    the staged dir via the registry's own _COMPACTION_COMPLETE marker. A
+    staged dir with NO completion marker at all still refuses promotion."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from gfe_db_spark.plans.accession import AccessionRegistry
+
+    path = str(tmp_path_factory.mktemp("reg") / "registry")
+    reg = AccessionRegistry(spark, path)
+    feats = spark.createDataFrame(
+        [("HLA-A", "exon", 1, f"S{i}") for i in range(4)],
+        "locus string, term string, rank int, sequence string",
+    )
+    reg.assign(feats, release="3550")
+    before = {(r.locus, r.term, r.rank, r.sequence): r.accession for r in reg.load().collect()}
+
+    # simulate the crash point: registry deleted, fully-written staged dir
+    # present with our marker but WITHOUT the committer's _SUCCESS
+    shutil.move(path, path + ".compacting")
+    open(path + ".compacting/_COMPACTION_COMPLETE", "w").write("ok")
+    success = path + ".compacting/_SUCCESS"
+    if os.path.exists(success):
+        os.remove(success)
+
+    after = {(r.locus, r.term, r.rank, r.sequence): r.accession for r in reg.load().collect()}
+    assert after == before
+    assert os.path.isdir(path) and not os.path.exists(path + ".compacting")
+    assert not os.path.exists(path + "/_COMPACTION_COMPLETE")
+
+    # a partial staged dir (no marker of either kind) must not be promoted
+    shutil.move(path, path + ".compacting")
+    for m in ("_COMPACTION_COMPLETE", "_SUCCESS"):
+        p = os.path.join(path + ".compacting", m)
+        if os.path.exists(p):
+            os.remove(p)
+    with _pytest.raises(RuntimeError, match="manual recovery"):
+        reg.load()
+
+
 @given(
     vec=st.lists(
         st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
         min_size=1,
         max_size=16,
-    ).filter(lambda v: any(x != 0 for x in v))
+    )
 )
 @settings(**SETTINGS)
 def test_quantize_roundtrip_error_bound_property(spark, vec):
-    """For ANY nonzero vector: int8 quantization round-trips within
+    """For ANY vector — including all-zero, where scale is 0 and q must be
+    the zero vector rather than NaN — int8 quantization round-trips within
     scale/2 per element and q stays in int8 range (the operator contract,
     not just the fixture)."""
     from gfe_db_spark.operators.similarity import quantize_embeddings
 
     emb = spark.createDataFrame([(0, vec)], "vec_id long, embedding array<float>")
     r = quantize_embeddings(emb).collect()[0]
-    assert all(-128 <= q <= 127 for q in r.q)
+    assert all(q is not None and -128 <= q <= 127 for q in r.q)
+    if all(x == 0 for x in vec):
+        assert r.scale == 0 and set(r.q) == {0} and r.rms_err == 0
     # elementwise bound implies the rms bound; allow rounding slack on scale
     for x, q in zip([float(f) for f in emb.collect()[0].embedding], r.q):
         assert abs(x - q * r.scale) <= r.scale / 2 + 1e-9
