@@ -36,6 +36,10 @@ def cmd_build(args) -> int:
 
     spark = _spark("gfe-build")
     alleles = read_imgt_dat(spark, args.input)
+    if args.kir_input:
+        # reference fetches KIR.dat separately (constants.py:37) and unions
+        # its loci into the load set (constants.py:29); same stream here
+        alleles = alleles.unionByName(read_imgt_dat(spark, args.kir_input))
     registry = AccessionRegistry(spark, args.registry or os.path.join(args.output, "registry"))
     alignments = None
     if args.alignments:
@@ -43,7 +47,13 @@ def cmd_build(args) -> int:
 
         alignments = read_alignments(spark, alignment_files_from_paths(args.alignments))
     tables = build_release(
-        spark, alleles, args.release, registry, alignments=alignments, limit=args.limit
+        spark,
+        alleles,
+        args.release,
+        registry,
+        alignments=alignments,
+        limit=args.limit,
+        kir=bool(args.kir_input),
     )
     out_tables = ["gfe_sequences", "all_features", "all_groups", "all_cds"]
     if tables.all_alignments is not None:
@@ -113,6 +123,12 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("-o", "--output", required=True, help="output directory")
     b.add_argument("--registry", help="accession registry path (default <output>/registry)")
     b.add_argument("--limit", type=int, default=None, help="build at most N alleles (W1)")
+    b.add_argument(
+        "--kir-input",
+        default=None,
+        help="KIR.dat path; unions KIR alleles into the build and enables "
+        "the KIR loci filter",
+    )
     b.add_argument(
         "--alignments",
         nargs="+",

@@ -21,6 +21,18 @@ HLA_LOCI = [
     "HLA-A", "HLA-B", "HLA-C", "HLA-DRB1", "HLA-DQB1", "HLA-DPB1",
     "HLA-DQA1", "HLA-DPA1", "HLA-DRB3", "HLA-DRB4", "HLA-DRB5",
 ]
+# ref constants.py:20-27 (kir_loci); enabled via the kir flag the same way
+# `load_loci = hla_loci + kir_loci if kir else hla_loci` is (constants.py:29)
+KIR_LOCI = [
+    "KIR3DS1", "KIR3DP1", "KIR3DL3", "KIR3DL2", "KIR3DL1",
+    "KIR2DS5", "KIR2DS4", "KIR2DS3", "KIR2DS2", "KIR2DS1",
+    "KIR2DP1", "KIR2DL5B", "KIR2DL5A", "KIR2DL4",
+]
+
+
+def load_loci(kir: bool = False) -> list[str]:
+    """The processable locus set: HLA always, KIR when enabled."""
+    return [*HLA_LOCI, *KIR_LOCI] if kir else list(HLA_LOCI)
 # ref constants.py:7-11
 SKIP_ALLELES = [
     "HLA-DRB5*01:11", "HLA-DRB5*01:12", "HLA-DRB5*01:13", "HLA-DRB5*02:03",
@@ -52,16 +64,17 @@ def feature_order_key() -> F.Column:
     )
 
 
-def processable(alleles: DataFrame) -> DataFrame:
+def processable(alleles: DataFrame, kir: bool = False) -> DataFrame:
     """F1 (ref app.py:606-611) + F2 skip list (ref constants.py:7-11).
     Parse-errored records are excluded — they surface only in the error
     channel (ref app.py:630-667 skips the allele after logging), never as
-    half-built GFEs."""
+    half-built GFEs. kir=True adds the KIR loci (SO4 union,
+    ref constants.py:29)."""
     return alleles.filter(
         F.col("parse_error").isNull()
         & F.col("sequence").isNotNull()
         & (F.length("sequence") > 5)
-        & F.col("locus").isin([*HLA_LOCI, "DRB5"])
+        & F.col("locus").isin([*load_loci(kir), "DRB5"])
         & ~F.col("hla_name").isin(SKIP_ALLELES)
     )
 
@@ -74,6 +87,7 @@ def build_release(
     alignments: DataFrame | None = None,
     ard_mapping: DataFrame | None = None,
     limit: int | None = None,
+    kir: bool = False,
 ) -> BuildTables:
     """Run the full build for one release.
 
@@ -82,6 +96,9 @@ def build_release(
     ard_mapping: columns (hla_name, ard_name, ard_id) — the broadcast
         redux lookup that replaces the per-allele pyard call (C15); None
         emits the reference's "empty group" rows only.
+    kir: include KIR loci alongside HLA (ref constants.py:29 — the KIR.dat
+        records are unioned into the same allele stream upstream; the build
+        itself is locus-agnostic past this filter).
     """
     from gfe_db_spark.session import ship_package
 
@@ -89,7 +106,7 @@ def build_release(
 
     imgt_release = version_dotted(F.lit(release))
 
-    ok = processable(alleles)
+    ok = processable(alleles, kir=kir)
     if limit is not None:  # W1 (ref app.py:597-599)
         ok = ok.limit(limit)
 

@@ -144,6 +144,26 @@ def write_release_dat(tmpdir: str, release: str) -> str:
     return path
 
 
+# KIR allele names carry no 'HLA-' prefix; locus = name before '*'
+ALLELE_KIR = ("KIR00001", "KIR2DL4*0010101")
+
+
+def write_kir_dat(tmpdir: str) -> str:
+    """One-record KIR.dat analog (ref constants.py:37) in the same EMBL
+    envelope the HLA .dat uses."""
+    rec = embl_record(
+        ALLELE_KIR[0],
+        ALLELE_KIR[1],
+        [("UTR", None, U1), ("exon", 1, E1B), ("intron", 1, I1), ("exon", 2, E2), ("UTR", None, U2)],
+        translation="MK",
+    )
+    path = os.path.join(tmpdir, "KIR.dat")
+    with open(path, "w") as fh:
+        fh.write(rec)
+        fh.write("\n//\n")
+    return path
+
+
 MSF_A_GEN = """!!NA_MULTIPLE_ALIGNMENT
 
  A_gen.msf MSF: 20 Type: N Check: 0 ..

@@ -37,6 +37,18 @@ def test_cli_build_with_alignments(spark, tmp_path):
     }
 
 
+def test_cli_build_with_kir(spark, tmp_path):
+    """--kir-input unions KIR.dat alleles into the build stream and
+    enables the KIR loci filter."""
+    dat = fx.write_release_dat(str(tmp_path), "3550")
+    kir = fx.write_kir_dat(str(tmp_path))
+    out = str(tmp_path / "out")
+    rc = main(["build", "-i", dat, "-r", "3550", "-o", out, "--kir-input", kir])
+    assert rc == 2  # fixture still carries the no-CDS allele
+    seqs = spark.read.parquet(os.path.join(out, "gfe_sequences"))
+    assert seqs.filter(f"hla_name = '{fx.ALLELE_KIR[1]}'").count() == 1
+
+
 def test_cli_query_and_list(spark, tmp_path, capsys):
     rc = main(["query", "a7_label_counts", "--sf-dir", "/root/testdata/sf0.001",
                "-o", str(tmp_path / "res")])

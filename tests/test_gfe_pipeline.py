@@ -127,6 +127,34 @@ def test_accession_stability_across_releases(spark, tmp_path_factory):
     assert feats50_again == feats50
 
 
+def test_kir_loci_union(spark, parsed_3550, tmp_path_factory):
+    """SO4: kir=True widens the processable locus set to HLA ∪ KIR
+    (ref constants.py:29); default builds keep excluding KIR records."""
+    from gfe_db_spark.plans.build import processable
+
+    tmp = str(tmp_path_factory.mktemp("kir"))
+    kir = read_imgt_dat(spark, fx.write_kir_dat(tmp))
+    both = parsed_3550.unionByName(kir)
+
+    default_names = {r.hla_name for r in processable(both).collect()}
+    assert fx.ALLELE_KIR[1] not in default_names
+
+    kir_names = {r.hla_name for r in processable(both, kir=True).collect()}
+    assert fx.ALLELE_KIR[1] in kir_names
+    assert default_names < kir_names  # HLA set preserved, only widened
+
+    # the build itself is locus-agnostic past the filter: the KIR allele
+    # gets sequences/features rows like any HLA allele
+    reg_path = str(tmp_path_factory.mktemp("regk") / "registry")
+    built = build_release(
+        spark, both, "3550", AccessionRegistry(spark, reg_path), kir=True
+    )
+    seqs = {r.hla_name for r in built.gfe_sequences.collect()}
+    assert fx.ALLELE_KIR[1] in seqs
+    kir_feats = built.all_features.filter(f"locus = '{fx.ALLELE_KIR[1].split('*')[0]}'")
+    assert kir_feats.count() > 0
+
+
 def test_alignment_join(spark, built_3550, parsed_3550, tmp_path_factory):
     tmp = str(tmp_path_factory.mktemp("msf"))
     aligns = read_alignments(spark, fx.write_msf(tmp))
