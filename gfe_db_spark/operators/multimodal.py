@@ -157,6 +157,143 @@ def decode_bmp_rgb24(payload: bytes) -> tuple[int, int, float]:
     return width, height, total / n
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# bytes per pixel for the supported 8-bit color types
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # grayscale, RGB, RGBA
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_rgb8(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal 8-bit RGB PNG (color type 2, filter 0 scanlines, one IDAT,
+    stdlib zlib). `pixels` supplies width*height*3 bytes, cycled if short —
+    the deterministic fixture builder for the compressed decode path."""
+    import zlib as _z
+
+    need = width * height * 3
+    px = (pixels * (need // max(len(pixels), 1) + 2))[:need] if pixels else b"\x00" * need
+    raw = bytearray()
+    stride = width * 3
+    for r in range(height):
+        raw.append(0)  # filter type None
+        raw += px[r * stride : (r + 1) * stride]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+    """Reverse PNG scanline filters 0-4 (None/Sub/Up/Average/Paeth) —
+    the full public filter set, so any encoder's output decodes."""
+    stride = width * bpp
+    out = bytearray(height * stride)
+    pos = 0
+    for r in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = raw[pos : pos + stride]
+        pos += stride
+        base = r * stride
+        prev_base = base - stride
+        if ftype == 0:  # None
+            out[base : base + stride] = line
+        elif ftype == 1:  # Sub
+            for i, x in enumerate(line):
+                left = out[base + i - bpp] if i >= bpp else 0
+                out[base + i] = (x + left) & 0xFF
+        elif ftype == 2:  # Up
+            for i, x in enumerate(line):
+                up = out[prev_base + i] if r > 0 else 0
+                out[base + i] = (x + up) & 0xFF
+        elif ftype == 3:  # Average
+            for i, x in enumerate(line):
+                left = out[base + i - bpp] if i >= bpp else 0
+                up = out[prev_base + i] if r > 0 else 0
+                out[base + i] = (x + (left + up) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i, x in enumerate(line):
+                a = out[base + i - bpp] if i >= bpp else 0
+                b = out[prev_base + i] if r > 0 else 0
+                c = out[prev_base + i - bpp] if (r > 0 and i >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[base + i] = (x + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+    return out
+
+
+def decode_png(payload: bytes, max_pixels: int = 1 << 24) -> tuple[int, int, float]:
+    """Parse an 8-bit grayscale/RGB/RGBA non-interlaced PNG → (width,
+    height, mean channel byte) with stdlib zlib only. Same error contract
+    as the BMP decoder: unsupported variants, bad CRCs-at-structure-level,
+    dimension forgery, and truncated streams raise — never a silently
+    wrong mean. `max_pixels` bounds the inflate (zip-bomb guard: header
+    dimensions are attacker-controlled; decompressed size is checked
+    against them, not trusted from the stream)."""
+    import zlib as _z
+
+    if len(payload) < len(_PNG_SIG) + 25 or payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    width = height = None
+    bpp = None
+    idat = bytearray()
+    seen_end = False
+    while pos + 8 <= len(payload):
+        clen, tag = struct.unpack_from(">I4s", payload, pos)
+        pos += 8
+        if pos + clen + 4 > len(payload):
+            raise ValueError(f"truncated PNG chunk {tag!r}")
+        body = payload[pos : pos + clen]
+        pos += clen + 4  # skip CRC
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or ctype not in _PNG_CHANNELS:
+                raise ValueError(
+                    f"unsupported PNG variant (depth {depth}, color type {ctype})"
+                )
+            if comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError("unsupported PNG compression/filter/interlace")
+            if width <= 0 or height <= 0 or width * height > max_pixels:
+                raise ValueError(f"invalid PNG dimensions {width}x{height}")
+            bpp = _PNG_CHANNELS[ctype]
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            seen_end = True
+            break
+    if width is None or bpp is None:
+        raise ValueError("PNG missing IHDR")
+    if not idat or not seen_end:
+        raise ValueError("PNG missing IDAT/IEND")
+    expected = height * (1 + width * bpp)
+    raw = _z.decompressobj().decompress(bytes(idat), expected + 1)
+    if len(raw) != expected:
+        raise ValueError(
+            f"PNG pixel data mismatch: header declares {width}x{height} "
+            f"({expected} filtered bytes, {len(raw)} inflated)"
+        )
+    out = _png_unfilter(raw, width, height, bpp)
+    return width, height, sum(out) / len(out)
+
+
 def encode_wav_pcm8(sample_rate: int, samples: bytes) -> bytes:
     """Minimal RIFF/WAVE container, 8-bit PCM mono."""
     data_sz = len(samples)
@@ -215,12 +352,14 @@ MEDIA_STATS_SCHEMA = T.StructType(
 
 
 def decode_media_stats(media: DataFrame) -> DataFrame:
-    """REAL decode pass over binary media columns: BMP images and PCM WAV
-    audio are struct-parsed inside an Arrow-batched mapInPandas — header
-    validation, dimensions, and content statistics all computed from the
-    actual bytes. Unsupported/corrupt payloads land in `decode_error`
-    (never a silently wrong row). Compressed formats register the same
-    way once their libs exist — the Spark plan does not change."""
+    """REAL decode pass over binary media columns: BMP and PNG images
+    (zlib-inflated, scanlines unfiltered) and PCM WAV audio are parsed
+    inside an Arrow-batched mapInPandas — header validation, dimensions,
+    and content statistics all computed from the actual bytes, with the
+    container chosen by magic-byte sniffing. Unsupported/corrupt payloads
+    land in `decode_error` (never a silently wrong row). Codec-library
+    formats (JPEG/H.264) register the same way once their libs exist —
+    the Spark plan does not change."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -233,7 +372,12 @@ def decode_media_stats(media: DataFrame) -> DataFrame:
                 try:
                     b = bytes(payload) if payload is not None else b""
                     if kind == "image":
-                        w, h, mean = decode_bmp_rgb24(b)
+                        # sniff the container magic, as real ingestion must:
+                        # the kind column says "image", the bytes say which
+                        if b[: len(_PNG_SIG)] == _PNG_SIG:
+                            w, h, mean = decode_png(b)
+                        else:
+                            w, h, mean = decode_bmp_rgb24(b)
                     elif kind == "audio":
                         n_samp, rate, mean = decode_wav_pcm8(b)
                     else:

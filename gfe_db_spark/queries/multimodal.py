@@ -134,16 +134,24 @@ ORDER BY media_id
 
 
 def real_media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic REAL media fixture: image docs get a valid 8×4 24-bit
-    BMP whose pixels cycle md5(doc_id:img); audio docs a valid 8-bit PCM
-    WAV whose 192 samples cycle md5(doc_id:aud); video keeps an opaque
-    payload (no self-contained video format exists to hand-build). Built
-    in an Arrow-batched mapInPandas — the same shape real ingestion has."""
+    """Deterministic REAL media fixture: image docs get a valid 8×4 image
+    whose pixels cycle md5(doc_id:img) — alternating between 24-bit BMP and
+    zlib-compressed RGB PNG by doc parity, so both container decoders are
+    exercised; audio docs a valid 8-bit PCM WAV whose 192 samples cycle
+    md5(doc_id:aud); video keeps an opaque payload (no self-contained video
+    format exists to hand-build). Built in an Arrow-batched mapInPandas —
+    the same shape real ingestion has. 8×4×3 = 96 bytes is an exact
+    multiple of the 16-byte digest, so the pixel mean equals the digest
+    mean for both containers and the oracle needs no per-format branch."""
     import hashlib
 
     from pyspark.sql import types as T
 
-    from gfe_db_spark.operators.multimodal import encode_bmp_rgb24, encode_wav_pcm8
+    from gfe_db_spark.operators.multimodal import (
+        encode_bmp_rgb24,
+        encode_png_rgb8,
+        encode_wav_pcm8,
+    )
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
 
@@ -163,9 +171,8 @@ def real_media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 kind = KINDS[int(did) % 3]
                 if kind == "image":
-                    payload = encode_bmp_rgb24(
-                        8, 4, hashlib.md5(f"{did}:img".encode()).digest()
-                    )
+                    enc = encode_bmp_rgb24 if int(did) % 2 == 0 else encode_png_rgb8
+                    payload = enc(8, 4, hashlib.md5(f"{did}:img".encode()).digest())
                 elif kind == "audio":
                     payload = encode_wav_pcm8(
                         8000, hashlib.md5(f"{did}:aud".encode()).digest() * 12
@@ -181,11 +188,12 @@ def real_media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The REAL decode path end-to-end: build valid BMP/WAV payloads,
-    struct-parse them back inside mapInPandas (header validation +
-    dimensions + content stats), unsupported kinds to the error column.
-    The oracle recomputes every stat from the md5 bytes the payloads were
-    built from — the decode arithmetic is fully checked."""
+    """The REAL decode path end-to-end: build valid BMP/PNG/WAV payloads,
+    parse them back inside mapInPandas (magic sniffing, header validation,
+    zlib inflate + unfilter for PNG, dimensions + content stats),
+    unsupported kinds to the error column. The oracle recomputes every
+    stat from the md5 bytes the payloads were built from — the decode
+    arithmetic is fully checked."""
     from gfe_db_spark.operators.multimodal import decode_media_stats
 
     media = real_media_from_documents(spark, sf_dir)

@@ -330,6 +330,96 @@ def test_bmp_wav_roundtrip_and_error_channel(spark):
     assert "no decoder" in got[4].decode_error
 
 
+def test_png_roundtrip_filters_and_errors(spark):
+    """The zlib PNG codec: encode→decode is exact; every scanline filter
+    type (Sub/Up/Average/Paeth) unfilters correctly against an
+    independently hand-filtered stream; corrupt/forged payloads raise or
+    land in decode_error."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from gfe_db_spark.operators.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+        decode_media_stats,
+        decode_png,
+        encode_bmp_rgb24,
+        encode_png_rgb8,
+    )
+
+    px = bytes(range(96))
+    w, h, mean = decode_png(encode_png_rgb8(8, 4, px))
+    assert (w, h) == (8, 4)
+    assert mean == sum(px) / 96
+
+    # hand-filter a 2x2 grayscale image with each nontrivial filter type
+    # and check the decoder recovers the intended pixels
+    pixels = [[10, 20], [30, 250]]
+
+    def build(filters):
+        raw = bytearray()
+        prev = [0, 0]
+        for r, ftype in enumerate(filters):
+            line = pixels[r]
+            raw.append(ftype)
+            for i, x in enumerate(line):
+                left = line[i - 1] if i else 0
+                up = prev[i]
+                ul = prev[i - 1] if i else 0
+                if ftype == 0:
+                    raw.append(x)
+                elif ftype == 1:
+                    raw.append((x - left) & 0xFF)
+                elif ftype == 2:
+                    raw.append((x - up) & 0xFF)
+                elif ftype == 3:
+                    raw.append((x - (left + up) // 2) & 0xFF)
+                elif ftype == 4:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                    raw.append((x - pred) & 0xFF)
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # 8-bit grayscale
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    expect = sum(sum(r) for r in pixels) / 4
+    for filters in ([1, 2], [3, 4], [4, 3], [0, 4]):
+        assert decode_png(build(filters))[2] == expect, f"filters {filters}"
+
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"nope")
+    with _pytest.raises(ValueError, match="unsupported PNG variant"):
+        bad_ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)  # 16-bit
+        decode_png(_PNG_SIG + _png_chunk(b"IHDR", bad_ihdr) + _png_chunk(b"IEND", b""))
+    # dimension forgery: header says 8x8 but the stream holds 2x2
+    good = encode_png_rgb8(2, 2, bytes(12))
+    forged = bytearray(good)
+    ihdr_at = len(_PNG_SIG) + 8
+    struct.pack_into(">II", forged, ihdr_at, 8, 8)
+    with _pytest.raises(ValueError, match="mismatch|truncated|invalid|error"):
+        decode_png(bytes(forged))
+
+    # the distributed path sniffs the container per payload
+    rows = [
+        (1, "image", encode_png_rgb8(4, 4, bytes(48))),
+        (2, "image", encode_bmp_rgb24(4, 4, bytes(48))),
+        (3, "image", _PNG_SIG + b"garbage-after-signature"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = {r.media_id: r for r in decode_media_stats(media).collect()}
+    assert (got[1].width, got[1].height, got[1].mean_value) == (4, 4, 0.0)
+    assert (got[2].width, got[2].height, got[2].mean_value) == (4, 4, 0.0)
+    assert got[3].decode_error is not None and got[3].width is None
+
+
 def test_ivf_train_deterministic_and_improves(spark):
     """k-means training: deterministic across runs; distortion (mean
     distance to assigned centroid) does not increase with more
