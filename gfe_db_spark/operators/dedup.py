@@ -178,6 +178,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_counts(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination check: for every corpus document, how many
+    of its distinct word n-grams also appear in the benchmark set (the
+    train/test-overlap scan every training-data pipeline needs before a
+    release).
+
+    Shape at scale: distinct shingles both sides, then an equi-join on the
+    shingle string — the benchmark side is tiny relative to the corpus, so
+    Catalyst broadcasts it and the corpus is never shuffled; the per-doc
+    count is a keyed agg with map-side combine. Never all-pairs.
+    """
+    doc_sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    bench_sh = (
+        shingles(benchmark, n=n, text_col=text_col, id_col=id_col)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    # single pass: left-join the broadcast benchmark onto the corpus
+    # shingles, then one keyed agg computes totals and hits together —
+    # the corpus is scanned and shuffled once, not twice
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_contaminated"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_contaminated",
+            (F.col("n_contaminated") > 0).alias("contaminated"),
+        )
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash fingerprint per document (pandas UDF: bit packing has
     no builtin form). Near-dup = small Hamming distance between

@@ -1,0 +1,76 @@
+"""Sequence packing for training-data preparation: assign documents to
+fixed-token-budget packs (the concat-and-chunk step that turns a corpus
+into equal-length training examples).
+
+Exact greedy bin packing is inherently sequential, so the distributed
+form shards the corpus first (deterministic hash shard) and packs
+contiguously WITHIN each shard: a per-shard window cumsum places every
+document at a token offset, and its pack is the chunk containing that
+offset. Chunk boundaries may split a document across two packs — the
+`crosses_boundary` flag marks those, matching how concat-and-chunk
+loaders treat boundary tokens.
+
+Scale: the only shuffle is the window's hash partition on `shard`;
+parallelism = n_shards, so size n_shards to the cluster (a config knob,
+default 32). No global ordering, no driver iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gfe_db_spark.operators.text import hash_bucket_10k, tokenize
+
+DEFAULT_PACK_TOKENS = 512
+DEFAULT_SHARDS = 32
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int = DEFAULT_PACK_TOKENS,
+    n_shards: int = DEFAULT_SHARDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document a (shard, pack_id) under a `max_tokens` chunk
+    budget. Deterministic: shard is the engine-portable md5 gate (the same
+    one deterministic_split uses), order within a shard is `id_col`."""
+    toks = F.filter(tokenize(F.col(text_col)), lambda t: t != "")
+    base = docs.select(
+        F.col(id_col),
+        (hash_bucket_10k(id_col, "pack") % n_shards).alias("shard"),
+        F.size(toks).alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    cum = F.sum("n_tokens").over(w)
+    start = cum - F.col("n_tokens")
+    return base.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor(start / max_tokens).alias("pack_id"),
+        # last token index = cum - 1; a doc crosses iff its last token's
+        # chunk differs from its first token's (empty docs never cross)
+        (
+            (F.col("n_tokens") > 0)
+            & (F.floor((cum - 1) / max_tokens) > F.floor(start / max_tokens))
+        ).alias("crosses_boundary"),
+    )
+
+
+def pack_fill_stats(packed: DataFrame, max_tokens: int = DEFAULT_PACK_TOKENS) -> DataFrame:
+    """Per-(shard, pack) fill telemetry from `pack_sequences` output —
+    the feedback signal for tuning max_tokens vs document length mix."""
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_started"),
+        )
+        .withColumn(
+            "fill_ratio_started",
+            F.round(F.col("tokens_started") / F.lit(float(max_tokens)), 6),
+        )
+    )

@@ -249,6 +249,82 @@ def bigram_next_tokens(
     )
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Intra-document repetition signals (the Gopher-style quality rules
+    for machine-generated/looping text): duplicate-token fraction and the
+    share of all bigrams taken by the single most frequent bigram.
+
+    Shape at scale: the token stats are a narrow map (array builtins, no
+    explode); only the bigram mode needs an explode + two keyed aggs, all
+    map-side combinable and keyed by doc — no global shuffle hotspots.
+    """
+    toks = F.filter(tokenize(F.col(text_col)), lambda t: t != "")
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("toks"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    ).filter(F.col("n_tokens") >= 1)  # empty docs have no repetition signal
+    bigrams = base.select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        F.explode(
+            F.when(
+                F.col("n_tokens") >= 2,
+                F.zip_with(
+                    F.slice(F.col("toks"), 1, F.col("n_tokens") - 1),
+                    F.slice(F.col("toks"), 2, F.col("n_tokens") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            ).otherwise(F.array(F.lit(None).cast("string")))
+        ).alias("bigram"),
+    )
+    per_bigram = bigrams.groupBy(id_col, "n_tokens", "n_distinct", "bigram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_bigram.groupBy(id_col, "n_tokens", "n_distinct")
+        .agg(F.max(F.when(F.col("bigram").isNotNull(), F.col("c"))).alias("top_bigram_n"))
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens"), 6
+            ).alias("dup_token_frac"),
+            F.round(
+                F.col("top_bigram_n") / (F.col("n_tokens") - 1), 6
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+# per-language keep rates in basis points: oversample scarce languages,
+# downsample the head — the mixture-rebalancing knob of a corpus build
+STRATA_RATES_BP = {"en": 1000, "zh": 2500, "es": 2500, "de": 2500, "fr": 2500}
+STRATA_DEFAULT_BP = 5000
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates_bp: dict[str, int] | None = None,
+    default_bp: int = STRATA_DEFAULT_BP,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: each stratum keeps rows whose
+    hash gate falls under its own rate. Same engine-portable gate as
+    deterministic_sample, so re-runs/retries/other engines agree row for
+    row; the rate lookup is a CASE expression, not a join — a narrow map
+    over the scan."""
+    rates = rates_bp if rates_bp is not None else STRATA_RATES_BP
+    rate: Column = F.lit(default_bp)
+    for stratum, bp in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(bp)).otherwise(rate)
+    return docs.filter(hash_bucket_10k(id_col, salt) < rate)
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
     """Document fingerprint: minimum digest over k-word rolling windows
     (winnowing-style selection with w = document). Identical up-to-window

@@ -415,6 +415,34 @@ FROM b GROUP BY 1 ORDER BY split
 """
 
 
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test-overlap scan: distinct 3-gram shingles of every corpus
+    document joined against a pseudo-benchmark set (docs with
+    doc_id % 97 == 0 stand in for held-out eval data). Benchmark side is
+    broadcast; the corpus side never shuffles for the probe."""
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter("doc_id % 97 = 0")
+    return DD.contamination_counts(docs, bench, n=3).orderBy("doc_id")
+
+
+CONTAMINATION_SQL = _SHINGLE_CTE + """
+, bsh AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+), tot AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1
+), hits AS (
+  SELECT s.doc_id, COUNT(*) AS n_contaminated
+  FROM sh s JOIN bsh USING (shingle) GROUP BY 1
+)
+SELECT t.doc_id,
+       t.n_shingles,
+       CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       COALESCE(h.n_contaminated, 0) > 0 AS contaminated
+FROM tot t LEFT JOIN hits h USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "exact hash dedup"),
     "dedup_minhash_signatures": QuerySpec(
@@ -439,5 +467,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dedup_embedding_cosine": QuerySpec(
         dedup_embedding_cosine, DEDUP_EMBEDDING_SQL, "embedding near-dup pairs (LSH-bucketed)"
+    ),
+    "benchmark_contamination": QuerySpec(
+        benchmark_contamination, CONTAMINATION_SQL, "train/test n-gram overlap scan"
     ),
 }

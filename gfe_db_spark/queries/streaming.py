@@ -236,6 +236,48 @@ ORDER BY allele_id
 """
 
 
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup executed for real: the events parquet is
+    staged TWICE into the stream source dir (simulating an at-least-once
+    upstream), deduped on event_id within the watermark
+    (dropDuplicatesWithinWatermark — bounded state), and sunk to memory.
+    Correct dedup makes the sink equal one clean copy, so the per-type
+    counts are SQL-checkable against the original table."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from gfe_db_spark.streaming.structured import dedup_events, read_event_stream
+
+    staging = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        for copy in ("a", "b"):
+            shutil.copyfile(f"{sf_dir}/events.parquet", f"{staging}/{copy}.parquet")
+        name = f"sd_{uuid.uuid4().hex[:8]}"
+        events = read_event_stream(spark, staging)
+        q = (
+            dedup_events(events)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.sql(
+            f"SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events FROM {name} "
+            "GROUP BY event_type ORDER BY event_type"
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+STREAM_DEDUP_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sessionize": QuerySpec(sessionize, SESSIONIZE_SQL, "gap sessionization"),
     "tumbling_window": QuerySpec(tumbling_window, TUMBLING_SQL, "6h tumbling agg"),
@@ -248,5 +290,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "imgt_datasource_scan": QuerySpec(
         imgt_datasource_scan, IMGT_DS_SQL, "Python DataSource scan (S1)"
+    ),
+    "stream_dedup": QuerySpec(
+        stream_dedup, STREAM_DEDUP_SQL, "watermarked streaming dedup of a duplicated source"
     ),
 }

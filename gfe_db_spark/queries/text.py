@@ -276,6 +276,87 @@ ORDER BY doc_id, rank
 """
 
 
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals: duplicate-token
+    fraction and most-frequent-bigram share — the quality gate that
+    catches looping machine-generated text."""
+    docs = table(spark, sf_dir, "documents")
+    return TX.repetition_stats(docs).orderBy("doc_id")
+
+
+TEXT_REPETITION_SQL = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct
+  FROM t WHERE len(toks) >= 1
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM base WHERE n_tokens >= 2
+), bc AS (
+  SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2
+), mx AS (
+  SELECT doc_id, MAX(c) AS top_bigram_n FROM bc GROUP BY 1
+)
+SELECT b.doc_id,
+       b.n_tokens,
+       round(1.0 - b.n_distinct / CAST(b.n_tokens AS DOUBLE), 6) AS dup_token_frac,
+       round(CAST(m.top_bigram_n AS DOUBLE) / (b.n_tokens - 1), 6) AS top_bigram_frac
+FROM base b LEFT JOIN mx m USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling rates (mixture rebalancing):
+    the head language is downsampled, scarce languages kept at higher
+    rates — same engine-portable hash gate as corpus_sample."""
+    docs = table(spark, sf_dir, "documents")
+    return TX.stratified_sample(docs).select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || ':strat') & 4294967295 AS BIGINT)
+      % 10000 <
+      CASE lang WHEN 'en' THEN 1000 WHEN 'zh' THEN 2500 WHEN 'es' THEN 2500
+                WHEN 'de' THEN 2500 WHEN 'fr' THEN 2500 ELSE 5000 END
+ORDER BY doc_id
+"""
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: hash-sharded, per-shard window
+    cumsum assigns every document a (shard, pack_id) under a 512-token
+    budget, flagging documents split by a chunk boundary."""
+    from gfe_db_spark.operators.packing import pack_sequences as pack
+
+    docs = table(spark, sf_dir, "documents")
+    return pack(docs, max_tokens=512, n_shards=32).orderBy("doc_id")
+
+
+PACK_SEQUENCES_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || ':pack') & 4294967295 AS BIGINT)
+           % 10000 % 32 AS shard,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id,
+       (n_tokens > 0 AND FLOOR((cum - 1) / 512.0) > FLOOR((cum - n_tokens) / 512.0))
+         AS crosses_boundary
+FROM c ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_SQL, "token counting"),
     "text_quality_scores": QuerySpec(text_quality_scores, TEXT_QUALITY_SQL, "quality signals"),
@@ -296,5 +377,14 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "text_bigram_lm": QuerySpec(
         text_bigram_lm, TEXT_BIGRAM_SQL, "bigram LM top next-tokens"
+    ),
+    "text_repetition_stats": QuerySpec(
+        text_repetition_stats, TEXT_REPETITION_SQL, "intra-doc repetition signals"
+    ),
+    "stratified_sample": QuerySpec(
+        stratified_sample, STRATIFIED_SAMPLE_SQL, "per-stratum deterministic sampling"
+    ),
+    "pack_sequences": QuerySpec(
+        pack_sequences, PACK_SEQUENCES_SQL, "sharded concat-and-chunk packing"
     ),
 }

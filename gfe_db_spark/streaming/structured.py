@@ -69,6 +69,18 @@ def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = 
     )
 
 
+def dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id — the at-least-once → effectively-
+    once repair stage in front of any downstream agg. State is bounded by
+    the watermark (dropDuplicatesWithinWatermark): an id's dedup entry is
+    evicted once the watermark passes it, so replays inside the window are
+    dropped and state never grows with stream length — the 100 TB/day
+    shape, unlike unbounded dropDuplicates."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming query to completion against currently-available
     input (Trigger.AvailableNow semantics via processAllAvailable)."""

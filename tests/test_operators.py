@@ -225,6 +225,101 @@ def test_quantize_embeddings_roundtrip_bound(spark):
         assert r.rms_err <= r.scale / 2 + 1e-12
 
 
+def test_repetition_stats_signals(spark):
+    """Hand-computable repetition cases: a looping doc scores high on both
+    signals, a unique-token doc scores 0, single-token and empty docs get
+    the documented null/absent treatment."""
+    from gfe_db_spark.operators.text import repetition_stats
+
+    rows = [
+        (1, "a a a a"),         # dup 3/4, top bigram 'a a' 3 of 3
+        (2, "w x y z"),         # no repetition
+        (3, "solo"),            # no bigrams → null frac
+        (4, "  "),              # tokenless → dropped
+        (5, "b c b c b"),       # dup 3/5; 'b c' 2 of 4
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert set(got) == {1, 2, 3, 5}
+    assert (got[1].n_tokens, got[1].dup_token_frac, got[1].top_bigram_frac) == (4, 0.75, 1.0)
+    assert (got[2].dup_token_frac, got[2].top_bigram_frac) == (0.0, round(1 / 3, 6))
+    assert got[3].top_bigram_frac is None
+    assert (got[5].dup_token_frac, got[5].top_bigram_frac) == (0.6, 0.5)
+
+
+def test_pack_sequences_contiguous_invariants(spark):
+    """Packing invariants on real docs: pack_id equals the chunk holding
+    the doc's start offset, crossings match the per-shard running sum, and
+    shard assignment is the deterministic md5 gate (recomputed in plain
+    Python)."""
+    import hashlib
+
+    from gfe_db_spark.operators.packing import pack_fill_stats, pack_sequences
+    from gfe_db_spark.sources.tables import table
+    from tests.conftest import SF_SMOKE
+
+    docs = table(spark, SF_SMOKE, "documents")
+    cap = 128
+    out = pack_sequences(docs, max_tokens=cap, n_shards=8)
+    rows = sorted(out.collect(), key=lambda r: (r.shard, r.doc_id))
+    assert len(rows) == docs.count()
+    running = {}
+    for r in rows:
+        h = hashlib.md5(f"{r.doc_id}:pack".encode()).digest()
+        gate = int.from_bytes(h[:4], "little") % 10000
+        assert r.shard == gate % 8
+        start = running.get(r.shard, 0)
+        assert r.pack_id == start // cap
+        assert r.crosses_boundary == (
+            r.n_tokens > 0 and (start + r.n_tokens - 1) // cap > start // cap
+        )
+        running[r.shard] = start + r.n_tokens
+    fills = pack_fill_stats(out, max_tokens=cap).collect()
+    assert all(f.n_docs >= 1 and f.tokens_started >= 0 for f in fills)
+
+
+def test_contamination_counts_planted(spark):
+    """A doc sharing a 3-gram with the benchmark is flagged with the exact
+    overlap count; disjoint docs report zero. Benchmark docs contaminate
+    themselves fully (the self-report a real scan must produce)."""
+    from gfe_db_spark.operators.dedup import contamination_counts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "completely different words here now"),
+            (3, "we said the quick brown fox runs"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id = 1")
+    got = {r.doc_id: r for r in contamination_counts(docs, bench, n=3).collect()}
+    assert got[1].contaminated and got[1].n_contaminated == got[1].n_shingles == 3
+    assert not got[2].contaminated and got[2].n_contaminated == 0
+    # doc 3 shares 'the quick brown' and 'quick brown fox'
+    assert got[3].contaminated and got[3].n_contaminated == 2
+
+
+def test_stratified_sample_exact_gate(spark):
+    """The kept set is exactly the per-stratum hash gate (recomputed in
+    plain Python) — determinism and rate assignment in one check."""
+    import hashlib
+
+    from gfe_db_spark.operators.text import STRATA_DEFAULT_BP, STRATA_RATES_BP, stratified_sample
+    from gfe_db_spark.sources.tables import table
+    from tests.conftest import SF_SMOKE
+
+    docs = table(spark, SF_SMOKE, "documents")
+    kept = {r.doc_id for r in stratified_sample(docs).collect()}
+    expect = set()
+    for r in docs.select("doc_id", "lang").collect():
+        h = hashlib.md5(f"{r.doc_id}:strat".encode()).digest()
+        gate = int.from_bytes(h[:4], "little") % 10000
+        if gate < STRATA_RATES_BP.get(r.lang, STRATA_DEFAULT_BP):
+            expect.add(r.doc_id)
+    assert kept == expect and kept
+
+
 def test_hyperplane_and_probe_masks_pinned():
     """Hard-coded expected outputs for the generators SHARED between the
     Spark operators and their DuckDB oracle SQL (queries/lsh_sql.py). The

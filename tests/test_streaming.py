@@ -307,6 +307,41 @@ def test_partitioned_upsert_cleans_staging_and_bootstrap_merge(spark, tmp_path):
     assert not os.path.exists(target + ".staging")  # staging cleaned up
 
 
+def test_stream_dedup_replay_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark end to end: a replayed copy of the
+    whole input arriving in a LATER micro-batch adds nothing to the sink —
+    in-window duplicates are dropped by dedup state, older-than-watermark
+    replays by the late filter. Either way at-least-once input yields
+    effectively-once output."""
+    import shutil
+    import uuid
+
+    from gfe_db_spark.streaming.structured import dedup_events, read_event_stream
+    from tests.conftest import SF_SMOKE
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copyfile(f"{SF_SMOKE}/events.parquet", src / "a.parquet")
+    n_one_copy = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+
+    name = f"sdr_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_events(read_event_stream(spark, str(src)))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table(name).count() == n_one_copy
+        shutil.copyfile(f"{SF_SMOKE}/events.parquet", src / "b.parquet")  # replay
+        q.processAllAvailable()
+        assert spark.table(name).count() == n_one_copy
+    finally:
+        q.stop()
+
+
 def test_partitioned_upsert_rejects_bucket_count_change(spark, tmp_path):
     """A later commit with a different n_buckets would silently mis-bucket
     keys (missed matches → duplicate-key appends); the recorded sidecar
