@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     "sessionize",
     "graph_3hop_motif",
     "gfe_end_to_end",
+    # round-3 training-pipeline additions
+    "pack_sequences",
+    "benchmark_contamination",
+    "text_repetition_stats",
 ]
 
 
