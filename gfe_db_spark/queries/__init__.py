@@ -47,7 +47,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_lsh_pairs",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "dedup_minhash_est",
+    # dedup_minhash_est rotated out (r2-green, unchanged)
     "dedup_clusters",
     "dedup_keep_list",
     "corpus_prep_pipeline",
@@ -73,7 +73,7 @@ PRIORITY: tuple[str, ...] = (
     # multimodal family
     "multimodal_metadata",
     "multimodal_features",
-    "multimodal_frame_sample",
+    # multimodal_frame_sample rotated out (r2-green, unchanged)
     "multimodal_dedup",
     "multimodal_real_decode",
     # streaming: batch twins + real streaming executions + DataSource scan
@@ -96,6 +96,8 @@ PRIORITY: tuple[str, ...] = (
     "pack_sequences",
     "benchmark_contamination",
     "stream_dedup",
+    "sketch_distinct_accuracy",
+    "sketch_quantile_accuracy",
     "q9_profit_by_nation_year",
     "q11_important_balance",
     "q16_supplier_count_distribution",

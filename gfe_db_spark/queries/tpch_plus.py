@@ -589,6 +589,77 @@ ORDER BY l_returnflag
 """
 
 
+def sketch_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch family at 100 TB: approx_count_distinct (HLL) replaces
+    exact distinct where a bounded error buys removal of the dedup
+    shuffle. Approximate values can't hash-match across engines, so the
+    entry checks the ACCURACY CONTRACT instead: exact counts anchor the
+    hash, and each engine asserts ITS OWN sketch lands within 5% of exact
+    — stable booleans on deterministic data (HLL's default rsd is ~2%)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id").alias("n_approx"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("n_approx") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("approx_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SKETCH_DISTINCT_SQL = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+         <= 0.05 * COUNT(DISTINCT user_id) AS approx_within_5pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def sketch_quantile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile twin of pctl_quantity_by_flag under the same
+    accuracy-contract scheme: the exact interpolated percentiles anchor
+    the hash; each engine checks its own sketch against a ±1.0 absolute
+    band (l_quantity spans 1..50, so the band is 2% of range)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.5)).alias("median_exact"),
+            F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("m_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "median_exact",
+            (F.abs(F.col("m_approx") - F.col("median_exact")) <= 1.0).alias(
+                "approx_within_band"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SKETCH_QUANTILE_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS median_exact,
+       abs(approx_quantile(l_quantity, 0.5) - quantile_cont(l_quantity, 0.5)) <= 1.0
+         AS approx_within_band
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q4_order_priority": QuerySpec(q4_order_priority, Q4_SQL, "EXISTS semi-join group-count"),
     "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL, "pushdown scan scalar agg"),
@@ -609,4 +680,10 @@ QUERIES: dict[str, QuerySpec] = {
     "range_band_join": QuerySpec(range_band_join, RANGE_BAND_SQL, "broadcast interval join"),
     "asof_last_purchase": QuerySpec(asof_last_purchase, ASOF_SQL, "as-of via window carry-forward"),
     "pctl_quantity_by_flag": QuerySpec(pctl_quantity_by_flag, PCTL_SQL, "exact group percentiles"),
+    "sketch_distinct_accuracy": QuerySpec(
+        sketch_distinct_accuracy, SKETCH_DISTINCT_SQL, "HLL distinct accuracy contract"
+    ),
+    "sketch_quantile_accuracy": QuerySpec(
+        sketch_quantile_accuracy, SKETCH_QUANTILE_SQL, "approx-percentile accuracy contract"
+    ),
 }
