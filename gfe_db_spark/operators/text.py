@@ -325,6 +325,41 @@ def stratified_sample(
     return docs.filter(hash_bucket_10k(id_col, salt) < rate)
 
 
+def lm_cross_entropy(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document bigram-LM cross-entropy (the CCNet-style LM quality
+    filter, with the corpus itself as the model): avg over a doc's bigrams
+    of -ln p(w2|w1), where p = corpus count(w1,w2) / count(w1,·). Fluent,
+    typical text scores low; rare or shuffled token sequences score high.
+
+    Shape at scale: bigram explode → two keyed count aggs build the model;
+    scoring is a keyed equi-join of doc bigrams against model rows (the
+    model is a token-keyed table, broadcastable when the vocabulary is
+    small); per-doc mean is a map-side-combinable agg. No windows, no
+    all-pairs. Docs with fewer than two tokens have no bigrams and drop
+    out (no LM evidence either way)."""
+    from gfe_db_spark.operators.dedup import shingles
+
+    bg = (
+        shingles(docs, n=2, text_col=text_col, id_col=id_col, distinct=False)
+        .select(id_col, F.split("shingle", " ").alias("p"))
+        .filter((F.size("p") == 2) & (F.col("p")[0] != "") & (F.col("p")[1] != ""))
+        .select(id_col, F.col("p")[0].alias("w1"), F.col("p")[1].alias("w2"))
+    )
+    c_ab = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    c_a = c_ab.groupBy("w1").agg(F.sum("c_ab").alias("c_a"))
+    model = c_ab.join(c_a, "w1")
+    return (
+        bg.join(model, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("c_a")) - F.log(F.col("c_ab"))), 6).alias(
+                "avg_neg_logp"
+            ),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
     """Document fingerprint: minimum digest over k-word rolling windows
     (winnowing-style selection with w = document). Identical up-to-window

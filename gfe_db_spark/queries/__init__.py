@@ -63,7 +63,7 @@ PRIORITY: tuple[str, ...] = (
     "text_token_stats",
     "text_quality_scores",
     "text_lang_id",
-    "text_fingerprint",
+    # text_fingerprint rotated out (r2-green, unchanged)
     "text_split_assign",
     "text_vocab_top",
     "text_tfidf_top_terms",
@@ -98,6 +98,7 @@ PRIORITY: tuple[str, ...] = (
     "stream_dedup",
     "sketch_distinct_accuracy",
     "sketch_quantile_accuracy",
+    "text_lm_score",
     "q9_profit_by_nation_year",
     "q11_important_balance",
     "q16_supplier_count_distribution",

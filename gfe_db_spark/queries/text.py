@@ -357,6 +357,37 @@ FROM c ORDER BY doc_id
 """
 
 
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy per document (CCNet-style quality filter)
+    with the corpus itself as the model."""
+    docs = table(spark, sf_dir, "documents")
+    return TX.lm_cross_entropy(docs).orderBy("doc_id")
+
+
+TEXT_LM_SCORE_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+), bg0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS sh
+  FROM t
+), bg AS (
+  SELECT doc_id, split_part(sh, ' ', 1) AS w1, split_part(sh, ' ', 2) AS w2
+  FROM bg0 WHERE split_part(sh, ' ', 1) <> '' AND split_part(sh, ' ', 2) <> ''
+), c_ab AS (
+  SELECT w1, w2, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2
+), c_a AS (
+  SELECT w1, SUM(c_ab) AS c_a FROM c_ab GROUP BY 1
+)
+SELECT bg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(AVG(ln(c_a.c_a) - ln(c_ab.c_ab)), 6) AS avg_neg_logp
+FROM bg JOIN c_ab USING (w1, w2) JOIN c_a USING (w1)
+GROUP BY bg.doc_id
+ORDER BY bg.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_SQL, "token counting"),
     "text_quality_scores": QuerySpec(text_quality_scores, TEXT_QUALITY_SQL, "quality signals"),
@@ -386,5 +417,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "pack_sequences": QuerySpec(
         pack_sequences, PACK_SEQUENCES_SQL, "sharded concat-and-chunk packing"
+    ),
+    "text_lm_score": QuerySpec(
+        text_lm_score, TEXT_LM_SCORE_SQL, "bigram-LM cross-entropy quality score"
     ),
 }

@@ -320,6 +320,34 @@ def test_stratified_sample_exact_gate(spark):
     assert kept == expect and kept
 
 
+def test_lm_cross_entropy_orders_fluency(spark):
+    """Docs made of corpus-frequent bigrams score lower cross-entropy than
+    docs of one-off bigrams; a deterministic hand-check pins the math:
+    -ln p for a bigram seen c_ab times after a first token seen c_a times
+    is ln(c_a) - ln(c_ab)."""
+    import math
+
+    from gfe_db_spark.operators.text import lm_cross_entropy
+
+    rows = [
+        (1, "x y x y x y"),   # 'x y' dominant
+        (2, "x y x y"),
+        (3, "x q"),           # rare continuation of a common first token
+        (4, "solo"),          # no bigrams → absent
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in lm_cross_entropy(docs).collect()}
+    assert set(got) == {1, 2, 3}
+    # corpus counts: c('x y')=5, c('y x')=3, c('x q')=1 → c('x',·)=6, c('y',·)=3
+    h_xy = math.log(6) - math.log(5)
+    h_yx = math.log(3) - math.log(3)
+    h_xq = math.log(6) - math.log(1)
+    assert got[1].n_bigrams == 5
+    assert got[1].avg_neg_logp == round((3 * h_xy + 2 * h_yx) / 5, 6)
+    assert got[3].avg_neg_logp == round(h_xq, 6)
+    assert got[3].avg_neg_logp > got[1].avg_neg_logp  # rare ⇒ higher entropy
+
+
 def test_hyperplane_and_probe_masks_pinned():
     """Hard-coded expected outputs for the generators SHARED between the
     Spark operators and their DuckDB oracle SQL (queries/lsh_sql.py). The

@@ -322,3 +322,60 @@ def test_deterministic_sample_nested_property(spark, rates):
         if prev is not None:
             assert prev <= cur
         prev = cur
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=12
+    )
+)
+@settings(**SETTINGS)
+def test_repetition_stats_bounds_property(spark, texts):
+    """For ANY corpus: dup_token_frac ∈ [0, 1); top_bigram_frac ∈ (0, 1]
+    when defined; n_tokens matches a plain-Python tokenization; tokenless
+    docs are absent."""
+    from gfe_db_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    for i, text in enumerate(texts):
+        toks = [t for t in text.split() if t]
+        if not toks:
+            assert i not in got
+            continue
+        r = got[i]
+        assert r.n_tokens == len(toks)
+        assert abs(r.dup_token_frac - round(1 - len(set(toks)) / len(toks), 6)) < 1e-9
+        if len(toks) >= 2:
+            assert 0 < r.top_bigram_frac <= 1
+        else:
+            assert r.top_bigram_frac is None
+
+
+@given(
+    lengths=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=30),
+    cap=st.integers(min_value=8, max_value=64),
+)
+@settings(**SETTINGS)
+def test_pack_sequences_partition_property(spark, lengths, cap):
+    """For ANY token-length distribution and chunk budget: every shard's
+    packs tile its token stream exactly — pack_ids are the contiguous
+    chunk indices of the running offset, token mass is conserved, and
+    no pack_id is negative."""
+    from gfe_db_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(lengths)],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        pack_sequences(docs, max_tokens=cap, n_shards=4).collect(),
+        key=lambda r: (r.shard, r.doc_id),
+    )
+    assert len(rows) == len(lengths)
+    offset: dict[int, int] = {}
+    for r in rows:
+        start = offset.get(r.shard, 0)
+        assert r.pack_id == start // cap >= 0
+        offset[r.shard] = start + r.n_tokens
+    assert sum(offset.values()) == sum(n for n in lengths)
