@@ -118,6 +118,34 @@ def test_embedding_neardup_is_keyed_join(spark, specs):
     assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan)
 
 
+def test_pack_sequences_single_shard_shuffle(spark, specs):
+    # Packing's only data shuffle is the window's hash partition on
+    # `shard` (plus the presentation sort). A global (un-partitioned)
+    # window would serialize the whole corpus through one task.
+    plan = plan_of(run(specs, spark, "pack_sequences"))
+    assert re.search(r"hashpartitioning\([^)]*shard", plan), "window not sharded"
+    assert "SinglePartition" not in plan, "global window detected"
+    assert not re.search(r"Join", plan)
+
+
+def test_contamination_broadcasts_benchmark(spark, specs):
+    # The benchmark shingle set must broadcast onto the corpus probe — the
+    # corpus side joins without shuffling for the join itself.
+    plan = plan_of(run(specs, spark, "benchmark_contamination"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # exactly one corpus-side aggregate shuffle keyed by doc_id
+    assert re.search(r"hashpartitioning\([^)]*doc_id", plan)
+
+
+def test_repetition_stats_is_joinless(spark, specs):
+    # Repetition signals are explode + keyed aggs only: a join (e.g. a
+    # token self-join) would explode cost at corpus scale.
+    plan = plan_of(run(specs, spark, "text_repetition_stats"))
+    assert not re.search(r"Join", plan)
+    assert "CartesianProduct" not in plan
+
+
 def test_partitioned_upsert_scan_prunes_partitions(spark, tmp_path):
     # The MERGE substrate's read of the existing target must show a
     # partition filter on __bucket — the untouched-partition scan skip is
