@@ -55,8 +55,9 @@ PRIORITY: tuple[str, ...] = (
     # similarity / ANN family
     "knn_brute_force",
     "knn_ivf",
-    # knn_ivf_trained rotated out (r2 rows-only recorded, unchanged)
-    "ann_lsh_buckets",
+    # back in the window: gained the unrolled-Lloyd SQL oracle in r3
+    "knn_ivf_trained",
+    # ann_lsh_buckets rotated out (r2-green, unchanged)
     "ann_topk_join",
     "embedding_quantize",
     # text-analysis family

@@ -94,14 +94,82 @@ LIMIT 10
 
 def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with REAL k-means centroids (operators/similarity.ivf_train,
-    Lloyd's, deterministic): train → assign → probe. Rows-only: the
-    oracle cannot reasonably replay 2 distributed k-means iterations in
-    SQL; determinism is pinned by test_ivf_train_deterministic_and_improves."""
+    Lloyd's, deterministic): train → assign → probe. SQL-checkable
+    because training is reproducible by construction — init is the k
+    lowest-id vectors and each iteration's element-wise means are rounded
+    to 9 decimals (see ivf_train docstring), so the DuckDB oracle unrolls
+    the two Lloyd iterations exactly (same pattern as the unrolled
+    PageRank oracle in queries/graph.py)."""
     emb = table(spark, sf_dir, "embeddings")
     cents = SIM.ivf_train(emb, k=4, iters=2)
     assigned = SIM.ivf_assign(emb, cents)
     query = emb.filter(F.col("vec_id") == 0).select("embedding")
     return SIM.ivf_topk(assigned, cents, query, k=10, n_probe=2)
+
+
+def _lloyd_iteration_sql(prev: str, assign: str, means: str, out: str) -> str:
+    """One unrolled Lloyd iteration: assign every vector to its nearest
+    `prev` centroid (ties to the lowest centroid_id — ivf_assign's
+    min_by ordering), then element-wise means rounded to 9 decimals;
+    empty clusters keep their previous centroid."""
+    return f"""
+{assign} AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid), 9) DESC, c.centroid_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+), {means} AS (
+  SELECT centroid_id, i AS pos, round(AVG(CAST(embedding AS DOUBLE[])[i]), 9) AS m
+  FROM {assign} CROSS JOIN range(1, 65) t(i)
+  GROUP BY 1, 2
+), {out} AS (
+  SELECT p.centroid_id, COALESCE(g.centroid, p.centroid) AS centroid
+  FROM {prev} p LEFT JOIN (
+    SELECT centroid_id, list(m ORDER BY pos) AS centroid FROM {means} GROUP BY 1
+  ) g USING (centroid_id)
+)"""
+
+
+KNN_IVF_TRAINED_SQL = (
+    """
+WITH c0 AS (
+  SELECT CAST(vec_id AS INTEGER) AS centroid_id, CAST(embedding AS DOUBLE[]) AS centroid
+  FROM embeddings WHERE vec_id < 4
+),"""
+    + _lloyd_iteration_sql("c0", "a1", "m1", "c1")
+    + ","
+    + _lloyd_iteration_sql("c1", "a2", "m2", "c2")
+    + """
+, q AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+), assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid), 9) DESC, c.centroid_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN c2 c
+  ) WHERE rn = 1
+), probe AS (
+  SELECT centroid_id FROM (
+    SELECT c.centroid_id,
+           row_number() OVER (
+             ORDER BY round(list_cosine_similarity(c.centroid, CAST(q.qv AS DOUBLE[])), 9) DESC, c.centroid_id
+           ) AS rn
+    FROM c2 c CROSS JOIN q
+  ) WHERE rn <= 2
+)
+SELECT a.vec_id, round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 9) AS cos
+FROM assigned a JOIN probe p ON a.centroid_id = p.centroid_id CROSS JOIN q
+ORDER BY cos DESC, a.vec_id
+LIMIT 10
+"""
+)
 
 
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,7 +287,9 @@ QUERIES: dict[str, QuerySpec] = {
     "knn_brute_force": QuerySpec(knn_brute_force, KNN_BRUTE_SQL, "exact cosine top-k"),
     "knn_ivf": QuerySpec(knn_ivf, KNN_IVF_SQL, "IVF bucketed ANN"),
     "knn_ivf_trained": QuerySpec(
-        knn_ivf_trained, None, "IVF with k-means-trained centroids (rows-only)"
+        knn_ivf_trained,
+        KNN_IVF_TRAINED_SQL,
+        "IVF with k-means-trained centroids (unrolled Lloyd oracle)",
     ),
     "ann_lsh_buckets": QuerySpec(ann_lsh_buckets, ANN_LSH_SQL, "sign-LSH buckets"),
     "ann_topk_join": QuerySpec(
