@@ -175,8 +175,18 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.processAllAvailable()
     q.stop()
+    # update mode emits one row per user per micro-batch; the FINAL state
+    # (max n_events — emissions are strictly increasing per user) equals
+    # the batch aggregate, which makes the custom stateful operator
+    # SQL-checkable. total_value rounds to 6: the in-state pandas sum and
+    # the oracle's SUM may differ in the last ulp from summation order.
     return spark.sql(
-        f"SELECT user_id, n_events, total_value FROM {name} ORDER BY user_id"
+        f"""
+        SELECT user_id, n_events, round(total_value, 6) AS total_value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) AS rn
+          FROM {name}
+        ) WHERE rn = 1 ORDER BY user_id
+        """
     )
 
 
@@ -272,6 +282,14 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(staging, ignore_errors=True)
 
 
+STREAM_USER_TOTALS_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(SUM(COALESCE(value, 0)), 6) AS total_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 STREAM_DEDUP_SQL = """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events GROUP BY event_type ORDER BY event_type
@@ -283,7 +301,9 @@ QUERIES: dict[str, QuerySpec] = {
     "tumbling_window": QuerySpec(tumbling_window, TUMBLING_SQL, "6h tumbling agg"),
     "event_funnel": QuerySpec(event_funnel, EVENT_FUNNEL_SQL, "ordered funnel analysis"),
     "stream_user_totals": QuerySpec(
-        stream_user_totals, None, "applyInPandasWithState executed (rows-only)"
+        stream_user_totals,
+        STREAM_USER_TOTALS_SQL,
+        "applyInPandasWithState executed; final state vs batch aggregate",
     ),
     "stream_upsert_sink": QuerySpec(
         stream_upsert_sink, None, "foreachBatch bucketed MERGE sink + replay (rows-only)"
