@@ -395,26 +395,76 @@ def decode_media_stats(media: DataFrame) -> DataFrame:
     return cols.mapInPandas(run, schema=MEDIA_STATS_SCHEMA)
 
 
-RESIZERS: dict[str, Callable[[bytes, int, int], bytes]] = {}
+def _bmp_pixels(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Decode a supported BMP into top-down rows of raw RGB triples
+    (shares validation with decode_bmp_rgb24)."""
+    decode_bmp_rgb24(payload)  # full header/truncation validation
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    _, width, height, _, _ = struct.unpack_from("<IiiHH", payload, 14)
+    height = abs(height)
+    row_raw = width * 3
+    pad = (4 - row_raw % 4) % 4
+    rows = [
+        payload[offset + r * (row_raw + pad) : offset + r * (row_raw + pad) + row_raw]
+        for r in range(height)
+    ]
+    return width, height, rows
+
+
+def resize_bmp_nearest(payload: bytes, width: int, height: int) -> bytes:
+    """REAL resize for the self-contained BMP format: nearest-neighbor
+    resample of the decoded RGB grid, re-encoded as BMP. Raises on
+    non-BMP input (PIL/libvips decoders for compressed formats register
+    in RESIZERS the same way)."""
+    sw, sh, rows = _bmp_pixels(payload)
+    out = bytearray()
+    for ty in range(height):
+        sy = min(sh - 1, ty * sh // height)
+        src = rows[sy]
+        for tx in range(width):
+            sx = min(sw - 1, tx * sw // width)
+            out += src[sx * 3 : sx * 3 + 3]
+    return encode_bmp_rgb24(width, height, bytes(out))
+
+
+RESIZERS: dict[str, Callable[[bytes, int, int], bytes]] = {"image": resize_bmp_nearest}
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize: payloads route through an Arrow-batched mapInPandas
-    whose pixel transform comes from RESIZERS['image'] (register a PIL
-    round-trip to make it real). STUB default: deterministic passthrough —
-    the Spark plan (batching, schema, metadata update) is the real,
-    final contract."""
+    """Image resize: image-kind payloads route through an Arrow-batched
+    mapInPandas whose pixel transform comes from RESIZERS['image'] — real
+    nearest-neighbor BMP resampling by default (resize_bmp_nearest);
+    register a PIL round-trip for compressed formats. Non-image rows pass
+    through untouched; an undecodable image payload yields payload NULL
+    with the reason in `resize_error` (same errors-surface-not-swallow
+    contract as decode_media_stats)."""
+    import pyspark.sql.types as T
+
     resizer = RESIZERS.get("image", lambda payload, w, h: payload)
+    out_schema = T.StructType(
+        [*media.schema.fields, T.StructField("resize_error", T.StringType())]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["payload"] = pdf["payload"].map(
-                lambda b: None if b is None else resizer(bytes(b), width, height)
-            )
+            payloads, errs = [], []
+            for kind, b in zip(pdf["kind"], pdf["payload"]):
+                if kind != "image" or b is None:
+                    payloads.append(b)
+                    errs.append(None)
+                    continue
+                try:
+                    payloads.append(resizer(bytes(b), width, height))
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — error channel by contract
+                    payloads.append(None)
+                    errs.append(str(e))
+            pdf["payload"] = payloads
+            pdf["resize_error"] = errs
             yield pdf
 
-    resized = media.mapInPandas(run, schema=media.schema)
+    resized = media.mapInPandas(run, schema=out_schema)
     resized_meta = F.struct(
         F.lit(width).cast("int").alias("width"),
         F.lit(height).cast("int").alias("height"),

@@ -178,10 +178,47 @@ def test_multimodal_features(media):
 def test_multimodal_resize_and_frames(media):
     resized = {r["media_id"]: r for r in MM.resize_images(media, 32, 32).collect()}
     assert resized[1]["meta"]["width"] == 32 and resized[1]["meta"]["height"] == 32
-    assert bytes(resized[1]["payload"]) == b"fake-png-bytes"  # stub passthrough
+    # a fake payload is an ERROR now that the BMP resizer is real
+    assert resized[1]["payload"] is None and resized[1]["resize_error"] is not None
     frames = MM.sample_video_frames(media, every_ms=1000).collect()
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
     assert all(r["media_id"] == 2 for r in frames)
+
+
+def test_bmp_resize_nearest_real(spark):
+    """Real nearest-neighbor BMP resize: hand-checkable upscale (each
+    source pixel becomes a 2x2 block), downscale round-trips through the
+    decoder with correct dimensions, and non-image rows pass through."""
+    from gfe_db_spark.operators.multimodal import (
+        decode_bmp_rgb24,
+        encode_bmp_rgb24,
+        resize_bmp_nearest,
+    )
+
+    # 2x1 image: left pixel (1,2,3), right pixel (4,5,6) → 4x2 blocks
+    src = encode_bmp_rgb24(2, 1, bytes([1, 2, 3, 4, 5, 6]))
+    up = resize_bmp_nearest(src, 4, 2)
+    w, h, mean = decode_bmp_rgb24(up)
+    assert (w, h) == (4, 2)
+    assert mean == (2 * (1 + 2 + 3) + 2 * (4 + 5 + 6)) * 2 / 24
+
+    big = encode_bmp_rgb24(8, 4, bytes(range(96)))
+    down = resize_bmp_nearest(big, 2, 2)
+    assert decode_bmp_rgb24(down)[:2] == (2, 2)
+
+    rows = [
+        (1, "image", encode_bmp_rgb24(4, 4, bytes(48)), {"width": 4, "height": 4, "duration_ms": None}),
+        (2, "audio", b"not-an-image", {"width": None, "height": None, "duration_ms": None}),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,duration_ms:int>",
+    )
+    got = {r.media_id: r for r in MM.resize_images(media, 2, 2).collect()}
+    assert decode_bmp_rgb24(bytes(got[1].payload))[:2] == (2, 2)
+    assert got[1].resize_error is None
+    assert bytes(got[2].payload) == b"not-an-image" and got[2].resize_error is None
 
 
 def test_ann_topk_join_contract(spark):
