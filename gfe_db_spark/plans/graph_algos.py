@@ -133,3 +133,36 @@ def pagerank(
         )
         ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source: int,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-hop BFS (undirected): minimum hop count from `source` for
+    every node reachable within `iters` hops. Each iteration is one keyed
+    join (arcs ⨝ current distances) plus a min-aggregation — the standard
+    distributed relaxation; unreached nodes are simply absent, and fixed
+    `iters` keeps the plan finitely unrollable for the SQL oracle (same
+    scheme as pagerank). Lineage is cut per round."""
+    arcs = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    dist = arcs.sparkSession.createDataFrame([(source, 0)], "node long, dist long")
+    for _ in range(iters):
+        relaxed = (
+            arcs.join(dist, arcs.u == dist.node)
+            .select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

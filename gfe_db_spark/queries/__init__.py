@@ -36,11 +36,11 @@ PRIORITY: tuple[str, ...] = (
     # graph_undirected_2hop rotated out of the 50-entry window (r2-green,
     # unchanged) to make room for the round-3 entries below.
     "graph_3hop_motif",
-    "graph_degree_distribution",
+    # graph_degree_distribution / graph_triangle_count / graph_pagerank
+    # rotated out (r2-green, unchanged); BFS is the new iterative entry
+    "graph_bfs_hops",
     "gfe_end_to_end",
     "alignment_join",
-    "graph_triangle_count",
-    "graph_pagerank",
     # dedup family (beyond-reference LLM-pipeline core)
     "dedup_exact",
     "dedup_minhash_signatures",
@@ -64,8 +64,7 @@ PRIORITY: tuple[str, ...] = (
     "text_token_stats",
     "text_quality_scores",
     "text_lang_id",
-    # text_fingerprint rotated out (r2-green, unchanged)
-    "text_split_assign",
+    # text_fingerprint, text_split_assign rotated out (r2-green, unchanged)
     "text_vocab_top",
     "text_tfidf_top_terms",
     "corpus_sample",
@@ -100,6 +99,9 @@ PRIORITY: tuple[str, ...] = (
     "sketch_distinct_accuracy",
     "sketch_quantile_accuracy",
     "text_lm_score",
+    "ewma_user_value",
+    "copurchase_pairs",
+    "histogram_quantity",
     "q9_profit_by_nation_year",
     "q11_important_balance",
     "q16_supplier_count_distribution",

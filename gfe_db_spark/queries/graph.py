@@ -253,6 +253,50 @@ def _pagerank_sql(iters: int = 3, damping: float = 0.85, n_nodes: int = 25) -> s
 GRAPH_PAGERANK_SQL = _pagerank_sql()
 
 
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS from nation 0 over the trade graph: min hop count
+    within 3 hops (plans/graph_algos.bfs_distances — keyed join + min agg
+    per iteration, the third iterative graph algorithm next to connected
+    components and PageRank)."""
+    from gfe_db_spark.plans.graph_algos import bfs_distances
+
+    pairs = _trade_pairs(spark, sf_dir)
+    dist = bfs_distances(
+        pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")), source=0, iters=3
+    )
+    return dist.select(F.col("node").alias("nationkey"), F.col("dist").alias("hops")).orderBy(
+        "nationkey"
+    )
+
+
+def _bfs_sql(iters: int = 3, source: int = 0) -> str:
+    """Unrolled BFS oracle mirroring bfs_distances round for round."""
+    ctes = [
+        _TRADE_PAIRS_CTE.strip(),
+        "arcs AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs)",
+        f"d0 AS (SELECT CAST({source} AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""d{i + 1} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{i}
+    UNION ALL
+    SELECT a.v AS node, d.dist + 1 AS dist
+    FROM arcs a JOIN d{i} d ON a.u = d.node
+  ) GROUP BY node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node AS nationkey, dist AS hops FROM d{iters} ORDER BY nationkey"
+    )
+
+
+GRAPH_BFS_SQL = _bfs_sql()
+
+
 def alignment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1/S2 (ref app.py:269-321): the alignment build table, end to end —
     MSF parse → broadcast lookup join against the built GFE set → hash /
@@ -313,5 +357,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "graph_pagerank": QuerySpec(
         graph_pagerank, GRAPH_PAGERANK_SQL, "fixed-iteration PageRank"
+    ),
+    "graph_bfs_hops": QuerySpec(
+        graph_bfs_hops, GRAPH_BFS_SQL, "bounded-hop BFS distances"
     ),
 }

@@ -282,6 +282,46 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(staging, ignore_errors=True)
 
 
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values
+    (s_n = 0.2·v_n + 0.8·s_{n-1}, seeded s_1 = v_1) — a linear recurrence
+    no built-in window aggregate expresses. Spark-idiom: collect each
+    user's (bounded) event list, sort it, and fold with the higher-order
+    `aggregate` — sequential per key, parallel across keys, no Python.
+    At unbounded per-key history the same recurrence runs incrementally in
+    streaming state (stateful_user_totals' shape) instead of a collect."""
+    ev = table(spark, sf_dir, "events")
+    evs = F.array_sort(
+        F.collect_list(
+            F.struct("ts", "event_id", F.coalesce("value", F.lit(0.0)).alias("v"))
+        )
+    )
+    per_user = ev.groupBy("user_id").agg(evs.alias("evs"))
+    ewma = F.aggregate(
+        F.col("evs"),
+        F.lit(None).cast("double"),
+        lambda acc, e: F.when(acc.isNull(), e["v"]).otherwise(
+            F.lit(0.2) * e["v"] + F.lit(0.8) * acc
+        ),
+    )
+    return per_user.select(
+        "user_id",
+        F.size("evs").alias("n_events"),
+        F.round(ewma, 6).alias("ewma_value"),
+    ).orderBy("user_id")
+
+
+EWMA_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(list_reduce(
+         list(CAST(COALESCE(value, 0) AS DOUBLE) ORDER BY ts, event_id),
+         (acc, x) -> 0.2 * x + 0.8 * acc
+       ), 6) AS ewma_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 STREAM_USER_TOTALS_SQL = """
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -313,5 +353,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "stream_dedup": QuerySpec(
         stream_dedup, STREAM_DEDUP_SQL, "watermarked streaming dedup of a duplicated source"
+    ),
+    "ewma_user_value": QuerySpec(
+        ewma_user_value, EWMA_SQL, "per-user EWMA via higher-order fold"
     ),
 }

@@ -589,6 +589,73 @@ ORDER BY l_returnflag
 """
 
 
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top-20 part pairs appearing in the
+    same order (the association-mining candidate-pair join). The self-join
+    is keyed by order and each order holds a bounded handful of parts, so
+    the pair fan-out is O(orders × basket²) with a small constant — never
+    an unkeyed product; the count agg combines map-side."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+COPURCHASE_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+def histogram_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of l_quantity (10 buckets over [1, 51)) — the
+    data-profiling primitive; bucket arithmetic stays a narrow map and the
+    histogram is one keyed count agg."""
+    li = table(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.greatest(F.floor((F.col("l_quantity") - 1) / 5), F.lit(0)), F.lit(9)
+    ).cast("int")
+    return (
+        li.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 5 + 1).cast("double").alias("lo"),
+            (F.col("bucket") * 5 + 6).cast("double").alias("hi"),
+            "n_rows",
+        )
+        .orderBy("bucket")
+    )
+
+
+HISTOGRAM_SQL = """
+SELECT bucket,
+       CAST(bucket * 5 + 1 AS DOUBLE) AS lo,
+       CAST(bucket * 5 + 6 AS DOUBLE) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM (
+  SELECT CAST(least(greatest(floor((l_quantity - 1) / 5), 0), 9) AS INTEGER) AS bucket
+  FROM lineitem
+)
+GROUP BY bucket ORDER BY bucket
+"""
+
+
 def sketch_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch family at 100 TB: approx_count_distinct (HLL) replaces
     exact distinct where a bounded error buys removal of the dedup
@@ -680,6 +747,12 @@ QUERIES: dict[str, QuerySpec] = {
     "range_band_join": QuerySpec(range_band_join, RANGE_BAND_SQL, "broadcast interval join"),
     "asof_last_purchase": QuerySpec(asof_last_purchase, ASOF_SQL, "as-of via window carry-forward"),
     "pctl_quantity_by_flag": QuerySpec(pctl_quantity_by_flag, PCTL_SQL, "exact group percentiles"),
+    "copurchase_pairs": QuerySpec(
+        copurchase_pairs, COPURCHASE_SQL, "market-basket co-occurrence pairs"
+    ),
+    "histogram_quantity": QuerySpec(
+        histogram_quantity, HISTOGRAM_SQL, "equi-width histogram profile"
+    ),
     "sketch_distinct_accuracy": QuerySpec(
         sketch_distinct_accuracy, SKETCH_DISTINCT_SQL, "HLL distinct accuracy contract"
     ),
