@@ -78,8 +78,8 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_real_decode",
     # streaming: batch twins + real streaming executions + DataSource scan
     "sessionize",
-    "tumbling_window",
-    "event_funnel",
+    # tumbling_window, event_funnel rotated out (r2-green, unchanged; the
+    # gapfill entry exercises the bucket arithmetic end to end)
     "stream_user_totals",
     "stream_upsert_sink",
     "imgt_datasource_scan",
@@ -102,6 +102,8 @@ PRIORITY: tuple[str, ...] = (
     "ewma_user_value",
     "copurchase_pairs",
     "histogram_quantity",
+    "timeseries_gapfill_locf",
+    "unpivot_measures",
     "q9_profit_by_nation_year",
     "q11_important_balance",
     "q16_supplier_count_distribution",

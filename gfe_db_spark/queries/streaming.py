@@ -282,6 +282,69 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(staging, ignore_errors=True)
 
 
+def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-filled rollup: a dense 6-hour bucket grid per
+    event_type between the corpus bounds, zero-filled counts, and
+    last-observation-carried-forward for the bucket average (the
+    TimescaleDB time_bucket_gapfill + locf shape). The grid is
+    dimensions × generated sequence — both tiny relative to the facts —
+    and LOCF is `last(..., ignorenulls)` over a per-type window."""
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    bucketed = (
+        ev.groupBy(F.window("ts", "6 hours").start.alias("bucket"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_v"),
+        )
+    )
+    bounds = bucketed.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 6 HOURS"))).alias("bucket"),
+    )
+    w = W.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        grid.join(bucketed, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.last("avg_v", ignorenulls=True).over(w).alias("locf_value"),
+        )
+        .orderBy("event_type", "window_start")
+    )
+
+
+GAPFILL_SQL = """
+WITH b AS (
+  SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket, event_type,
+         COUNT(*) AS n, round(AVG(value), 6) AS avg_v
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM b
+), grid AS (
+  SELECT t.event_type, g.bucket
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL '6 hours')) AS bucket
+              FROM bounds) g
+)
+SELECT g.event_type,
+       strftime(g.bucket, '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(COALESCE(b.n, 0) AS BIGINT) AS n,
+       last_value(b.avg_v IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS locf_value
+FROM grid g LEFT JOIN b ON g.event_type = b.event_type AND g.bucket = b.bucket
+ORDER BY g.event_type, window_start
+"""
+
+
 def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponentially weighted moving average of event values
     (s_n = 0.2·v_n + 0.8·s_{n-1}, seeded s_1 = v_1) — a linear recurrence
@@ -356,5 +419,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ewma_user_value": QuerySpec(
         ewma_user_value, EWMA_SQL, "per-user EWMA via higher-order fold"
+    ),
+    "timeseries_gapfill_locf": QuerySpec(
+        timeseries_gapfill_locf, GAPFILL_SQL, "gap-filled rollup with LOCF"
     ),
 }

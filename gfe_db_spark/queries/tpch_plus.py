@@ -656,6 +656,44 @@ GROUP BY bucket ORDER BY bucket
 """
 
 
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (DataFrame.unpivot / SQL UNPIVOT): per-flag
+    measure totals melted to (flag, measure, total) rows — the reporting
+    reshape every profiling surface needs. Decimal-routed sums keep the
+    totals engine-exact before the narrow-map reshape."""
+    li = table(spark, sf_dir, "lineitem")
+
+    def dsum(col: str):
+        return F.sum(F.col(col).cast("decimal(30,8)")).cast("double")
+
+    agg = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("quantity"),
+        dsum("l_extendedprice").alias("extendedprice"),
+        dsum("l_discount").alias("discount"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["quantity", "extendedprice", "discount"],
+        variableColumnName="measure",
+        valueColumnName="total",
+    ).orderBy("l_returnflag", "measure")
+
+
+UNPIVOT_SQL = """
+WITH agg AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS quantity,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS extendedprice,
+         CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) AS discount
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'quantity' AS measure, quantity AS total FROM agg
+UNION ALL SELECT l_returnflag, 'extendedprice', extendedprice FROM agg
+UNION ALL SELECT l_returnflag, 'discount', discount FROM agg
+ORDER BY l_returnflag, measure
+"""
+
+
 def sketch_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch family at 100 TB: approx_count_distinct (HLL) replaces
     exact distinct where a bounded error buys removal of the dedup
@@ -749,6 +787,9 @@ QUERIES: dict[str, QuerySpec] = {
     "pctl_quantity_by_flag": QuerySpec(pctl_quantity_by_flag, PCTL_SQL, "exact group percentiles"),
     "copurchase_pairs": QuerySpec(
         copurchase_pairs, COPURCHASE_SQL, "market-basket co-occurrence pairs"
+    ),
+    "unpivot_measures": QuerySpec(
+        unpivot_measures, UNPIVOT_SQL, "wide-to-long unpivot reshape"
     ),
     "histogram_quantity": QuerySpec(
         histogram_quantity, HISTOGRAM_SQL, "equi-width histogram profile"
