@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "benchmark_contamination",
     "text_repetition_stats",
+    "timeseries_gapfill_locf",
 ]
 
 

@@ -307,6 +307,61 @@ def test_partitioned_upsert_cleans_staging_and_bootstrap_merge(spark, tmp_path):
     assert not os.path.exists(target + ".staging")  # staging cleaned up
 
 
+def test_ewma_matches_plain_recurrence(spark):
+    """The higher-order-fold EWMA equals the plain-Python recurrence on a
+    hand-ordered sequence (including a null value treated as 0)."""
+    from gfe_db_spark.queries.streaming import ewma_user_value
+    from gfe_db_spark.sources.tables import table
+    from tests.conftest import SF_SMOKE
+
+    ev = table(spark, SF_SMOKE, "events")
+    got = {r.user_id: r for r in ewma_user_value(spark, SF_SMOKE).collect()}
+    rows = sorted(
+        ev.select("user_id", "ts", "event_id", "value").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    expect: dict[int, float] = {}
+    for r in rows:
+        v = 0.0 if r.value is None else r.value
+        expect[r.user_id] = (
+            v if r.user_id not in expect else 0.2 * v + 0.8 * expect[r.user_id]
+        )
+    for uid, r in got.items():
+        assert abs(r.ewma_value - round(expect[uid], 6)) < 1e-6, uid
+
+
+def test_gapfill_locf_fills_planted_gap(spark, tmp_path):
+    """A bucket with no events appears in the gap-filled output with n=0
+    and the previous bucket's average carried forward."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gfe_db_spark.queries.streaming import timeseries_gapfill_locf
+
+    # events at hours 0-5 and 18-23 → the 06:00 and 12:00 buckets are gaps
+    ts = [pd.Timestamp("2024-03-01 01:00:00"), pd.Timestamp("2024-03-01 19:00:00")]
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": ts,
+            "user_id": [1, 1],
+            "event_type": ["click", "click"],
+            "value": [10.0, 30.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(pdf), d / "events.parquet")
+    out = {r.window_start: r for r in timeseries_gapfill_locf(spark, str(d)).collect()}
+    assert len(out) == 4  # 00,06,12,18
+    assert out["2024-03-01 06:00:00"].n == 0
+    assert out["2024-03-01 06:00:00"].locf_value == 10.0  # carried forward
+    assert out["2024-03-01 12:00:00"].n == 0
+    assert out["2024-03-01 18:00:00"].locf_value == 30.0
+
+
 def test_stream_dedup_replay_across_batches(spark, tmp_path):
     """dropDuplicatesWithinWatermark end to end: a replayed copy of the
     whole input arriving in a LATER micro-batch adds nothing to the sink —
