@@ -104,6 +104,39 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_snapshot(args) -> int:
+    """S12 backup/restore/diff surface (the reference's backup scripts)."""
+    from gfe_db_spark.plans.load import GraphTables
+    from gfe_db_spark.plans.snapshots import (
+        list_snapshots,
+        load_snapshot,
+        save_snapshot,
+        snapshot_diff,
+    )
+
+    spark = _spark("gfe-snapshot")
+    if args.action == "save":
+        graph = GraphTables.load(spark, args.graph)
+        name = save_snapshot(graph, args.root)
+        print(f"saved {name}")
+    elif args.action == "list":
+        for name in list_snapshots(spark, args.root):
+            print(name)
+    elif args.action == "restore":
+        graph = load_snapshot(spark, args.root, args.version)
+        graph.save(args.graph)
+        print(f"restored {args.version or 'latest'} -> {args.graph}")
+    elif args.action == "diff":
+        versions = list_snapshots(spark, args.root)
+        if len(versions) < 2 and not (args.version and args.against):
+            print("need two snapshots to diff", file=sys.stderr)
+            return 1
+        old = load_snapshot(spark, args.root, args.against or versions[-2])
+        new = load_snapshot(spark, args.root, args.version or versions[-1])
+        snapshot_diff(old, new).show(50, truncate=False)
+    return 0
+
+
 def cmd_list(args) -> int:
     from gfe_db_spark.queries import all_queries
 
@@ -156,6 +189,14 @@ def main(argv: list[str] | None = None) -> int:
 
     ls = sub.add_parser("list", help="list registered queries")
     ls.set_defaults(fn=cmd_list)
+
+    sn = sub.add_parser("snapshot", help="graph snapshot save/list/restore/diff (S12)")
+    sn.add_argument("action", choices=["save", "list", "restore", "diff"])
+    sn.add_argument("--root", required=True, help="snapshot root directory")
+    sn.add_argument("--graph", help="graph dir (source for save, target for restore)")
+    sn.add_argument("--version", help="snapshot version, e.g. v0002 (default latest)")
+    sn.add_argument("--against", help="older version for diff (default second-latest)")
+    sn.set_defaults(fn=cmd_snapshot)
 
     args = p.parse_args(argv)
     return args.fn(args)

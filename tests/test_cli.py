@@ -60,6 +60,37 @@ def test_cli_query_and_list(spark, tmp_path, capsys):
     assert "q1_pricing_summary" in listing and "gfe_end_to_end" in listing
 
 
+def test_cli_snapshot_roundtrip(spark, tmp_path, capsys):
+    """snapshot save → list → restore round-trips the graph through the
+    versioned store from the command surface."""
+    import json
+
+    remote = tmp_path / "remote"
+    remote.mkdir()
+    fx.write_release_dat(str(remote), "3550")
+    manifest = tmp_path / "m.json"
+    manifest.write_text(json.dumps({
+        "releases": {"3550": f"file://{remote}/hla.3550.dat"}
+    }))
+    graph = tmp_path / "graph"
+    assert main([
+        "load", "--manifest", f"file://{manifest}",
+        "--staging", str(tmp_path / "st"),
+        "--state", str(tmp_path / "state.json"),
+        "--registry", str(tmp_path / "reg"),
+        "--graph", str(graph),
+    ]) == 0
+    root = str(tmp_path / "snaps")
+    assert main(["snapshot", "save", "--root", root, "--graph", str(graph)]) == 0
+    assert main(["snapshot", "list", "--root", root]) == 0
+    assert "v0001" in capsys.readouterr().out
+    restored = tmp_path / "graph2"
+    assert main(["snapshot", "restore", "--root", root, "--graph", str(restored)]) == 0
+    a = spark.read.parquet(str(graph / "nodes_gfe"))
+    b = spark.read.parquet(str(restored / "nodes_gfe"))
+    assert a.count() == b.count() > 0
+
+
 def test_cli_load_from_manifest(spark, tmp_path):
     remote = tmp_path / "remote"
     remote.mkdir()
