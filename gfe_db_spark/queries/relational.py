@@ -29,7 +29,7 @@ def _dsum(col, scale: int = 8):
 
     Per-row double→decimal conversion is deterministic; decimal addition is
     exact; final cast to double is round-to-nearest. Matches the SQL pattern
-    CAST(SUM(CAST(x AS DECIMAL(30,s))) AS DOUBLE).
+    CAST(CAST(SUM(CAST(x AS DECIMAL(30,s))) AS VARCHAR) AS DOUBLE).
     """
     c = col if not isinstance(col, str) else F.col(col)
     return F.sum(c.cast(f"decimal(30,{scale})")).cast("double")
@@ -68,13 +68,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,8))) AS DOUBLE) AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS avg_price,
-       CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -104,7 +104,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_SQL = """
 SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
@@ -144,7 +144,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q5_SQL = """
 SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -340,7 +340,7 @@ def a_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 A_HAVING_SQL = """
 SELECT o_custkey, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total_spend
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total_spend
 FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15 ORDER BY o_custkey
 """
 
@@ -360,7 +360,7 @@ def a_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 A_ROLLUP_SQL = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 """
@@ -465,9 +465,9 @@ def f6_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 F6_SQL = """
 SELECT user_id,
-       CAST(SUM(CASE WHEN event_type='click' THEN CAST(value AS DECIMAL(30,8)) END) AS DOUBLE) AS click,
-       CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(30,8)) END) AS DOUBLE) AS purchase,
-       CAST(SUM(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(30,8)) END) AS DOUBLE) AS view
+       CAST(CAST(SUM(CASE WHEN event_type='click' THEN CAST(value AS DECIMAL(30,8)) END) AS VARCHAR) AS DOUBLE) AS click,
+       CAST(CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(30,8)) END) AS VARCHAR) AS DOUBLE) AS purchase,
+       CAST(CAST(SUM(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(30,8)) END) AS VARCHAR) AS DOUBLE) AS view
 FROM events GROUP BY user_id ORDER BY user_id
 """
 
@@ -497,7 +497,7 @@ def j1_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 J1_SQL = """
 SELECT p_brand,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue,
+       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
 WHERE p_brand IS NOT NULL
@@ -525,7 +525,7 @@ def j2_dimension_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 J2_SQL = """
 SELECT r_name, n_name, COUNT(*) AS n_customers,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS total_balance
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total_balance
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name ORDER BY r_name, n_name
@@ -588,10 +588,10 @@ def j6_cross_join_singleton(spark: SparkSession, sf_dir: str) -> DataFrame:
 J6_SQL = """
 WITH by_flag AS (
   SELECT l_returnflag,
-         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+         CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS revenue
   FROM lineitem GROUP BY l_returnflag
 ), total AS (
-  SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS total_revenue
+  SELECT CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total_revenue
   FROM lineitem
 )
 SELECT l_returnflag, revenue, round(revenue / total_revenue, 9) AS revenue_share
@@ -740,9 +740,9 @@ def w_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 W_RUNNING_SQL = """
 SELECT user_id, event_id,
-       CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER (
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_value
 FROM events ORDER BY user_id, event_id
 """
 
@@ -870,7 +870,7 @@ C10_SQL = """
 SELECT strftime(ts, '%Y-%m-%d') AS day,
        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
        COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2 ORDER BY day, hour_bucket
 """
 

@@ -86,7 +86,7 @@ def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 TUMBLING_SQL = """
 SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
 """
 
@@ -292,12 +292,25 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     ev = table(spark, sf_dir, "events")
+    # the 6-decimal mean is computed ENTIRELY in integer space: a double
+    # AVG differs across engines in the last ulp, and even on an identical
+    # double quotient round(·, 6) disagrees between Java (rounds the
+    # binary value) and DuckDB (rounds the decimal rendering) when the
+    # quotient sits on a .5e-6 boundary — both bit us at sf0.1. Exact
+    # decimal sum → scaled long → half-up integer division (values are
+    # non-negative), then one exact-power-of-ten double division.
+    x = (F.sum(F.col("value").cast("decimal(30,8)")) * F.lit(100000000)).cast("long")
+    n_rows = F.count(F.lit(1))
     bucketed = (
         ev.groupBy(F.window("ts", "6 hours").start.alias("bucket"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 6).alias("avg_v"),
+        .agg(n_rows.alias("n"), x.alias("x"))
+        .withColumn(
+            "avg_v",
+            (
+                F.expr("(2 * x + 100 * n) div (200 * n)").cast("double") / F.lit(1000000.0)
+            ),
         )
+        .drop("x")
     )
     bounds = bucketed.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
     types = ev.select("event_type").distinct()
@@ -323,7 +336,9 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 GAPFILL_SQL = """
 WITH b AS (
   SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket, event_type,
-         COUNT(*) AS n, round(AVG(value), 6) AS avg_v
+         COUNT(*) AS n,
+         CAST((2 * CAST(SUM(CAST(value AS DECIMAL(30,8))) * 100000000 AS BIGINT)
+               + 100 * COUNT(*)) // (200 * COUNT(*)) AS DOUBLE) / 1000000.0 AS avg_v
   FROM events GROUP BY 1, 2
 ), bounds AS (
   SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM b

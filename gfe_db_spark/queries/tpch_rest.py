@@ -100,9 +100,9 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q9_SQL = """
 SELECT n_name AS nation,
        CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
                      - 0.1 * p_retailprice * l_quantity
-                AS DECIMAL(30,8))) AS DOUBLE) AS sum_profit
+                AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN orders   ON l_orderkey = o_orderkey
@@ -132,11 +132,11 @@ def q11_important_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q11_SQL = """
 SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
-       CAST(SUM(CAST(s_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS total_bal
+       CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total_bal
 FROM supplier
 GROUP BY s_nationkey
-HAVING CAST(SUM(CAST(s_acctbal AS DECIMAL(30,8))) AS DOUBLE) >
-       (SELECT CAST(SUM(CAST(s_acctbal AS DECIMAL(30,8))) AS DOUBLE) * 0.04
+HAVING CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) >
+       (SELECT CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) * 0.04
         FROM supplier)
 ORDER BY total_bal DESC, s_nationkey
 """
@@ -238,7 +238,7 @@ WHERE s_suppkey IN (
   WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
     AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   GROUP BY l_partkey, l_suppkey
-  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) > 50
+  HAVING CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) > 50
 )
 ORDER BY s_suppkey
 """
