@@ -43,7 +43,7 @@ PRIORITY: tuple[str, ...] = (
     "alignment_join",
     # dedup family (beyond-reference LLM-pipeline core)
     "dedup_exact",
-    "dedup_minhash_signatures",
+    # dedup_minhash_signatures rotated out (r2-green, unchanged)
     "dedup_lsh_pairs",
     "dedup_ngram_jaccard",
     "dedup_simhash",
@@ -61,7 +61,7 @@ PRIORITY: tuple[str, ...] = (
     "ann_topk_join",
     "embedding_quantize",
     # text-analysis family
-    "text_token_stats",
+    # text_token_stats rotated out (r2-green, unchanged)
     "text_quality_scores",
     "text_lang_id",
     # text_fingerprint, text_split_assign rotated out (r2-green, unchanged)
@@ -72,8 +72,8 @@ PRIORITY: tuple[str, ...] = (
     "text_bigram_lm",
     # multimodal family
     "multimodal_metadata",
-    "multimodal_features",
-    # multimodal_frame_sample rotated out (r2-green, unchanged)
+    # multimodal_features, multimodal_frame_sample rotated out (r2-green,
+    # unchanged)
     "multimodal_dedup",
     "multimodal_real_decode",
     # streaming: batch twins + real streaming executions + DataSource scan
@@ -104,6 +104,9 @@ PRIORITY: tuple[str, ...] = (
     "histogram_quantity",
     "timeseries_gapfill_locf",
     "unpivot_measures",
+    "scd2_customer_history",
+    "attribution_last_touch",
+    "quality_decile_stats",
     "q9_profit_by_nation_year",
     "q11_important_balance",
     "q16_supplier_count_distribution",

@@ -282,6 +282,53 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(staging, ignore_errors=True)
 
 
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase event attributed to the same
+    user's most recent click strictly before it. The window carry-forward
+    form (conditional lag via max-of-click-ts over preceding rows) — one
+    shuffle on user_id, no per-pair range join, the same scale shape as
+    the as-of join."""
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow - 1)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    with_prev = ev.withColumn("last_click_ts", F.max(click_ts).over(w))
+    return (
+        with_prev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss").alias("attributed_click_ts"),
+            F.col("last_click_ts").isNotNull().alias("attributed"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+ATTRIBUTION_SQL = """
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(last_click_ts, '%Y-%m-%d %H:%M:%S') AS attributed_click_ts,
+       last_click_ts IS NOT NULL AS attributed
+FROM (
+  SELECT user_id, event_id, ts, event_type,
+         MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS last_click_ts
+  FROM events
+)
+WHERE event_type = 'purchase'
+ORDER BY user_id, event_id
+"""
+
+
 def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style gap-filled rollup: a dense 6-hour bucket grid per
     event_type between the corpus bounds, zero-filled counts, and
@@ -437,5 +484,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "timeseries_gapfill_locf": QuerySpec(
         timeseries_gapfill_locf, GAPFILL_SQL, "gap-filled rollup with LOCF"
+    ),
+    "attribution_last_touch": QuerySpec(
+        attribution_last_touch, ATTRIBUTION_SQL, "purchase→last-click attribution"
     ),
 }

@@ -357,6 +357,41 @@ FROM c ORDER BY doc_id
 """
 
 
+def quality_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length deciles (NTILE) with per-decile stats — the
+    feature-binning step of a quality-stratified corpus cut. Deterministic
+    tie-break on doc_id inside the window; one keyed window + one keyed
+    agg."""
+    from pyspark.sql.window import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        docs.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "decile")
+    )
+
+
+QUALITY_DECILE_SQL = """
+SELECT lang, decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM (
+  SELECT lang, n_chars,
+         CAST(NTILE(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS INTEGER)
+           AS decile
+  FROM documents
+)
+GROUP BY lang, decile
+ORDER BY lang, decile
+"""
+
+
 def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM cross-entropy per document (CCNet-style quality filter)
     with the corpus itself as the model."""
@@ -420,5 +455,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "text_lm_score": QuerySpec(
         text_lm_score, TEXT_LM_SCORE_SQL, "bigram-LM cross-entropy quality score"
+    ),
+    "quality_decile_stats": QuerySpec(
+        quality_decile_stats, QUALITY_DECILE_SQL, "per-language NTILE binning stats"
     ),
 }

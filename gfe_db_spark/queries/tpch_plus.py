@@ -656,6 +656,41 @@ GROUP BY bucket ORDER BY bucket
 """
 
 
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build: each customer's order
+    stream becomes validity intervals [valid_from, valid_to) carrying the
+    order's total as the tracked attribute; the open interval ends NULL.
+    One keyed window (lead over the change stream) — the warehouse
+    history-table shape; the as-of join (asof_last_purchase) is its
+    point-in-time read side."""
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+            F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd HH:mm:ss").alias(
+                "valid_to"
+            ),
+            F.col("o_totalprice").alias("totalprice"),
+            (F.lead("o_orderdate").over(w).isNull()).alias("is_current"),
+        )
+        .orderBy("custkey", "valid_from", "totalprice")
+    )
+
+
+SCD2_SQL = """
+SELECT o_custkey AS custkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(o_orderdate) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       o_totalprice AS totalprice,
+       lead(o_orderdate) OVER w IS NULL AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY custkey, valid_from, totalprice
+"""
+
+
 def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long reshape (DataFrame.unpivot / SQL UNPIVOT): per-flag
     measure totals melted to (flag, measure, total) rows — the reporting
@@ -793,6 +828,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "unpivot_measures": QuerySpec(
         unpivot_measures, UNPIVOT_SQL, "wide-to-long unpivot reshape"
+    ),
+    "scd2_customer_history": QuerySpec(
+        scd2_customer_history, SCD2_SQL, "SCD type-2 validity-interval build"
     ),
     "histogram_quantity": QuerySpec(
         histogram_quantity, HISTOGRAM_SQL, "equi-width histogram profile"
