@@ -361,7 +361,14 @@ def quality_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language length deciles (NTILE) with per-decile stats — the
     feature-binning step of a quality-stratified corpus cut. Deterministic
     tie-break on doc_id inside the window; one keyed window + one keyed
-    agg."""
+    agg.
+
+    Scale note: exact NTILE sorts each stratum in one task, which is fine
+    while strata are bounded (a handful of languages) but a bottleneck if
+    a stratum holds billions of rows. The scale path swaps the window for
+    approx_percentile decile BOUNDARIES (a JVM sketch, one pass) plus a
+    width-bucket comparison — same output shape, sketch-accuracy contract
+    as in sketch_quantile_accuracy."""
     from pyspark.sql.window import Window as W
 
     docs = table(spark, sf_dir, "documents")

@@ -362,6 +362,33 @@ def test_gapfill_locf_fills_planted_gap(spark, tmp_path):
     assert out["2024-03-01 18:00:00"].locf_value == 30.0
 
 
+def test_attribution_purchase_without_prior_click(spark, tmp_path):
+    """A purchase with no preceding click is unattributed; one with clicks
+    before AND after attributes to the latest strictly-before click."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gfe_db_spark.queries.streaming import attribution_last_touch
+
+    t0 = pd.Timestamp("2024-03-01 10:00:00")
+    rows = [
+        (1, t0, 1, "purchase", 1.0, "{}"),                       # no prior click
+        (2, t0 + pd.Timedelta(hours=1), 1, "click", 1.0, "{}"),
+        (3, t0 + pd.Timedelta(hours=2), 1, "click", 1.0, "{}"),
+        (4, t0 + pd.Timedelta(hours=3), 1, "purchase", 1.0, "{}"),
+        (5, t0 + pd.Timedelta(hours=4), 1, "click", 1.0, "{}"),  # after — ignored
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(pdf), d / "events.parquet")
+    got = {r.event_id: r for r in attribution_last_touch(spark, str(d)).collect()}
+    assert set(got) == {1, 4}
+    assert not got[1].attributed and got[1].attributed_click_ts is None
+    assert got[4].attributed and got[4].attributed_click_ts == "2024-03-01 12:00:00"
+
+
 def test_stream_dedup_replay_across_batches(spark, tmp_path):
     """dropDuplicatesWithinWatermark end to end: a replayed copy of the
     whole input arriving in a LATER micro-batch adds nothing to the sink —
