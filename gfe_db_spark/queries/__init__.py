@@ -49,7 +49,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     # dedup_minhash_est rotated out (r2-green, unchanged)
     "dedup_clusters",
-    "dedup_keep_list",
+    # dedup_keep_list rotated out (r2-green, unchanged)
     "corpus_prep_pipeline",
     "dedup_embedding_cosine",
     # similarity / ANN family
@@ -107,6 +107,7 @@ PRIORITY: tuple[str, ...] = (
     "scd2_customer_history",
     "attribution_last_touch",
     "quality_decile_stats",
+    "keep_latest_per_user",
     "q9_profit_by_nation_year",
     "q11_important_balance",
     "q16_supplier_count_distribution",

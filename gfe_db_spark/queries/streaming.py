@@ -282,6 +282,46 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(staging, ignore_errors=True)
 
 
+def keep_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest dedup via max_by (arg-max aggregate): each user's most
+    recent event row in ONE keyed aggregation with map-side partials —
+    the N-row-shuffle alternative to the rn=1 window for plain
+    latest-per-key (the same agg-over-window trade ivf_assign makes).
+    Deterministic: the ordering key (ts, event_id) is unique."""
+    ev = table(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by(F.struct("event_id", "ts", "event_type", "value"), key).alias("e"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("e.event_id").alias("event_id"),
+            F.date_format("e.ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            F.col("e.event_type").alias("event_type"),
+            F.col("e.value").alias("value"),
+            "n_events",
+        )
+        .orderBy("user_id")
+    )
+
+
+KEEP_LATEST_SQL = """
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       event_type, value, n_events
+FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id
+"""
+
+
 def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution: every purchase event attributed to the same
     user's most recent click strictly before it. The window carry-forward
@@ -487,5 +527,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "attribution_last_touch": QuerySpec(
         attribution_last_touch, ATTRIBUTION_SQL, "purchase→last-click attribution"
+    ),
+    "keep_latest_per_user": QuerySpec(
+        keep_latest_per_user, KEEP_LATEST_SQL, "arg-max keep-latest dedup"
     ),
 }
