@@ -146,6 +146,29 @@ def test_repetition_stats_is_joinless(spark, specs):
     assert "CartesianProduct" not in plan
 
 
+def test_keyed_window_entries_never_single_partition(spark, specs):
+    # SCD2 / attribution / keep-latest / EWMA are all keyed shapes: their
+    # windows and aggs must hash-partition on the key, never collapse to a
+    # single partition (which serializes the table through one task).
+    for name in (
+        "scd2_customer_history",
+        "attribution_last_touch",
+        "keep_latest_per_user",
+        "ewma_user_value",
+    ):
+        plan = plan_of(run(specs, spark, name))
+        assert "SinglePartition" not in plan, name
+        assert re.search(r"hashpartitioning\((o_custkey|user_id)", plan), name
+
+
+def test_copurchase_is_order_keyed_join(spark, specs):
+    # The basket self-join must be an equi-join on the order key — never a
+    # cartesian of the item table with itself.
+    plan = plan_of(run(specs, spark, "copurchase_pairs"))
+    assert "CartesianProduct" not in plan
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan)
+
+
 def test_partitioned_upsert_scan_prunes_partitions(spark, tmp_path):
     # The MERGE substrate's read of the existing target must show a
     # partition filter on __bucket — the untouched-partition scan skip is
