@@ -78,7 +78,10 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_real_decode",
     # streaming: batch twins + real streaming executions + DataSource scan
     "sessionize",
-    # tumbling_window, event_funnel rotated out (r2-green, unchanged; the
+    # tumbling_window, event_funnel rotated out (r2-green; their shared
+    # timestamp substrate changed in r3 — NTZ normalization — but both are
+    # re-verified by the full sf0.01/sf0.1 parity sweeps and the pytest
+    # mirror every run; the
     # gapfill entry exercises the bucket arithmetic end to end)
     "stream_user_totals",
     "stream_upsert_sink",
