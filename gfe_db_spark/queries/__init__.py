@@ -45,7 +45,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     # dedup_minhash_signatures rotated out (r2-green, unchanged)
     "dedup_lsh_pairs",
-    "dedup_ngram_jaccard",
+    # dedup_ngram_jaccard rotated out (r2-green, unchanged)
     "dedup_simhash",
     # dedup_minhash_est rotated out (r2-green, unchanged)
     "dedup_clusters",
@@ -111,6 +111,7 @@ PRIORITY: tuple[str, ...] = (
     "attribution_last_touch",
     "quality_decile_stats",
     "keep_latest_per_user",
+    "a_grouping_sets",
     "q9_profit_by_nation_year",
     "q11_important_balance",
     "q16_supplier_count_distribution",

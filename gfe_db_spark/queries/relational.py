@@ -385,6 +385,34 @@ ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 """
 
 
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup/cube specialize:
+    per-(status,priority), per-status, and grand-total rows in one
+    aggregation pass (Spark 4 DataFrame.groupingSets)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("o_totalprice").alias("total"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+A_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
 # ---------------------------------------------------------------------------
 # Filters / predicates (reference §2.2 F1-F10)
 # ---------------------------------------------------------------------------
@@ -970,6 +998,9 @@ QUERIES: dict[str, QuerySpec] = {
     "a_having_filter": QuerySpec(a_having_filter, A_HAVING_SQL, "HAVING gate"),
     "a_rollup": QuerySpec(a_rollup, A_ROLLUP_SQL, "rollup subtotals"),
     "a_cube": QuerySpec(a_cube, A_CUBE_SQL, "cube aggregation"),
+    "a_grouping_sets": QuerySpec(
+        a_grouping_sets, A_GROUPING_SETS_SQL, "explicit grouping sets"
+    ),
     "f1_processability_filter": QuerySpec(f1_processability_filter, F1_SQL, "filter F1"),
     "f2_skip_list_filter": QuerySpec(f2_skip_list_filter, F2_SQL, "skip-list F2"),
     "f5_regex_predicate": QuerySpec(f5_regex_predicate, F5_SQL, "regex F5"),
