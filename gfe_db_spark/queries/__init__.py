@@ -50,7 +50,7 @@ PRIORITY: tuple[str, ...] = (
     # dedup_minhash_est rotated out (r2-green, unchanged)
     "dedup_clusters",
     # dedup_keep_list rotated out (r2-green, unchanged)
-    "corpus_prep_pipeline",
+    # corpus_prep_pipeline rotated out (r2-green, unchanged)
     "dedup_embedding_cosine",
     # similarity / ANN family
     "knn_brute_force",
@@ -112,6 +112,7 @@ PRIORITY: tuple[str, ...] = (
     "quality_decile_stats",
     "keep_latest_per_user",
     "a_grouping_sets",
+    "fk_integrity_check",
     "q9_profit_by_nation_year",
     "q11_important_balance",
     "q16_supplier_count_distribution",

@@ -385,6 +385,69 @@ ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 """
 
 
+def fk_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity validation as a query: orphan counts per
+    foreign-key relationship (the Spark form of the reference's Neo4j
+    constraint checks — SURVEY §7 replaces constraints with assertion
+    queries). Each check is one anti-join keyed on the FK; dimension sides
+    broadcast, so at 100 TB only the fact scans shuffle-free probe."""
+    nation = table(spark, sf_dir, "nation").select("n_nationkey")
+    checks = [
+        (
+            "supplier->nation",
+            table(spark, sf_dir, "supplier").join(
+                F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "left_anti"
+            ),
+        ),
+        (
+            "customer->nation",
+            table(spark, sf_dir, "customer").join(
+                F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"), "left_anti"
+            ),
+        ),
+        (
+            "lineitem->orders",
+            table(spark, sf_dir, "lineitem").join(
+                table(spark, sf_dir, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+                "left_anti",
+            ),
+        ),
+        (
+            "orders->customer",
+            table(spark, sf_dir, "orders").join(
+                table(spark, sf_dir, "customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+                "left_anti",
+            ),
+        ),
+    ]
+    out = None
+    for name, orphans in checks:
+        one = orphans.agg(F.count(F.lit(1)).alias("n_orphans")).select(
+            F.lit(name).alias("relationship"), "n_orphans"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("relationship")
+
+
+FK_INTEGRITY_SQL = """
+SELECT relationship, n_orphans FROM (
+  SELECT 'supplier->nation' AS relationship, CAST(COUNT(*) AS BIGINT) AS n_orphans
+  FROM supplier WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)
+  UNION ALL
+  SELECT 'customer->nation', CAST(COUNT(*) AS BIGINT)
+  FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+  UNION ALL
+  SELECT 'lineitem->orders', CAST(COUNT(*) AS BIGINT)
+  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+  UNION ALL
+  SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT)
+  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+) ORDER BY relationship
+"""
+
+
 def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS — the general form rollup/cube specialize:
     per-(status,priority), per-status, and grand-total rows in one
@@ -1000,6 +1063,9 @@ QUERIES: dict[str, QuerySpec] = {
     "a_cube": QuerySpec(a_cube, A_CUBE_SQL, "cube aggregation"),
     "a_grouping_sets": QuerySpec(
         a_grouping_sets, A_GROUPING_SETS_SQL, "explicit grouping sets"
+    ),
+    "fk_integrity_check": QuerySpec(
+        fk_integrity_check, FK_INTEGRITY_SQL, "anti-join referential integrity audit"
     ),
     "f1_processability_filter": QuerySpec(f1_processability_filter, F1_SQL, "filter F1"),
     "f2_skip_list_filter": QuerySpec(f2_skip_list_filter, F2_SQL, "skip-list F2"),
