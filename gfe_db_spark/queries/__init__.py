@@ -65,10 +65,9 @@ PRIORITY: tuple[str, ...] = (
     "text_quality_scores",
     "text_lang_id",
     # text_fingerprint, text_split_assign rotated out (r2-green, unchanged)
-    "text_vocab_top",
+    # text_vocab_top, text_redact_pii rotated out (r2-green, unchanged)
     "text_tfidf_top_terms",
     "corpus_sample",
-    "text_redact_pii",
     "text_bigram_lm",
     # multimodal family
     "multimodal_metadata",
@@ -113,6 +112,8 @@ PRIORITY: tuple[str, ...] = (
     "keep_latest_per_user",
     "a_grouping_sets",
     "fk_integrity_check",
+    "skew_salted_join",
+    "skew_stats_hot_keys",
     "q9_profit_by_nation_year",
     "q11_important_balance",
     "q16_supplier_count_distribution",

@@ -1047,6 +1047,60 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew toolkit's salted JOIN registered: customer (25 hot nation
+    keys over the whole table) joins nation through operators/skew.
+    salted_join — the big side salted deterministically, the dim exploded
+    salt-fold, so each hot key spreads over `salt` shuffle partitions.
+    Result-identical to the plain join (the oracle)."""
+    from gfe_db_spark.operators.skew import salted_join
+
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    nation = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    joined = salted_join(cust, nation, on="c_nationkey", salt=8)
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(30,8)")).cast("double").alias(
+                "total_balance"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+SKEW_SALTED_JOIN_SQL = """
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total_balance
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def skew_stats_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-salting diagnostic registered: the heaviest order keys in
+    lineitem with their share of total rows (operators/skew.skew_stats) —
+    what a pipeline inspects before choosing a salt factor."""
+    from gfe_db_spark.operators.skew import skew_stats
+
+    li = table(spark, sf_dir, "lineitem")
+    return skew_stats(li, "l_orderkey", top=10).withColumn(
+        "share", F.round("share", 9)
+    )
+
+
+SKEW_STATS_SQL = """
+SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n,
+       round(COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM lineitem), 9) AS share
+FROM lineitem GROUP BY l_orderkey
+ORDER BY n DESC, l_orderkey
+LIMIT 10
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL, "TPC-H Q1 headline agg"),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL, "join+group+topk"),
@@ -1092,5 +1146,11 @@ QUERIES: dict[str, QuerySpec] = {
         skew_salted_count_distinct,
         SKEW_SALTED_COUNT_DISTINCT_SQL,
         "skew toolkit: sharded exact distinct count",
+    ),
+    "skew_salted_join": QuerySpec(
+        skew_salted_join, SKEW_SALTED_JOIN_SQL, "skew toolkit: salted equi-join"
+    ),
+    "skew_stats_hot_keys": QuerySpec(
+        skew_stats_hot_keys, SKEW_STATS_SQL, "skew toolkit: hot-key diagnostic"
     ),
 }
