@@ -360,6 +360,97 @@ def lm_cross_entropy(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_chars: int = 200,
+    stride: int = 150,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking: split each document into fixed-size
+    character windows with overlap (`chunk_chars` wide, advancing by
+    `stride`), the standard pre-tokenization step of a training-data
+    pipeline. Implemented as sequence→explode→substr — a narrow map plus
+    one explode, no shuffle, no Python; chunk counts derive from integer
+    arithmetic only (floor((len - chunk + stride - 1) / stride)) so every
+    engine computes the identical chunk set. Short documents yield exactly
+    one (possibly partial) chunk; trailing chunks are truncated, never
+    padded."""
+    n = F.length(F.col(text_col)).cast("long")
+    extra = (
+        F.when(n <= F.lit(chunk_chars), F.lit(0).cast("long"))
+        .otherwise(
+            F.floor((n - F.lit(chunk_chars) + F.lit(stride - 1)) / F.lit(stride)).cast(
+                "long"
+            )
+        )
+    )
+    exploded = docs.withColumn("n_chunks", extra + 1).withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1))
+    )
+    start = (F.col("chunk_idx").cast("int") * F.lit(stride)) + 1
+    return exploded.select(
+        F.col(id_col),
+        "chunk_idx",
+        "n_chunks",
+        F.col(text_col).substr(start, F.lit(chunk_chars)).alias("chunk_text"),
+    ).withColumn("chunk_len", F.length("chunk_text").cast("long"))
+
+
+# integer mixture weights per source bucket: the head sources get 6×, the
+# tail 1× — the domain-rebalancing knob of a corpus build
+MIXTURE_WEIGHTS: dict[str, int] = {f"src{i}": 6 for i in range(5)}
+MIXTURE_DEFAULT_WEIGHT = 1
+
+
+def mixture_resample(
+    docs: DataFrame,
+    weights: dict[str, int] | None = None,
+    default_weight: int = MIXTURE_DEFAULT_WEIGHT,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Downsample-only domain-mixture rebalancing: given integer target
+    weights per domain, find the largest total corpus T whose target
+    mixture fits inside every domain's actual count (T = min over domains
+    of floor(count_d * W_total / w_d)), then keep floor(T * w_d / W_total)
+    rows of each domain via the engine-portable hash gate. All sizing is
+    integer arithmetic on exact counts, so re-runs and other engines pick
+    the same rows.
+
+    Plan shape at scale: one keyed count agg (tiny result), a 1-row min
+    reduce, a broadcast of the per-domain rate table back onto the scan,
+    then a narrow filter — the corpus itself is never shuffled."""
+    w = weights if weights is not None else MIXTURE_WEIGHTS
+    weight: Column = F.lit(default_weight)
+    for dom, wt in sorted(w.items()):
+        weight = F.when(F.col(domain_col) == dom, F.lit(wt)).otherwise(weight)
+
+    counts = (
+        docs.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("weight", weight)
+    )
+    # W_total must cover every observed domain (known + default-weighted)
+    wtot = counts.agg(F.sum("weight").alias("w_total"))
+    sized = counts.crossJoin(F.broadcast(wtot)).withColumn(
+        "capacity", F.floor(F.col("n_docs") * F.col("w_total") / F.col("weight"))
+    )
+    t_total = sized.agg(F.min("capacity").alias("t_total"))
+    rates = (
+        sized.crossJoin(F.broadcast(t_total))
+        .withColumn("n_keep", F.floor(F.col("t_total") * F.col("weight") / F.col("w_total")))
+        .withColumn("rate_bp", F.floor(F.col("n_keep") * 10000 / F.col("n_docs")))
+        .select(domain_col, "weight", "n_docs", "rate_bp")
+    )
+    kept = (
+        docs.join(F.broadcast(rates), domain_col)
+        .filter(hash_bucket_10k(id_col, salt) < F.col("rate_bp"))
+    )
+    return kept
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
     """Document fingerprint: minimum digest over k-word rolling windows
     (winnowing-style selection with w = document). Identical up-to-window

@@ -40,20 +40,23 @@ PRIORITY: tuple[str, ...] = (
     # rotated out (r2-green, unchanged); BFS is the new iterative entry
     "graph_bfs_hops",
     "gfe_end_to_end",
+    # new in r3: hash-checked accession-assignment + naming core of the
+    # e2e pipeline (closes the rows-only gap the r2 verdict flagged)
+    "gfe_naming",
     "alignment_join",
     # dedup family (beyond-reference LLM-pipeline core)
-    "dedup_exact",
+    # dedup_exact rotated out (r2-green, unchanged; family still covered
+    # in-window by lsh/simhash/clusters/embedding entries)
+
     # dedup_minhash_signatures rotated out (r2-green, unchanged)
-    "dedup_lsh_pairs",
-    # dedup_ngram_jaccard rotated out (r2-green, unchanged)
-    "dedup_simhash",
+    # dedup_lsh_pairs / dedup_ngram_jaccard / dedup_simhash /
     # dedup_minhash_est rotated out (r2-green, unchanged)
     "dedup_clusters",
     # dedup_keep_list rotated out (r2-green, unchanged)
     # corpus_prep_pipeline rotated out (r2-green, unchanged)
     "dedup_embedding_cosine",
-    # similarity / ANN family
-    "knn_brute_force",
+    # similarity / ANN family (knn_brute_force rotated out: r2-green,
+    # unchanged)
     "knn_ivf",
     # back in the window: gained the unrolled-Lloyd SQL oracle in r3
     "knn_ivf_trained",
@@ -93,6 +96,9 @@ PRIORITY: tuple[str, ...] = (
     "q12_priority_class",
     "q21_waiting_suppliers",
     # round-3 additions — inside the window for their first driver rows
+    "rolling_spend_7d",
+    "doc_chunk_overlap",
+    "mixture_resample",
     "text_repetition_stats",
     "stratified_sample",
     "pack_sequences",

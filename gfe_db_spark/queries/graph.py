@@ -129,6 +129,82 @@ def gfe_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("hla_name", "term", "rank")
 
 
+def gfe_naming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16/W6 hash-checked: GFE name construction on the deterministic
+    mini-release — EMBL parse → feature explode → accession assignment
+    (dense first-seen numbering per (locus, term, rank)) → canonical-order
+    concat (ref gfe.py naming, app.py:224-246). The oracle recomputes the
+    whole chain in SQL from the inlined fixture feature rows: dense_rank
+    replays the registry's empty-start numbering, string_agg ordered by
+    the paper's feature position replays `feature_order_key`, and the
+    decimal-MD5 kit replays C1 seq hashing — so accession assignment,
+    naming, and sequence hashing are all value-checked, not just
+    row-counted (the previous gap: `gfe_end_to_end` is rows-only)."""
+    built = _fixture_build(spark)
+    return built.gfe_sequences.select(
+        "hla_name",
+        "locus",
+        "gfe_name",
+        "seq_id",
+        "length",
+        "imgt_release",
+    ).orderBy("hla_name")
+
+
+# The fixture release's processable feature rows (testing_fixtures.py:76-93:
+# alleles A1/A2/B1/D1; the skip-list and too-short records are excluded by
+# F1/F2 exactly as the build filters them). pos is feature_order_key():
+# 5'UTR=0, exon r→2r-1, intron r→2r, 3'UTR=1e6.
+_GFE_FIXTURE_FEATS_SQL = """
+feats(hla_name, locus, term, rank, sequence, pos) AS (
+  VALUES
+    ('HLA-A*01:01:01:01', 'HLA-A', 'FIVE_PRIME_UTR', 1, 'ACAC', 0),
+    ('HLA-A*01:01:01:01', 'HLA-A', 'EXON', 1, 'AAAA', 1),
+    ('HLA-A*01:01:01:01', 'HLA-A', 'INTRON', 1, 'GGGG', 2),
+    ('HLA-A*01:01:01:01', 'HLA-A', 'EXON', 2, 'TTTT', 3),
+    ('HLA-A*01:01:01:01', 'HLA-A', 'THREE_PRIME_UTR', 1, 'AGAG', 1000000),
+    ('HLA-A*01:02', 'HLA-A', 'FIVE_PRIME_UTR', 1, 'ACAC', 0),
+    ('HLA-A*01:02', 'HLA-A', 'EXON', 1, 'CCCC', 1),
+    ('HLA-A*01:02', 'HLA-A', 'INTRON', 1, 'GGGG', 2),
+    ('HLA-A*01:02', 'HLA-A', 'EXON', 2, 'TTTT', 3),
+    ('HLA-A*01:02', 'HLA-A', 'THREE_PRIME_UTR', 1, 'CTCT', 1000000),
+    ('HLA-B*07:02', 'HLA-B', 'FIVE_PRIME_UTR', 1, 'ACGA', 0),
+    ('HLA-B*07:02', 'HLA-B', 'EXON', 1, 'CAAA', 1),
+    ('HLA-B*07:02', 'HLA-B', 'THREE_PRIME_UTR', 1, 'GTGT', 1000000),
+    ('DRB5*01:02', 'DRB5', 'FIVE_PRIME_UTR', 1, 'AACC', 0),
+    ('DRB5*01:02', 'DRB5', 'EXON', 1, 'CCAA', 1),
+    ('DRB5*01:02', 'DRB5', 'INTRON', 1, 'GGGG', 2),
+    ('DRB5*01:02', 'DRB5', 'EXON', 2, 'TTTT', 3),
+    ('DRB5*01:02', 'DRB5', 'THREE_PRIME_UTR', 1, 'GGTT', 1000000)
+)"""
+
+
+def _gfe_naming_sql() -> str:
+    # dense_rank over sequence within (locus, term, rank) == the registry's
+    # first-assignment numbering from an empty registry (accession.py:78-88:
+    # distinct → row_number ordered by sequence, offset 0).
+    return f"""
+WITH {_GFE_FIXTURE_FEATS_SQL.strip()},
+acc AS (
+  SELECT *, dense_rank() OVER (PARTITION BY locus, term, rank ORDER BY sequence)
+         AS accession
+  FROM feats
+),
+per_allele AS (
+  SELECT hla_name, locus,
+         string_agg(CAST(accession AS VARCHAR), '-' ORDER BY pos) AS accs,
+         string_agg(sequence, '' ORDER BY pos) AS seq
+  FROM acc GROUP BY hla_name, locus
+)
+SELECT hla_name, locus,
+       locus || 'w' || accs AS gfe_name,
+       {_SEQ_HASH_SQL.format(col="seq")} AS seq_id,
+       CAST(length(seq) AS BIGINT) AS length,
+       '3.55.0' AS imgt_release
+FROM per_allele ORDER BY hla_name
+"""
+
+
 def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected nation trade edges (u < v): nations adjacent when a
     customer in one ordered from a supplier in the other
@@ -349,6 +425,11 @@ QUERIES: dict[str, QuerySpec] = {
         graph_degree_distribution, GRAPH_DEGREE_SQL, "degree histogram"
     ),
     "gfe_end_to_end": QuerySpec(gfe_end_to_end, None, "GFE pipeline e2e (rows-only)"),
+    "gfe_naming": QuerySpec(
+        gfe_naming,
+        _gfe_naming_sql(),
+        "C16/W6 accession assignment + GFE naming, hash-checked",
+    ),
     "alignment_join": QuerySpec(
         alignment_join, ALIGNMENT_JOIN_SQL, "J1 alignment broadcast join + build table"
     ),

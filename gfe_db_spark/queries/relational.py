@@ -838,6 +838,42 @@ FROM events ORDER BY user_id, event_id
 """
 
 
+def rolling_spend_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range window frame (W-family beyond fixed ROWS frames): per
+    customer, total spend over the trailing 7 days of each order. The
+    frame key is an integer epoch-day, so the RANGE boundary is exact in
+    every engine (no interval/timezone arithmetic in the frame), and the
+    sum routes through decimal for order-insensitive exactness. One
+    shuffle on the partition key; the frame scan is a single pass per
+    partition (no self-join / no per-row re-aggregation)."""
+    orders = table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = W.partitionBy("o_custkey").orderBy(day).rangeBetween(-7, 0)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_7d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_7d"),
+    ).orderBy("o_orderkey")
+
+
+ROLLING_SPEND_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER (
+         PARTITION BY o_custkey
+         ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+         RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS spend_7d,
+       COUNT(*) OVER (
+         PARTITION BY o_custkey
+         ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+         RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS n_orders_7d
+FROM orders ORDER BY o_orderkey
+"""
+
+
 def w_lead_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead window (A13 primitive exposed directly): per-user previous
     and next event values."""
@@ -1135,6 +1171,9 @@ QUERIES: dict[str, QuerySpec] = {
     "w2_topk_per_group": QuerySpec(w2_topk_per_group, W2_SQL, "top-k per group"),
     "w6_dense_rank_accession": QuerySpec(w6_dense_rank_accession, W6_SQL, "dense_rank W6"),
     "w_running_total": QuerySpec(w_running_total, W_RUNNING_SQL, "running frame"),
+    "rolling_spend_7d": QuerySpec(
+        rolling_spend_7d, ROLLING_SPEND_SQL, "time-range (RANGE) window frame"
+    ),
     "w_lead_lag_delta": QuerySpec(w_lead_lag_delta, W_LEAD_LAG_SQL, "lag/lead"),
     "so1_except": QuerySpec(so1_except, SO1_SQL, "EXCEPT SO1"),
     "so_intersect": QuerySpec(so_intersect, SO_INTERSECT_SQL, "INTERSECT"),

@@ -430,6 +430,73 @@ ORDER BY bg.doc_id
 """
 
 
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking with overlap (200-char windows, stride
+    150): sequence→explode→substr, all integer arithmetic — the
+    pre-tokenization splitter of a training pipeline."""
+    docs = table(spark, sf_dir, "documents")
+    return TX.chunk_documents(docs, chunk_chars=200, stride=150).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+DOC_CHUNK_SQL = """
+WITH d AS (
+  SELECT doc_id, text,
+         CASE WHEN length(text) <= 200 THEN CAST(0 AS BIGINT)
+              ELSE CAST((length(text) - 200 + 149) // 150 AS BIGINT) END AS extra
+  FROM documents
+), e AS (
+  SELECT doc_id, text, extra + 1 AS n_chunks,
+         unnest(generate_series(CAST(0 AS BIGINT), extra)) AS chunk_idx
+  FROM d
+)
+SELECT doc_id, chunk_idx, n_chunks,
+       substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200) AS chunk_text,
+       CAST(length(substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200)) AS BIGINT)
+         AS chunk_len
+FROM e ORDER BY doc_id, chunk_idx
+"""
+
+
+def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing sized from the data itself: integer
+    capacity math finds the largest corpus whose target mixture fits in
+    every domain, then the portable hash gate keeps exactly that share —
+    agg → broadcast rates → narrow filter (see operators.text
+    .mixture_resample for the scale notes)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        TX.mixture_resample(docs)
+        .select("doc_id", "source", "rate_bp")
+        .orderBy("doc_id")
+    )
+
+
+MIXTURE_RESAMPLE_SQL = """
+WITH w AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CASE WHEN source IN ('src0','src1','src2','src3','src4')
+              THEN 6 ELSE 1 END AS weight
+  FROM documents GROUP BY source
+), tot AS (SELECT SUM(weight) AS w_total FROM w),
+sized AS (
+  SELECT w.*, t.w_total, (n_docs * t.w_total) // weight AS capacity FROM w, tot t
+), tt AS (SELECT MIN(capacity) AS t_total FROM sized),
+rates AS (
+  SELECT source,
+         CAST((((t.t_total * weight) // w_total) * 10000) // n_docs AS BIGINT)
+           AS rate_bp
+  FROM sized, tt t
+)
+SELECT d.doc_id, d.source, r.rate_bp
+FROM documents d JOIN rates r USING (source)
+WHERE CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || ':mix') & 4294967295 AS BIGINT)
+      % 10000 < r.rate_bp
+ORDER BY d.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_SQL, "token counting"),
     "text_quality_scores": QuerySpec(text_quality_scores, TEXT_QUALITY_SQL, "quality signals"),
@@ -450,6 +517,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "text_bigram_lm": QuerySpec(
         text_bigram_lm, TEXT_BIGRAM_SQL, "bigram LM top next-tokens"
+    ),
+    "doc_chunk_overlap": QuerySpec(
+        doc_chunk_overlap, DOC_CHUNK_SQL, "overlapping context-window chunking"
+    ),
+    "mixture_resample": QuerySpec(
+        mixture_resample, MIXTURE_RESAMPLE_SQL, "data-sized domain mixture rebalance"
     ),
     "text_repetition_stats": QuerySpec(
         text_repetition_stats, TEXT_REPETITION_SQL, "intra-doc repetition signals"

@@ -656,3 +656,93 @@ def test_redact_pii_replaces_and_counts(spark):
     assert "example.org" not in got[1].text_redacted
     assert got[2].n_url == 2 and got[2].text_redacted.count("<URL>") == 2
     assert got[3].text_redacted == rows[2][1]
+
+
+def test_chunk_documents_cover_and_overlap(spark):
+    from gfe_db_spark.operators.text import chunk_documents
+
+    rows = [
+        (1, "a" * 50),            # shorter than one chunk → 1 partial chunk
+        (2, "b" * 200),           # exactly one chunk
+        (3, "x" * 201),           # one char past → 2 chunks
+        (4, "".join(chr(97 + i % 26) for i in range(520))),  # 4 chunks
+        (5, ""),                  # empty doc still yields one empty chunk
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(docs, chunk_chars=200, stride=150).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rs in by_doc.values():
+        rs.sort(key=lambda r: r.chunk_idx)
+
+    assert [len(by_doc[d]) for d in (1, 2, 3, 4, 5)] == [1, 1, 2, 4, 1]
+    # every chunk is the exact substring at its stride offset, and the
+    # concatenation of each chunk's non-overlapping tail reconstructs the doc
+    text = dict(rows)
+    for doc_id, rs in by_doc.items():
+        rebuilt = ""
+        for r in rs:
+            start = r.chunk_idx * 150
+            assert r.chunk_text == text[doc_id][start : start + 200]
+            assert r.chunk_len == len(r.chunk_text) <= 200
+            assert r.n_chunks == len(rs)
+            rebuilt += r.chunk_text[len(rebuilt) - start :] if start < len(rebuilt) else r.chunk_text
+        assert rebuilt == text[doc_id]
+
+
+def test_mixture_resample_hits_target_mixture(spark):
+    from gfe_db_spark.operators.text import mixture_resample
+
+    # 3 domains, heavily imbalanced: target weights 2:1:1
+    rows = [(i, "heavy") for i in range(1000)]
+    rows += [(10_000 + i, "mid") for i in range(300)]
+    rows += [(20_000 + i, "rare") for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_resample(
+        docs, weights={"heavy": 2, "mid": 1, "rare": 1}, default_weight=1
+    )
+    kept = out.groupBy("source").count().collect()
+    by_src = {r.source: r["count"] for r in kept}
+    # T = min(1000*4/2, 300*4/1, 120*4/1) = 480; targets: 240/120/120,
+    # gated by hash < rate_bp so kept counts approximate the target
+    assert by_src["rare"] <= 120
+    total = sum(by_src.values())
+    share_heavy = by_src["heavy"] / total
+    assert 0.4 < share_heavy < 0.6  # target 0.5, hash-gate jitter allowed
+    # rerun is byte-identical (deterministic gate)
+    again = mixture_resample(
+        docs, weights={"heavy": 2, "mid": 1, "rare": 1}, default_weight=1
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_rolling_spend_window_matches_naive(spark):
+    from gfe_db_spark.queries.relational import rolling_spend_7d
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    # customer 1: orders every 3 days → frames overlap pairwise
+    for i in range(6):
+        rows.append((i, 1, 10.0 * (i + 1), base + dt.timedelta(days=3 * i)))
+    # customer 2: single order
+    rows.append((100, 2, 5.0, base))
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp"
+    )
+    import tempfile, os
+
+    tmp = tempfile.mkdtemp(prefix="roll_")
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "orders.parquet"))
+    got = {r.o_orderkey: r for r in rolling_spend_7d(spark, tmp).collect()}
+    # naive recomputation
+    for k, cust, price, ts in rows:
+        expect = sum(
+            p for (_, c, p, t) in rows
+            if c == cust and 0 <= (ts - t).days <= 7
+        )
+        assert abs(got[k].spend_7d - expect) < 1e-9, (k, got[k].spend_7d, expect)
+    assert got[0].n_orders_7d == 1 and got[1].n_orders_7d == 2

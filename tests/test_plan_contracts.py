@@ -247,3 +247,33 @@ def test_python_eval_only_where_justified(spark, specs):
         if arrow and name not in allowed_arrow:
             offenders.append((name, "unexpected Arrow-Python node"))
     assert not offenders, f"Python eval outside the justified set: {offenders}"
+
+
+def test_rolling_spend_window_is_custkey_partitioned(spark, specs):
+    # The time-RANGE frame must run inside a hash partitioning on the
+    # customer key — a global (single-partition) window would serialize
+    # the orders table through one task at scale.
+    plan = plan_of(run(specs, spark, "rolling_spend_7d"))
+    assert "SinglePartition" not in plan
+    assert re.search(r"hashpartitioning\(o_custkey", plan)
+    assert not re.search(r"Join", plan)  # frame scan, not a self-join
+
+
+def test_doc_chunk_overlap_is_shuffle_free(spark, specs):
+    # Chunking is explode + substr over the scan: the only exchange allowed
+    # is the final presentation sort; no join, no aggregation shuffle.
+    plan = plan_of(run(specs, spark, "doc_chunk_overlap"))
+    assert not re.search(r"Join", plan)
+    assert "Generate" in plan  # the explode
+    # exactly the one rangepartitioning exchange for the ORDER BY
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e.startswith("rangepartitioning") for e in exchanges), exchanges
+
+
+def test_mixture_resample_broadcasts_rates_not_corpus(spark, specs):
+    # The corpus joins the tiny rate table via broadcast; the documents
+    # table itself must never hash-shuffle for that join (only the small
+    # count aggregation and the final sort may exchange).
+    plan = plan_of(run(specs, spark, "mixture_resample"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
