@@ -55,6 +55,8 @@ PRIORITY: tuple[str, ...] = (
     # dedup_keep_list rotated out (r2-green, unchanged)
     # corpus_prep_pipeline rotated out (r2-green, unchanged)
     "dedup_embedding_cosine",
+    # new in r3: cluster-then-prune semantic dedup (SemDeDup shape)
+    "semdedup_prune",
     # similarity / ANN family (knn_brute_force rotated out: r2-green,
     # unchanged)
     "knn_ivf",
@@ -62,7 +64,7 @@ PRIORITY: tuple[str, ...] = (
     "knn_ivf_trained",
     # ann_lsh_buckets rotated out (r2-green, unchanged)
     "ann_topk_join",
-    "embedding_quantize",
+    # embedding_quantize rotated out (r2-green, unchanged)
     # text-analysis family
     # text_token_stats rotated out (r2-green, unchanged)
     "text_quality_scores",

@@ -283,6 +283,83 @@ ORDER BY vec_id
 """
 
 
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster embeddings with the
+    deterministic DataFrame k-means (ivf_train), then mark near-duplicates
+    ONLY within each cluster — every vector whose cosine to a lower-id
+    cluster-mate reaches the threshold is pruned. The expensive pairwise
+    step is an equi-join on centroid_id, so its cost is Σ|cluster|², never
+    N² (the SemDeDup scaling argument: k grows with the corpus, clusters
+    stay bounded). Oracle: the same unrolled-Lloyd CTE chain as
+    knn_ivf_trained, then the identical within-cluster pair scan in SQL."""
+    from gfe_db_spark.operators.dedup import cosine
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = SIM.ivf_train(emb, k=4, iters=2)
+    assigned = SIM.ivf_assign(emb, cents)
+    a = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    b = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    pruned = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 9) >= 0.44)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_pruned", F.lit(True))
+    )
+    return (
+        assigned.select("vec_id", "centroid_id")
+        .join(pruned, "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.coalesce(F.col("is_pruned"), F.lit(False)).alias("pruned"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SEMDEDUP_SQL = (
+    """
+WITH c0 AS (
+  SELECT CAST(vec_id AS INTEGER) AS centroid_id, CAST(embedding AS DOUBLE[]) AS centroid
+  FROM embeddings WHERE vec_id < 4
+),"""
+    + _lloyd_iteration_sql("c0", "a1", "m1", "c1")
+    + ","
+    + _lloyd_iteration_sql("c1", "a2", "m2", "c2")
+    + """
+, assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid), 9) DESC, c.centroid_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN c2 c
+  ) WHERE rn = 1
+), pruned AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 9) >= 0.44
+)
+SELECT s.vec_id, s.centroid_id, (p.vec_id IS NOT NULL) AS pruned
+FROM assigned s LEFT JOIN pruned p USING (vec_id)
+ORDER BY s.vec_id
+"""
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "knn_brute_force": QuerySpec(knn_brute_force, KNN_BRUTE_SQL, "exact cosine top-k"),
     "knn_ivf": QuerySpec(knn_ivf, KNN_IVF_SQL, "IVF bucketed ANN"),
@@ -297,5 +374,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "embedding_quantize": QuerySpec(
         embedding_quantize, EMBEDDING_QUANTIZE_SQL, "int8 quantization + RMS error"
+    ),
+    "semdedup_prune": QuerySpec(
+        semdedup_prune,
+        SEMDEDUP_SQL,
+        "cluster-then-prune semantic dedup (SemDeDup shape)",
     ),
 }

@@ -223,6 +223,7 @@ def test_python_eval_only_where_justified(spark, specs):
     allowed_arrow = {
         "gfe_end_to_end",      # EMBL parse mapInPandas + seq-hash
         "alignment_join",      # same pipeline
+        "gfe_naming",          # same pipeline (accession/naming slice)
         "dedup_simhash",       # 64-bit packing pandas UDF
         "multimodal_metadata", # media decode mapInPandas
         "multimodal_features",
@@ -277,3 +278,46 @@ def test_mixture_resample_broadcasts_rates_not_corpus(spark, specs):
     plan = plan_of(run(specs, spark, "mixture_resample"))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semdedup_pairwise_is_cluster_keyed(spark, specs):
+    # The SemDeDup pair scan must be an equi-join on centroid_id (cost
+    # bounded by cluster sizes), never a cartesian over the corpus.
+    plan = plan_of(run(specs, spark, "semdedup_prune"))
+    assert "CartesianProduct" not in plan
+    assert re.search(r"centroid_id", plan)
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    # Co-located fact⨝fact: both sides written bucketed on the join key
+    # with the same bucket count → the join plan has NO Exchange on either
+    # side (the shuffle happened once, at write time). The 100-TB lever for
+    # repeated big-big joins.
+    from gfe_db_spark.plans.bucketing import read_table, write_bucketed
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    write_bucketed(li, "bkt_li", str(tmp_path / "bkt_li"), ["l_orderkey"], 8)
+    write_bucketed(orders, "bkt_ord", str(tmp_path / "bkt_ord"), ["o_orderkey"], 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast strategy so the contract tests the
+        # co-location, not the small-fixture broadcast shortcut
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = read_table(spark, "bkt_li").join(
+            read_table(spark, "bkt_ord"),
+            __import__("pyspark.sql.functions", fromlist=["col"]).col("l_orderkey")
+            == __import__("pyspark.sql.functions", fromlist=["col"]).col("o_orderkey"),
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_li")
+        spark.sql("DROP TABLE IF EXISTS bkt_ord")
