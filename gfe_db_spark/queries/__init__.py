@@ -76,9 +76,8 @@ PRIORITY: tuple[str, ...] = (
     "text_bigram_lm",
     # multimodal family
     "multimodal_metadata",
-    # multimodal_features, multimodal_frame_sample rotated out (r2-green,
-    # unchanged)
-    "multimodal_dedup",
+    # multimodal_features, multimodal_frame_sample, multimodal_dedup
+    # rotated out (r2-green, unchanged)
     "multimodal_real_decode",
     # streaming: batch twins + real streaming executions + DataSource scan
     "sessionize",
@@ -89,6 +88,8 @@ PRIORITY: tuple[str, ...] = (
     # gapfill entry exercises the bucket arithmetic end to end)
     "stream_user_totals",
     "stream_upsert_sink",
+    # new in r3: watermarked stream-stream interval join, executed
+    "stream_stream_join",
     "imgt_datasource_scan",
     # skew toolkit
     "skew_salted_count_distinct",

@@ -215,6 +215,70 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join executed for real (§2.8+): a clicks
+    stream and a purchases stream (two file sources over the events
+    parquet) joined on user within [purchase-1h, purchase], both sides
+    watermarked so the join state is pruned as event time advances —
+    the canonical two-stream enrichment every event pipeline needs.
+    The memory sink holds the appended pairs; the returned summary
+    (per-purchase prior-click count) is deterministic, so the entry is
+    fully SQL-checkable against the batch interval join."""
+    import uuid
+
+    from gfe_db_spark.streaming.structured import read_event_stream
+
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    clicks = (
+        read_event_stream(spark, f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        read_event_stream(spark, f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "inner",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(
+        f"""
+        SELECT purchase_id, p_user AS user_id, COUNT(*) AS n_recent_clicks
+        FROM {name} GROUP BY 1, 2 ORDER BY purchase_id
+        """
+    )
+
+
+STREAM_STREAM_JOIN_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_recent_clicks
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+GROUP BY 1, 2 ORDER BY purchase_id
+"""
+
+
 def imgt_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 via the registered Python DataSource (`spark.read.format("imgt")`)
     with record-aligned byte splits, on the deterministic mini-release —
@@ -512,6 +576,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "stream_upsert_sink": QuerySpec(
         stream_upsert_sink, None, "foreachBatch bucketed MERGE sink + replay (rows-only)"
+    ),
+    "stream_stream_join": QuerySpec(
+        stream_stream_join,
+        STREAM_STREAM_JOIN_SQL,
+        "watermarked stream-stream interval join, executed",
     ),
     "imgt_datasource_scan": QuerySpec(
         imgt_datasource_scan, IMGT_DS_SQL, "Python DataSource scan (S1)"
