@@ -68,7 +68,9 @@ PRIORITY: tuple[str, ...] = (
     # text-analysis family
     # text_token_stats rotated out (r2-green, unchanged)
     "text_quality_scores",
-    "text_lang_id",
+    # text_lang_id rotated out (r2-green, unchanged); the normalized-rank
+    # window pair is new in r3
+    "w_relative_rank",
     # text_fingerprint, text_split_assign rotated out (r2-green, unchanged)
     # text_vocab_top, text_redact_pii rotated out (r2-green, unchanged)
     "text_tfidf_top_terms",

@@ -874,6 +874,29 @@ FROM orders ORDER BY o_orderkey
 """
 
 
+def w_relative_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position window functions (percent_rank + cume_dist) per
+    brand — the normalized-rank pair next to the ordinal ranks W5 covers.
+    Both are exact rationals of (rank, n); rounding to 9 keeps the division
+    representation-identical across engines."""
+    part = table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return part.select(
+        "p_partkey",
+        "p_brand",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    ).orderBy("p_brand", "p_partkey")
+
+
+W_RELATIVE_RANK_SQL = """
+SELECT p_partkey, p_brand,
+       round(percent_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey), 9) AS pct_rank,
+       round(cume_dist()    OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey), 9) AS cume
+FROM part ORDER BY p_brand, p_partkey
+"""
+
+
 def w_lead_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead window (A13 primitive exposed directly): per-user previous
     and next event values."""
@@ -1175,6 +1198,9 @@ QUERIES: dict[str, QuerySpec] = {
         rolling_spend_7d, ROLLING_SPEND_SQL, "time-range (RANGE) window frame"
     ),
     "w_lead_lag_delta": QuerySpec(w_lead_lag_delta, W_LEAD_LAG_SQL, "lag/lead"),
+    "w_relative_rank": QuerySpec(
+        w_relative_rank, W_RELATIVE_RANK_SQL, "percent_rank + cume_dist"
+    ),
     "so1_except": QuerySpec(so1_except, SO1_SQL, "EXCEPT SO1"),
     "so_intersect": QuerySpec(so_intersect, SO_INTERSECT_SQL, "INTERSECT"),
     "c_scalar_suite": QuerySpec(c_scalar_suite, C_SCALAR_SQL, "scalar layer"),

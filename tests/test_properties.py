@@ -430,3 +430,45 @@ def test_lm_cross_entropy_bounds_property(spark, texts):
     for r in rows:
         assert r.avg_neg_logp >= 0
         assert r.avg_neg_logp <= math.log(max(total_bigrams, 2)) + 1e-6
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FA0),
+            max_size=700,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    chunk=st.integers(min_value=2, max_value=300),
+)
+@settings(**SETTINGS)
+def test_chunk_documents_reconstruction_property(spark, texts, chunk):
+    """Chunking invariants for arbitrary unicode text and chunk geometry:
+    (1) stitching each chunk's non-overlap tail reconstructs the document
+    exactly, (2) every chunk except the last is full-width, (3) chunk
+    counts follow the integer formula both engines share."""
+    from gfe_db_spark.operators.text import chunk_documents
+
+    stride = max(1, chunk * 3 // 4)
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = chunk_documents(docs, chunk_chars=chunk, stride=stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, t in enumerate(texts):
+        rs = sorted(by_doc[doc_id], key=lambda r: r.chunk_idx)
+        n = len(t)
+        expect_chunks = 1 if n <= chunk else 1 + -(-(n - chunk) // stride)
+        assert len(rs) == expect_chunks
+        rebuilt = ""
+        for r in rs:
+            start = r.chunk_idx * stride
+            assert r.chunk_text == t[start : start + chunk]
+            if r.chunk_idx < len(rs) - 1:
+                assert r.chunk_len == chunk  # only the tail may be short
+            rebuilt = rebuilt[:start] + r.chunk_text
+        assert rebuilt == t
