@@ -109,6 +109,60 @@ def lsh_candidate_pairs(
     )
 
 
+def _band_keys(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """(doc_id, band, band_hash) — one row per band per doc. The band key
+    is the LSH bucket; everything downstream joins on it."""
+    band_cols = []
+    for b in range(bands):
+        segs = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *segs)).alias("bh"))
+        )
+    return signatures.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("band_hash")
+    )
+
+
+def incremental_dup_flags(
+    corpus_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Incremental near-dedup: flag each NEW batch doc that LSH-collides
+    with the EXISTING corpus — the shape every continuously-crawled
+    training pipeline runs per ingest (dedup the delta against 100 TB
+    without ever re-pairing the corpus with itself).
+
+    The corpus side is just its banded signature table — in production a
+    materialized parquet bucketed by (band, band_hash), built once and
+    appended per ingest, so each batch pays O(|batch| + collisions), not
+    O(|corpus|). The batch side is small → broadcast; the corpus-side
+    scan-and-probe never shuffles the corpus. The batch's band keys
+    broadcast (the batch is the small delta by construction) and the
+    corpus streams through the broadcast hash join — with the bucketed
+    materialization the scan additionally prunes to the batch's
+    (band, band_hash) buckets. No pair materialization — just the
+    distinct set of batch ids that collide at least once."""
+    corpus_banded = _band_keys(corpus_sigs, bands, rows_per_band)
+    batch_banded = _band_keys(batch_sigs, bands, rows_per_band).withColumnRenamed(
+        "doc_id", "batch_doc_id"
+    )
+    dup_ids = (
+        corpus_banded.join(F.broadcast(batch_banded), ["band", "band_hash"])
+        .select(F.col("batch_doc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        batch_sigs.select("doc_id")
+        .join(dup_ids, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"))
+    )
+
+
 def minhash_jaccard_estimate(
     signatures: DataFrame, pairs: DataFrame, num_hashes: int = 8
 ) -> DataFrame:

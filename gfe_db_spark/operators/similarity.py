@@ -332,3 +332,134 @@ def hyperplane_bucket_id(
         ).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return emb.select(F.col(id_col), F.col(vec_col), bucket.cast("int").alias("bucket"))
+
+
+def _l2sq(a, b):
+    """Squared L2 distance between two array columns (no sqrt — PQ only
+    compares distances, and skipping the sqrt keeps it exact)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebook(
+    emb: DataFrame,
+    m: int = 4,
+    ks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization codebook: split the `dim`-d space into `m`
+    subspaces of dim/m and take the sub-slices of the `ks` lowest-id
+    vectors as each subspace's codewords — the same deterministic
+    trained-model stand-in as ivf_assign's centroids (swap in per-subspace
+    k-means output in production; the search path is unchanged).
+    Output (sub, code, codeword) — m*ks rows, always broadcast-size."""
+    d = dim // m
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(F.col(vec_col).cast("array<double>"), s * d + 1, d).alias("codeword"),
+            )
+            for s in range(m)
+        ]
+    )
+    return (
+        emb.filter(F.col(id_col) < ks)
+        .select(F.col(id_col).cast("int").alias("code"), F.explode(subs).alias("sc"))
+        .select(F.col("sc.sub").alias("sub"), "code", F.col("sc.codeword").alias("codeword"))
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Encode every vector as `m` small codes (nearest codeword per
+    subspace, squared-L2, ties to the lowest code). This is the 100 TB
+    storage lever: m bytes per vector instead of 4*dim — the index for a
+    10^11-vector corpus fits where the raw vectors never would.
+
+    Plan shape: narrow map (slice) → explode ×m → broadcast join with the
+    m*ks codebook → min_by per (vector, subspace) — the broadcast join
+    keeps all ks candidate rows of a (vector, subspace) in one partition,
+    so partial aggregation reduces to one row before the shuffle, which
+    then carries N*m scalar rows (codes), never N*m*ks. Distances are
+    rounded to 9 decimals so the argmin is engine-portable."""
+    d = dim // m
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(F.col(vec_col).cast("array<double>"), s * d + 1, d).alias("sv"),
+            )
+            for s in range(m)
+        ]
+    )
+    exploded = emb.select(F.col(id_col), F.explode(subs).alias("sc")).select(
+        id_col, F.col("sc.sub").alias("sub"), F.col("sc.sv").alias("sv")
+    )
+    scored = exploded.join(F.broadcast(codebook), "sub").withColumn(
+        "d2", F.round(_l2sq(F.col("sv"), F.col("codeword")), 9)
+    )
+    best = scored.groupBy(id_col, "sub").agg(
+        F.min_by(F.col("code"), F.struct(F.col("d2"), F.col("code"))).alias("code")
+    )
+    return best.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("sub"), F.col("code")))),
+            lambda sc: sc["code"],
+        ).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: build the m*ks
+    lookup table of squared-L2 between the query's sub-slices and every
+    codeword (one broadcast cross of two tiny frames), then approx
+    distance = Σ_sub LUT[sub, code]. The corpus-side work is an explode
+    of the m-byte code array, a broadcast LUT join, and a keyed sum —
+    no full vectors move after encode time, which is the entire point of
+    PQ at scale. Ends in TakeOrderedAndProject (no global sort)."""
+    d = dim // m
+    qsubs = query.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice(F.col(vec_col).cast("array<double>"), s * d + 1, d).alias("qv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("sc")
+    ).select(F.col("sc.sub").alias("sub"), F.col("sc.qv").alias("qv"))
+    lut = qsubs.join(F.broadcast(codebook), "sub").select(
+        "sub", "code", F.round(_l2sq(F.col("qv"), F.col("codeword")), 9).alias("d2")
+    )
+    exploded = codes.select(id_col, F.posexplode(F.col("codes")).alias("sub", "code"))
+    return (
+        exploded.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("d2"), 9).alias("adc_d2"))
+        .orderBy(F.asc("adc_d2"), id_col)
+        .limit(k)
+    )

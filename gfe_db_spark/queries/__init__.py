@@ -43,31 +43,37 @@ PRIORITY: tuple[str, ...] = (
     # new in r3: hash-checked accession-assignment + naming core of the
     # e2e pipeline (closes the rows-only gap the r2 verdict flagged)
     "gfe_naming",
-    "alignment_join",
+    # alignment_join rotated out (r2-green, unchanged; the GFE family
+    # stays in-window via gfe_end_to_end / gfe_naming / imgt scan)
     # dedup family (beyond-reference LLM-pipeline core)
     # dedup_exact rotated out (r2-green, unchanged; family still covered
     # in-window by lsh/simhash/clusters/embedding entries)
 
     # dedup_minhash_signatures rotated out (r2-green, unchanged)
     # dedup_lsh_pairs / dedup_ngram_jaccard / dedup_simhash /
-    # dedup_minhash_est rotated out (r2-green, unchanged)
-    "dedup_clusters",
+    # dedup_minhash_est / dedup_clusters rotated out (r2-green, unchanged)
+    # new late-r3: batch-vs-corpus incremental LSH dedup
+    "dedup_incremental",
     # dedup_keep_list rotated out (r2-green, unchanged)
     # corpus_prep_pipeline rotated out (r2-green, unchanged)
     "dedup_embedding_cosine",
     # new in r3: cluster-then-prune semantic dedup (SemDeDup shape)
     "semdedup_prune",
-    # similarity / ANN family (knn_brute_force rotated out: r2-green,
-    # unchanged)
-    "knn_ivf",
+    # similarity / ANN family (knn_brute_force and knn_ivf rotated out:
+    # r2-green, unchanged)
     # back in the window: gained the unrolled-Lloyd SQL oracle in r3
     "knn_ivf_trained",
     # ann_lsh_buckets rotated out (r2-green, unchanged)
     "ann_topk_join",
+    # new late-r3: product-quantization ANN with ADC lookup
+    "knn_pq_adc",
     # embedding_quantize rotated out (r2-green, unchanged)
+    # new late-r3 layout family: Z-order clustering + deterministic shuffle
+    "zorder_layout",
+    "corpus_shuffle",
     # text-analysis family
-    # text_token_stats rotated out (r2-green, unchanged)
-    "text_quality_scores",
+    # text_token_stats / text_quality_scores rotated out (r2-green,
+    # unchanged)
     # text_lang_id rotated out (r2-green, unchanged); the normalized-rank
     # window pair is new in r3
     "w_relative_rank",
@@ -76,10 +82,9 @@ PRIORITY: tuple[str, ...] = (
     "text_tfidf_top_terms",
     "corpus_sample",
     "text_bigram_lm",
-    # multimodal family
-    "multimodal_metadata",
-    # multimodal_features, multimodal_frame_sample, multimodal_dedup
-    # rotated out (r2-green, unchanged)
+    # multimodal family (multimodal_metadata rotated out: r2-green,
+    # unchanged; multimodal_features, multimodal_frame_sample,
+    # multimodal_dedup rotated out r2-green as well)
     "multimodal_real_decode",
     # streaming: batch twins + real streaming executions + DataSource scan
     "sessionize",
@@ -156,6 +161,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from gfe_db_spark.queries import (
         dedup,
         graph,
+        layout,
         multimodal,
         relational,
         similarity,
@@ -173,6 +179,7 @@ def all_queries() -> dict[str, QuerySpec]:
         graph,
         dedup,
         similarity,
+        layout,
         text,
         multimodal,
         streaming,

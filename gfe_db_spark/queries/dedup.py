@@ -443,8 +443,46 @@ ORDER BY t.doc_id
 """
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: treat every 10th document (doc_id % 10
+    = 0) as the newly-crawled batch and the rest as the existing corpus;
+    flag each batch doc that MinHash-LSH-collides with the corpus. The
+    batch's band keys broadcast; the corpus is probed, never self-paired
+    and never shuffled (operators/dedup.incremental_dup_flags)."""
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus_sigs = DD.minhash_signatures(DD.shingles(corpus, n=3, distinct=False), num_hashes=8)
+    batch_sigs = DD.minhash_signatures(DD.shingles(batch, n=3, distinct=False), num_hashes=8)
+    return DD.incremental_dup_flags(corpus_sigs, batch_sigs, bands=4, rows_per_band=2).orderBy(
+        "doc_id"
+    )
+
+
+DEDUP_INCREMENTAL_SQL = (
+    _LSH_BANDED_CTE
+    + """
+, dup AS (
+  SELECT DISTINCT a.doc_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+)
+SELECT s.doc_id, (d.doc_id IS NOT NULL) AS is_dup
+FROM sigs s LEFT JOIN dup d USING (doc_id)
+WHERE s.doc_id % 10 = 0
+ORDER BY s.doc_id
+"""
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "exact hash dedup"),
+    "dedup_incremental": QuerySpec(
+        dedup_incremental,
+        DEDUP_INCREMENTAL_SQL,
+        "batch-vs-corpus incremental LSH dedup (broadcast delta probe)",
+    ),
     "dedup_minhash_signatures": QuerySpec(
         dedup_minhash_signatures, DEDUP_MINHASH_SQL, "MinHash signatures"
     ),

@@ -360,8 +360,69 @@ ORDER BY s.vec_id
 )
 
 
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: encode every vector as 4 one-byte codes
+    (nearest codeword per 16-dim subspace; codewords = sub-slices of
+    vec_id 0..7, the deterministic trained-codebook stand-in), then
+    answer the query via the asymmetric-distance lookup table. The corpus
+    never moves full vectors after encode time — the ADC pass joins an
+    exploded 4-int code column against a 32-row broadcast LUT."""
+    emb = table(spark, sf_dir, "embeddings")
+    cb = SIM.pq_codebook(emb, m=4, ks=8)
+    codes = SIM.pq_encode(emb, cb, m=4)
+    query = emb.filter(F.col("vec_id") == 0).select("embedding")
+    return SIM.pq_adc_topk(codes, cb, query, k=10, m=4)
+
+
+_PQ_SUBS = "(SELECT unnest(range(0, 4)) AS sub) s"
+_PQ_D2 = (
+    "round(list_sum(list_transform(range(1, 17), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), 9)"
+)
+
+KNN_PQ_SQL = f"""
+WITH v0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cb AS (
+  SELECT s.sub, CAST(vec_id AS INT) AS code,
+         v[(s.sub * 16 + 1):(s.sub * 16 + 16)] AS codeword
+  FROM v0 CROSS JOIN {_PQ_SUBS}
+  WHERE vec_id < 8
+), subs AS (
+  SELECT vec_id, s.sub, v[(s.sub * 16 + 1):(s.sub * 16 + 16)] AS sv
+  FROM v0 CROSS JOIN {_PQ_SUBS}
+), scored AS (
+  SELECT subs.vec_id, subs.sub, cb.code,
+         {_PQ_D2.format(a="sv", b="codeword")} AS d2
+  FROM subs JOIN cb ON subs.sub = cb.sub
+), best AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), q AS (
+  SELECT s.sub, v[(s.sub * 16 + 1):(s.sub * 16 + 16)] AS qv
+  FROM v0 CROSS JOIN {_PQ_SUBS}
+  WHERE vec_id = 0
+), lut AS (
+  SELECT q.sub, cb.code,
+         {_PQ_D2.format(a="qv", b="codeword")} AS d2
+  FROM q JOIN cb ON q.sub = cb.sub
+)
+SELECT b.vec_id, round(SUM(l.d2), 9) AS adc_d2
+FROM best b JOIN lut l ON b.sub = l.sub AND b.code = l.code
+GROUP BY b.vec_id
+ORDER BY adc_d2, b.vec_id
+LIMIT 10
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "knn_brute_force": QuerySpec(knn_brute_force, KNN_BRUTE_SQL, "exact cosine top-k"),
+    "knn_pq_adc": QuerySpec(
+        knn_pq_adc, KNN_PQ_SQL, "product-quantization ANN with ADC lookup"
+    ),
     "knn_ivf": QuerySpec(knn_ivf, KNN_IVF_SQL, "IVF bucketed ANN"),
     "knn_ivf_trained": QuerySpec(
         knn_ivf_trained,

@@ -746,3 +746,105 @@ def test_rolling_spend_window_matches_naive(spark):
         )
         assert abs(got[k].spend_7d - expect) < 1e-9, (k, got[k].spend_7d, expect)
     assert got[0].n_orders_7d == 1 and got[1].n_orders_7d == 2
+
+
+def test_morton_interleave_known_values(spark):
+    from gfe_db_spark.operators import layout as LAY
+
+    df = spark.createDataFrame([(3, 1), (0, 0), (1023, 0), (0, 1023)], ["x", "y"])
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", LAY.morton_interleave(F.col("x"), F.col("y"), bits=10).alias("z")
+        ).collect()
+    }
+    # x bits land on even positions, y bits on odd: (3,1) → 0b0111
+    assert got[(3, 1)] == 7
+    assert got[(0, 0)] == 0
+    # 10 one-bits spread to alternating positions
+    assert got[(1023, 0)] == 0b01010101010101010101
+    assert got[(0, 1023)] == 0b1010101010101010101 << 1
+
+
+def test_zorder_write_files_are_z_contiguous(spark, tmp_path):
+    """repartitionByRange guarantees disjoint z-ranges per output file —
+    the property that gives min/max file skipping on both dimensions."""
+    from gfe_db_spark.operators import layout as LAY
+
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    path = str(tmp_path / "zorder")
+    LAY.zorder_write(df, path, "x", "y", bits=4, n_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 256 and set(back.columns) == {"x", "y"}
+    z = LAY.morton_interleave(F.col("x"), F.col("y"), bits=4)
+    per_file = (
+        back.select(F.input_file_name().alias("f"), z.alias("z"))
+        .groupBy("f")
+        .agg(F.min("z").alias("zmin"), F.max("z").alias("zmax"))
+        .collect()
+    )
+    assert len(per_file) > 1
+    spans = sorted((r.zmin, r.zmax) for r in per_file)
+    for (a_min, a_max), (b_min, b_max) in zip(spans, spans[1:]):
+        assert a_max < b_min, f"overlapping z-ranges: {spans}"
+
+
+def test_shuffle_order_deterministic_and_complete(spark):
+    from gfe_db_spark.operators import layout as LAY
+
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    a = LAY.shuffle_order(df, seed=42).collect()
+    b = LAY.shuffle_order(df, seed=42).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    assert sorted(r.doc_id for r in a) == list(range(200))  # a permutation
+    # per-shard positions are contiguous 1..n
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # a different seed produces a different order (not a different set)
+    c = LAY.shuffle_order(df, seed=7).collect()
+    key_a = {r.doc_id: r.shuffle_key for r in a}
+    key_c = {r.doc_id: r.shuffle_key for r in c}
+    assert key_a != key_c
+
+
+def test_incremental_dup_flags_planted(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "spark engines process relational data at scale"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+            (11, "an entirely novel document about astronomy and telescopes"),
+        ],
+        ["doc_id", "text"],
+    )
+    cs = DD.minhash_signatures(DD.shingles(corpus, n=3), num_hashes=8)
+    bs = DD.minhash_signatures(DD.shingles(batch, n=3), num_hashes=8)
+    got = {r.doc_id: r.is_dup for r in DD.incremental_dup_flags(cs, bs).collect()}
+    assert got == {10: True, 11: False}
+
+
+def test_pq_self_codes_and_adc_zero(spark):
+    """Codeword-source vectors encode to their own id in every subspace
+    (self-distance 0), and the query's own ADC distance is exactly 0."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = SIM.pq_codebook(emb, m=4, ks=8)
+    assert cb.count() == 32
+    codes = SIM.pq_encode(emb, cb, m=4)
+    own = {
+        r.vec_id: r.codes
+        for r in codes.filter(F.col("vec_id") < 8).collect()
+    }
+    for vid, cs in own.items():
+        assert cs == [vid] * 4, (vid, cs)
+    query = emb.filter(F.col("vec_id") == 0).select("embedding")
+    top = SIM.pq_adc_topk(codes, cb, query, k=1, m=4).collect()
+    assert top[0].vec_id == 0 and top[0].adc_d2 == 0.0

@@ -321,3 +321,41 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_li")
         spark.sql("DROP TABLE IF EXISTS bkt_ord")
+
+
+def test_zorder_layout_is_joinless_keyed_agg(spark, specs):
+    # The Morton code is a pure-builtin narrow map; the only shuffle is
+    # the bucket aggregate (plus the presentation sort). Any join or
+    # single-partition collapse here would be a layout-job regression.
+    plan = plan_of(run(specs, spark, "zorder_layout"))
+    assert not re.search(r"Join", plan)
+    assert re.search(r"hashpartitioning\([^)]*z_bucket", plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_shuffle_window_is_shard_keyed(spark, specs):
+    # Deterministic shuffle must never be a global row_number: the window
+    # partitions by shard, so no SinglePartition exchange may appear.
+    plan = plan_of(run(specs, spark, "corpus_shuffle"))
+    assert "SinglePartition" not in plan, "global window detected"
+    assert re.search(r"hashpartitioning\([^)]*shard", plan)
+    assert not re.search(r"Join", plan)
+
+
+def test_pq_adc_joins_are_broadcast(spark, specs):
+    # Both PQ joins (codebook onto sub-slices at encode time, LUT onto
+    # exploded codes at query time) carry a ≤32-row build side — they must
+    # broadcast; a shuffle of the corpus keyed on (sub, code) would move
+    # the whole table to answer a point query.
+    plan = plan_of(run(specs, spark, "knn_pq_adc"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, "corpus shuffled for a broadcast-size side"
+
+
+def test_incremental_dedup_broadcasts_batch_probe(spark, specs):
+    # The batch delta's band keys broadcast onto the corpus; the corpus
+    # band table itself must not shuffle for the probe join.
+    plan = plan_of(run(specs, spark, "dedup_incremental"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
