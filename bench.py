@@ -52,6 +52,11 @@ BENCH_QUERIES = [
     "benchmark_contamination",
     "text_repetition_stats",
     "timeseries_gapfill_locf",
+    # late-r3: tokenizer training, PQ ANN, layout, incremental dedup
+    "bpe_vocab_stats",
+    "knn_pq_adc",
+    "zorder_layout",
+    "dedup_incremental",
 ]
 
 

@@ -80,8 +80,10 @@ PRIORITY: tuple[str, ...] = (
     # text_fingerprint, text_split_assign rotated out (r2-green, unchanged)
     # text_vocab_top, text_redact_pii rotated out (r2-green, unchanged)
     "text_tfidf_top_terms",
-    "corpus_sample",
-    "text_bigram_lm",
+    # corpus_sample / text_bigram_lm rotated out (r2-green, unchanged)
+    # new late-r3: distributed BPE tokenizer training + resulting vocab
+    "bpe_train_merges",
+    "bpe_vocab_stats",
     # multimodal family (multimodal_metadata rotated out: r2-green,
     # unchanged; multimodal_features, multimodal_frame_sample,
     # multimodal_dedup rotated out r2-green as well)
@@ -159,6 +161,7 @@ def all_queries() -> dict[str, QuerySpec]:
     """Aggregate every module's QUERIES. Import here (not module top-level)
     so a syntax error in one module is attributable."""
     from gfe_db_spark.queries import (
+        bpe,
         dedup,
         graph,
         layout,
@@ -180,6 +183,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup,
         similarity,
         layout,
+        bpe,
         text,
         multimodal,
         streaming,

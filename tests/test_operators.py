@@ -848,3 +848,38 @@ def test_pq_self_codes_and_adc_zero(spark):
     query = emb.filter(F.col("vec_id") == 0).select("embedding")
     top = SIM.pq_adc_topk(codes, cb, query, k=1, m=4).collect()
     assert top[0].vec_id == 0 and top[0].adc_d2 == 0.0
+
+
+def test_bpe_merge_pair_overlap_semantics(spark):
+    """Greedy leftmost-non-overlapping merge: 'aaa' with pair (a,a) gives
+    [aa, a]; 'aaaa' gives [aa, aa]; a merged token never re-merges."""
+    from gfe_db_spark.operators import bpe as BPE
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["a", "a", "a", "a"],), (["a", "b", "a", "b"],), (["x"],)],
+        ["s"],
+    )
+    got = [r.m for r in df.select(BPE.merge_pair(F.col("s"), "a", "a").alias("m")).collect()]
+    assert got[0] == ["aa", "a"]
+    assert got[1] == ["aa", "aa"]
+    assert got[2] == ["a", "b", "a", "b"]
+    assert got[3] == ["x"]
+    got_ab = [r.m for r in df.select(BPE.merge_pair(F.col("s"), "a", "b").alias("m")).collect()]
+    assert got_ab[2] == ["ab", "ab"]
+
+
+def test_bpe_train_hand_checked(spark):
+    """Tiny corpus with a known merge sequence: 'low' x3 + 'lower' x1 →
+    first merge is (l,o) with weighted count 4, then (lo,w) with 4."""
+    from gfe_db_spark.operators import bpe as BPE
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower")],
+        ["doc_id", "text"],
+    )
+    merges, syms = BPE.bpe_train(BPE.word_frequencies(docs), n_merges=2)
+    assert merges[0][1:3] == ("l", "o") and merges[0][3] == 4
+    assert merges[1][1:3] == ("lo", "w") and merges[1][3] == 4
+    out = {r.word: r.s for r in syms.collect()}
+    assert out["low"] == ["low"]
+    assert out["lower"] == ["low", "e", "r"]

@@ -359,3 +359,15 @@ def test_incremental_dedup_broadcasts_batch_probe(spark, specs):
     plan = plan_of(run(specs, spark, "dedup_incremental"))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_iterations_are_keyed_aggs_no_python(spark, specs):
+    # Each BPE iteration is pair-explode → keyed pair-count aggregate →
+    # 1-row argmax → fold merge (pure builtins). The final vocab plan must
+    # show the keyed aggregate and contain no Python eval, no join of the
+    # word table with itself, and no cartesian product.
+    plan = plan_of(run(specs, spark, "bpe_vocab_stats"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert re.search(r"hashpartitioning\([^)]*sym", plan)
+    assert not re.search(r"SortMergeJoin|ShuffledHashJoin", plan)
