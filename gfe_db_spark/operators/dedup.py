@@ -461,3 +461,80 @@ def _bucketed_candidate_scores(
         .groupBy("id_a", "id_b")
         .agg(F.min("cos").alias("cos"))
     )
+
+
+def set_similarity_join(
+    docs: DataFrame,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact set-similarity self-join with PPJoin-style prefix filtering:
+    all document pairs whose token-set Jaccard ≥ threshold (a rational
+    num/den so every comparison stays in integer arithmetic — no float
+    boundary can disagree across engines).
+
+    Candidate generation: order tokens globally by (df asc, token) —
+    rarest first — and index each document only by its PREFIX of length
+    n - ceil(t*n) + 1 (integer ceil): any pair with overlap ≥ ceil(t*n)
+    (implied by J ≥ t, since |A∩B| ≥ t·|A∪B| ≥ t·|A|) must collide on at
+    least one prefix token, so the filter is lossless. Pairs are generated
+    by an equi-join on the prefix token — candidate cost is Σ df(prefix
+    tokens)², concentrated on RARE tokens by construction, instead of the
+    all-pairs Σ df(all tokens)² of a naive token join.
+
+    Verification is exact: candidates rejoin the (doc, token) table on
+    both sides to count the true intersection, then the integer test
+    inter·den ≥ num·(|A|+|B|-inter) decides. All equi-joins + keyed aggs —
+    no cross join, no floats in the decision path."""
+    dt = (
+        docs.select(F.col(id_col).alias("doc"), F.explode(F.split(F.col(text_col), "\\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = dt.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql.window import Window as W
+
+    ranked = dt.join(dfreq, "tok").join(sizes, "doc")
+    w = W.partitionBy("doc").orderBy("df", "tok")
+    # integer ceil(num*n/den) = (num*n + den - 1) div den — integer div,
+    # so the prefix bound can't wobble on a float boundary
+    required = F.expr(
+        f"({threshold_num} * n + {threshold_den - 1}) div {threshold_den}"
+    )
+    prefix_len = F.col("n") - required + F.lit(1)
+    prefix = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc", "tok")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
+        .distinct()
+    )
+    ta = dt.select(F.col("doc").alias("da"), "tok")
+    tb = dt.select(F.col("doc").alias("db"), "tok")
+    inter = (
+        cand.join(ta, "da")
+        .join(tb, ["db", "tok"])
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc").alias("db"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "da")
+        .join(sb, "db")
+        .filter(
+            F.col("inter") * threshold_den
+            >= F.lit(threshold_num) * (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+        .select(
+            "da", "db", "inter", "na", "nb",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 9).alias("jaccard"),
+        )
+    )

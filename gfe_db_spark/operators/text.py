@@ -106,19 +106,25 @@ def deterministic_split(
     )
 
 
-def hash_bucket_10k(id_col: str, salt: str) -> Column:
-    """Deterministic per-row bucket in [0, 10000): little-endian first 4
-    bytes of md5(id:salt), mod 10000 (see deterministic_split for the
-    portability rationale)."""
+def hash_le32(id_col: str, salt: str) -> Column:
+    """Deterministic 32-bit hash: little-endian first 4 bytes of
+    md5(id:salt), built from swapped hex pairs so any SQL engine with md5
+    reproduces it (DuckDB: md5_number_upper(key) & 4294967295)."""
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
-    le32 = F.conv(
+    return F.conv(
         F.concat(
             F.substring(h, 7, 2), F.substring(h, 5, 2),
             F.substring(h, 3, 2), F.substring(h, 1, 2),
         ),
         16, 10,
     ).cast("long")
-    return le32 % 10000
+
+
+def hash_bucket_10k(id_col: str, salt: str) -> Column:
+    """Deterministic per-row bucket in [0, 10000): little-endian first 4
+    bytes of md5(id:salt), mod 10000 (see deterministic_split for the
+    portability rationale)."""
+    return hash_le32(id_col, salt) % 10000
 
 
 def deterministic_sample(
@@ -464,3 +470,78 @@ def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 4) -> DataFram
         "fingerprint",
         F.when(F.size(toks) >= k, F.array_min(windows)).otherwise(F.lit(None)),
     )
+
+
+def priority_sample(
+    docs: DataFrame,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    k: int = 100,
+    salt: str = "wps",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (priority
+    sampling, Duffield-Lund-Thorup): priority = w / u with u a
+    hash-derived uniform, keep the k largest. Inclusion probability is
+    proportional to weight, yet the sample is a pure function of
+    (id, salt) — re-runs, retries, and other engines pick the same rows.
+
+    Float discipline: u is an exact 32-bit integer, w an integer column;
+    one IEEE division (correctly rounded on every engine) produces the
+    priority, so the ranking is bit-identical cross-engine — no
+    transcendentals. At scale the top-k is a per-partition heap merge
+    (TakeOrderedAndProject), never a global sort."""
+    u = hash_le32(id_col, salt) + F.lit(1)  # [1, 2^32] — exact as double
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(weight_col).alias("weight"),
+            (F.col(weight_col).cast("double") / u.cast("double")).alias("priority"),
+        )
+        .orderBy(F.desc("priority"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, hashed-ngram
+    variant): score each document by the mean log-likelihood ratio of its
+    unigrams under the target domain vs the full corpus, with add-1
+    smoothing. Positive score → looks like the target domain; used as the
+    resampling weight for domain up-sampling.
+
+    Plan shape: explode → two vocab-sized keyed aggs (target counts and
+    corpus counts — map-side partials, result is |vocab| rows, which AQE
+    broadcasts for the final join) → per-doc mean. The corpus is scanned
+    once per count table and once for scoring; nothing driver-side.
+    Scores round to 6 before the keep flag so the threshold compare is
+    engine-portable."""
+    toks = docs.select(
+        F.col(id_col),
+        target_pred.alias("is_target"),
+        F.explode(tokenize(F.col(text_col))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    corpus_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("sc"))
+    target_counts = (
+        toks.filter(F.col("is_target"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    stats = corpus_counts.join(target_counts, "tok", "left").select(
+        "tok", "sc", F.coalesce("tc", F.lit(0)).alias("tc")
+    )
+    scored = (
+        toks.join(stats, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(
+                F.avg(F.log((F.col("tc") + 1) / (F.col("sc") + 1))), 6
+            ).alias("dsir_score"),
+        )
+    )
+    return scored.withColumn("is_target_like", F.col("dsir_score") >= -1.0)

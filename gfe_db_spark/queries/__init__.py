@@ -33,9 +33,9 @@ class QuerySpec:
 # the classic TPC-H suite).
 PRIORITY: tuple[str, ...] = (
     # graph / end-to-end GFE pipeline (SURVEY §2.3 J8, §2.9).
-    # graph_undirected_2hop rotated out of the 50-entry window (r2-green,
-    # unchanged) to make room for the round-3 entries below.
-    "graph_3hop_motif",
+    # graph_undirected_2hop and graph_3hop_motif rotated out of the
+    # 50-entry window (r2-green, unchanged) to make room for the round-3
+    # entries below; the motif family stays covered by graph_bfs_hops.
     # graph_degree_distribution / graph_triangle_count / graph_pagerank
     # rotated out (r2-green, unchanged); BFS is the new iterative entry
     "graph_bfs_hops",
@@ -56,15 +56,17 @@ PRIORITY: tuple[str, ...] = (
     "dedup_incremental",
     # dedup_keep_list rotated out (r2-green, unchanged)
     # corpus_prep_pipeline rotated out (r2-green, unchanged)
-    "dedup_embedding_cosine",
+    # dedup_embedding_cosine rotated out (r2-green, unchanged); new this
+    # session: exact Jaccard join with lossless prefix filtering
+    "set_similarity_join",
     # new in r3: cluster-then-prune semantic dedup (SemDeDup shape)
     "semdedup_prune",
     # similarity / ANN family (knn_brute_force and knn_ivf rotated out:
     # r2-green, unchanged)
     # back in the window: gained the unrolled-Lloyd SQL oracle in r3
     "knn_ivf_trained",
-    # ann_lsh_buckets rotated out (r2-green, unchanged)
-    "ann_topk_join",
+    # ann_lsh_buckets and ann_topk_join rotated out (r2-green, unchanged;
+    # ANN family stays covered by knn_ivf_trained / knn_pq_adc)
     # new late-r3: product-quantization ANN with ADC lookup
     "knn_pq_adc",
     # embedding_quantize rotated out (r2-green, unchanged)
@@ -78,8 +80,11 @@ PRIORITY: tuple[str, ...] = (
     # window pair is new in r3
     "w_relative_rank",
     # text_fingerprint, text_split_assign rotated out (r2-green, unchanged)
-    # text_vocab_top, text_redact_pii rotated out (r2-green, unchanged)
-    "text_tfidf_top_terms",
+    # text_vocab_top, text_redact_pii, text_tfidf_top_terms rotated out
+    # (r2-green, unchanged; text family stays covered by the r3 entries)
+    # new this session: deterministic weighted sampling + DSIR weights
+    "weighted_sample_priority",
+    "dsir_importance_weights",
     # corpus_sample / text_bigram_lm rotated out (r2-green, unchanged)
     # new late-r3: distributed BPE tokenizer training + resulting vocab
     "bpe_train_merges",
@@ -89,7 +94,8 @@ PRIORITY: tuple[str, ...] = (
     # multimodal_dedup rotated out r2-green as well)
     "multimodal_real_decode",
     # streaming: batch twins + real streaming executions + DataSource scan
-    "sessionize",
+    # (sessionize rotated out: r2-green, unchanged; the streaming family
+    # stays in-window via the three executed-stream entries below)
     # tumbling_window, event_funnel rotated out (r2-green; their shared
     # timestamp substrate changed in r3 — NTZ normalization — but both are
     # re-verified by the full sf0.01/sf0.1 parity sweeps and the pytest
@@ -99,9 +105,16 @@ PRIORITY: tuple[str, ...] = (
     "stream_upsert_sink",
     # new in r3: watermarked stream-stream interval join, executed
     "stream_stream_join",
-    "imgt_datasource_scan",
-    # skew toolkit
-    "skew_salted_count_distinct",
+    # imgt_datasource_scan and skew_salted_count_distinct rotated out
+    # (r2-green, unchanged; IMGT stays covered by gfe_end_to_end /
+    # gfe_naming, skew by skew_salted_join / skew_stats_hot_keys below)
+    # new this session: warehouse maintenance family (PIT read over SCD2,
+    # delete-aware CDC apply, mergeable partial-agg state, blocked entity
+    # resolution)
+    "scd2_point_in_time_join",
+    "cdc_apply_changelog",
+    "incremental_agg_merge",
+    "entity_match_blocking",
     # TPC-H shapes: q21 never driver-checked (was position 51 in r1/r2) and
     # q12 red in r2 (oracle dtype, fixed) lead; q9/q16/q20 earned r2-green
     # rows and can safely trail past the 50-entry window.
@@ -172,6 +185,7 @@ def all_queries() -> dict[str, QuerySpec]:
         text,
         tpch_plus,
         tpch_rest,
+        warehouse,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -187,6 +201,7 @@ def all_queries() -> dict[str, QuerySpec]:
         text,
         multimodal,
         streaming,
+        warehouse,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

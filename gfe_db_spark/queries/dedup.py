@@ -476,7 +476,46 @@ ORDER BY s.doc_id
 )
 
 
+def set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join (token-set Jaccard ≥ 3/5) with
+    PPJoin-style prefix filtering on a deterministic corpus slice. The
+    oracle generates candidates from ALL shared tokens — an independent
+    (prefix-free) formulation, so a lossy prefix bound would show up as
+    missing pairs, not cancel out."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    out = DD.set_similarity_join(docs, threshold_num=3, threshold_den=5)
+    return out.orderBy("da", "db")
+
+
+SET_SIM_JOIN_SQL = r"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+dt AS (
+  SELECT DISTINCT doc_id AS doc, tok
+  FROM d, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS u(tok)
+),
+sizes AS (SELECT doc, COUNT(*) AS n FROM dt GROUP BY doc),
+pairs AS (
+  SELECT a.doc AS da, b.doc AS db, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM dt a JOIN dt b ON a.tok = b.tok AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT p.da, p.db, p.inter,
+       CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+       round(p.inter / (sa.n + sb.n - p.inter), 9) AS jaccard
+FROM pairs p
+JOIN sizes sa ON p.da = sa.doc
+JOIN sizes sb ON p.db = sb.doc
+WHERE p.inter * 5 >= 3 * (sa.n + sb.n - p.inter)
+ORDER BY da, db
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "set_similarity_join": QuerySpec(
+        set_similarity_join,
+        SET_SIM_JOIN_SQL,
+        "exact Jaccard set-similarity join with lossless prefix filtering",
+    ),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "exact hash dedup"),
     "dedup_incremental": QuerySpec(
         dedup_incremental,

@@ -497,7 +497,71 @@ ORDER BY d.doc_id
 """
 
 
+def weighted_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (priority
+    sampling): top-100 docs by priority = n_chars / hash-uniform. The
+    priority is one IEEE division of exact integers — bit-identical on
+    every engine, so selection AND the reported priority hash-match."""
+    docs = table(spark, sf_dir, "documents")
+    out = TX.priority_sample(docs, weight_col="n_chars", k=100)
+    return out.select("doc_id", "weight", "priority").orderBy(
+        F.desc("priority"), "doc_id"
+    )
+
+
+WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, n_chars AS weight,
+       CAST(n_chars AS DOUBLE)
+         / CAST((md5_number_upper(CAST(doc_id AS VARCHAR) || ':wps')
+                 & 4294967295) + 1 AS DOUBLE) AS priority
+FROM documents
+ORDER BY priority DESC, doc_id
+LIMIT 100
+"""
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights: per-doc mean unigram log-likelihood
+    ratio of the target domain (lang='en') vs the whole corpus."""
+    docs = table(spark, sf_dir, "documents")
+    out = TX.dsir_weights(docs, target_pred=F.col("lang") == "en")
+    return out.select("doc_id", "n_toks", "dsir_score", "is_target_like").orderBy(
+        "doc_id"
+    )
+
+
+DSIR_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_target, tok
+  FROM documents,
+       unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS u(tok)
+), stats AS (
+  SELECT tok, COUNT(*) AS sc,
+         COALESCE(SUM(CASE WHEN is_target THEN 1 ELSE 0 END), 0) AS tc
+  FROM toks GROUP BY tok
+), scored AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_toks,
+         round(AVG(ln((s.tc + 1) / (s.sc + 1))), 6) AS dsir_score
+  FROM toks t JOIN stats s USING (tok)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_toks, dsir_score, dsir_score >= -1.0 AS is_target_like
+FROM scored ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "weighted_sample_priority": QuerySpec(
+        weighted_sample_priority,
+        WEIGHTED_SAMPLE_SQL,
+        "deterministic weighted sampling (priority sampling, no floats in selection)",
+    ),
+    "dsir_importance_weights": QuerySpec(
+        dsir_importance_weights,
+        DSIR_SQL,
+        "DSIR-style unigram log-likelihood-ratio importance weights",
+    ),
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_SQL, "token counting"),
     "text_quality_scores": QuerySpec(text_quality_scores, TEXT_QUALITY_SQL, "quality signals"),
     "text_lang_id": QuerySpec(text_lang_id, TEXT_LANG_SQL, "language-ID heuristic"),

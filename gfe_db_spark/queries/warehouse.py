@@ -1,0 +1,262 @@
+"""Warehouse maintenance shapes: point-in-time reads over SCD2 history,
+changelog (CDC) apply with delete semantics, and mergeable partial-aggregate
+state (incremental materialized-view maintenance).
+
+The reference's load path is a full-table MERGE per release (SURVEY §2.4
+A1-A5, ref `load/src/model/*.cypher`); these entries cover the three
+warehouse shapes that sit right next to that MERGE in a real deployment:
+reading the dimension as of a past time, applying an upstream change
+stream that can delete, and refreshing a downstream aggregate from a delta
+without recomputing the world.
+
+Scale notes (100 TB design):
+- the point-in-time join is an equi-join on the entity key with the
+  interval predicate applied post-join: the shuffle carries only the key,
+  and per-key fan-out is bounded by that entity's history length (never a
+  global range join). With a bucketed/Delta dimension this is exactly the
+  "timestamp-as-of" read path.
+- the CDC apply is ONE keyed aggregation (max_by over a version struct)
+  with map-side partial aggregation — an N-row shuffle, not a window sort;
+  tombstones (op='D') are dropped after the arg-max so a delete followed
+  by no re-insert removes the key.
+- the incremental-merge entry computes partial aggregate STATES (count +
+  decimal sums) per partition-of-arrival and merges them; merging M daily
+  states costs O(groups × M), independent of raw row count — the
+  mergeable-state contract every incremental MV / cube build relies on.
+  Decimal routing keeps merge order irrelevant (exact arithmetic), so
+  base+delta equals the full recompute bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from gfe_db_spark.queries import QuerySpec
+from gfe_db_spark.sources.tables import table
+
+
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) join: probe each customer's SCD2
+    order-history at probe_ts = order date + 30 days and aggregate the
+    attribute that was valid then. Each probe lands in exactly one
+    validity interval ([valid_from, valid_to), open interval ends NULL),
+    so the join is key-equi + interval filter — no pair explosion."""
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    hist = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    probes = orders.select(
+        F.col("o_custkey").alias("p_custkey"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("probe_ts"),
+    )
+    joined = probes.join(
+        hist,
+        (F.col("p_custkey") == F.col("custkey"))
+        & (F.col("probe_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("probe_ts") < F.col("valid_to"))),
+        "inner",
+    )
+    return (
+        joined.groupBy("custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum(F.col("totalprice").cast("decimal(30,8)"))
+            .cast("double")
+            .alias("pit_total"),
+        )
+        .orderBy("custkey")
+    )
+
+
+SCD2_PIT_SQL = """
+WITH hist AS (
+  SELECT o_custkey AS custkey, o_orderdate AS valid_from,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS valid_to,
+         o_totalprice AS totalprice
+  FROM orders
+), probes AS (
+  SELECT o_custkey AS p_custkey,
+         o_orderdate + INTERVAL 30 DAY AS probe_ts
+  FROM orders
+)
+SELECT h.custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(CAST(SUM(CAST(h.totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS pit_total
+FROM probes p JOIN hist h
+  ON p.p_custkey = h.custkey
+ AND p.probe_ts >= h.valid_from
+ AND (h.valid_to IS NULL OR p.probe_ts < h.valid_to)
+GROUP BY h.custkey
+ORDER BY h.custkey
+"""
+
+
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC changelog to produce the current snapshot. The event
+    stream is read as a changelog keyed by user_id: op='D' (tombstone) for
+    'error' events, op='U' otherwise; version = (ts, event_id). Apply =
+    arg-max by version per key, then drop keys whose LATEST op is a
+    tombstone — delete-aware keep-latest, i.e. MERGE with WHEN MATCHED
+    DELETE. One keyed aggregation; no window sort."""
+    ev = table(spark, sf_dir, "events")
+    chg = ev.select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("version_ts"),
+        F.col("event_id").alias("version_seq"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("value"),
+    )
+    vkey = F.struct("version_ts", "version_seq")
+    latest = chg.groupBy("key").agg(
+        F.max_by(F.struct("version_ts", "version_seq", "op", "value"), vkey).alias("s"),
+        F.count(F.lit(1)).alias("n_changes"),
+    )
+    return (
+        latest.filter(F.col("s.op") != "D")
+        .select(
+            "key",
+            F.date_format("s.version_ts", "yyyy-MM-dd HH:mm:ss").alias("version_ts"),
+            F.col("s.value").alias("current_value"),
+            "n_changes",
+        )
+        .orderBy("key")
+    )
+
+
+CDC_APPLY_SQL = """
+SELECT key, strftime(version_ts, '%Y-%m-%d %H:%M:%S') AS version_ts,
+       value AS current_value, n_changes
+FROM (
+  SELECT user_id AS key, ts AS version_ts, value,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_changes,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1 AND op <> 'D'
+ORDER BY key
+"""
+
+
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh: partial aggregate states for
+    the base (shipdate < 1999) and the delta (>= 1999) are computed
+    independently and MERGED — never re-scanning the base rows. The state
+    is (count, decimal sum-of-qty, decimal sum-of-revenue); decimal
+    arithmetic makes the merge exact and order-free, so the merged result
+    equals the full single-pass recompute bit-for-bit (the oracle)."""
+    li = table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1999-01-01")
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(30,8)")).alias("sum_qty_state"),
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                    "decimal(30,8)"
+                )
+            ).alias("sum_rev_state"),
+        )
+
+    base = state(li.filter(F.col("l_shipdate") < cutoff))
+    delta = state(li.filter(F.col("l_shipdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("sum_qty_state").cast("double").alias("sum_qty"),
+            F.sum("sum_rev_state").cast("double").alias("sum_revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+INCREMENTAL_MERGE_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_revenue
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def entity_match_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution with blocking: candidate pairs are generated only
+    WITHIN a blocking key (name prefix — at 100 TB the blocking join
+    shuffles on the block, bounding pair cost to Σ|block|² instead of n²),
+    then scored with edit distance (levenshtein ≤ 1 → same entity,
+    typo-tolerant). Per-block match counts + total distance keep the
+    output profile-sized; AQE's skew-join splits any hot block."""
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.substring("c_name", 1, 16).alias("block"),
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    matched = (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.k") < F.col("b.k")))
+        .select(F.col("a.block").alias("block"), dist.alias("dist"))
+        .filter(F.col("dist") <= 1)
+    )
+    return (
+        matched.groupBy("block")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.sum("dist").alias("total_dist"),
+        )
+        .orderBy("block")
+    )
+
+
+ENTITY_MATCH_SQL = """
+WITH c AS (
+  SELECT c_custkey AS k, c_name AS name, substr(c_name, 1, 16) AS block
+  FROM customer
+)
+SELECT a.block,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(SUM(levenshtein(a.name, b.name)) AS BIGINT) AS total_dist
+FROM c a JOIN c b ON a.block = b.block AND a.k < b.k
+WHERE levenshtein(a.name, b.name) <= 1
+GROUP BY a.block
+ORDER BY a.block
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "entity_match_blocking": QuerySpec(
+        entity_match_blocking,
+        ENTITY_MATCH_SQL,
+        "blocked entity resolution with edit-distance scoring",
+    ),
+    "scd2_point_in_time_join": QuerySpec(
+        scd2_point_in_time_join,
+        SCD2_PIT_SQL,
+        "point-in-time (time-travel) read over SCD2 validity intervals",
+    ),
+    "cdc_apply_changelog": QuerySpec(
+        cdc_apply_changelog,
+        CDC_APPLY_SQL,
+        "CDC changelog apply with tombstone deletes (delete-aware keep-latest)",
+    ),
+    "incremental_agg_merge": QuerySpec(
+        incremental_agg_merge,
+        INCREMENTAL_MERGE_SQL,
+        "mergeable partial-aggregate state: base+delta merge == full recompute",
+    ),
+}

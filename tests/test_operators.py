@@ -883,3 +883,97 @@ def test_bpe_train_hand_checked(spark):
     out = {r.word: r.s for r in syms.collect()}
     assert out["low"] == ["low"]
     assert out["lower"] == ["low", "e", "r"]
+
+
+def test_pit_join_exactly_one_interval_per_probe(spark):
+    """SCD2 point-in-time invariant: validity intervals partition each
+    customer's timeline from first order onward, so every probe (order
+    date + 30d, always ≥ that customer's first valid_from) matches
+    EXACTLY one interval — n_probes summed over the result equals the
+    order count, with no probe duplicated or dropped by the join."""
+    from tests.conftest import SF_SMOKE
+
+    from gfe_db_spark.queries.warehouse import scd2_point_in_time_join
+    from gfe_db_spark.sources.tables import table
+
+    out = scd2_point_in_time_join(spark, SF_SMOKE)
+    n_orders = table(spark, SF_SMOKE, "orders").count()
+    assert out.agg(F.sum("n_probes")).first()[0] == n_orders
+
+
+def test_cdc_apply_tombstones_partition_keys(spark):
+    """CDC apply invariant: result keys and tombstoned keys (latest op =
+    'D') exactly partition the full key set — a delete followed by no
+    re-insert removes the key; everything else survives."""
+    from tests.conftest import SF_SMOKE
+
+    from gfe_db_spark.queries.warehouse import cdc_apply_changelog
+    from gfe_db_spark.sources.tables import table
+
+    ev = table(spark, SF_SMOKE, "events")
+    out_keys = {r.key for r in cdc_apply_changelog(spark, SF_SMOKE).select("key").collect()}
+    latest = (
+        ev.groupBy("user_id")
+        .agg(F.max_by("event_type", F.struct("ts", "event_id")).alias("last_type"))
+        .collect()
+    )
+    tombstoned = {r.user_id for r in latest if r.last_type == "error"}
+    all_keys = {r.user_id for r in latest}
+    assert out_keys == all_keys - tombstoned
+    assert tombstoned, "fixture must exercise the delete path"
+
+
+def test_set_similarity_join_planted_pairs(spark):
+    """Planted corpus with hand-computed Jaccards around the 3/5 threshold:
+    {a,b,c,d,e}x{a,b,c,d,f}: inter 4, union 6 → 2/3 ≥ 3/5 → kept;
+    {a,b,c,d,e}x{a,b,g,h,i}: inter 2, union 8 → 1/4 < 3/5 → dropped;
+    exact duplicates → jaccard 1.0 kept."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d f"),
+            (3, "a b g h i"),
+            (4, "a b c d e"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.da, r.db): r.jaccard
+        for r in DD.set_similarity_join(docs, 3, 5).collect()
+    }
+    assert set(out) == {(1, 2), (1, 4), (2, 4)}
+    assert out[(1, 4)] == 1.0
+
+
+def test_priority_sample_weight_monotone(spark):
+    """Priority sampling invariant: with equal hash-uniforms impossible,
+    check determinism (two runs identical) and that k rows come back with
+    priorities sorted descending."""
+    from tests.conftest import SF_SMOKE
+
+    from gfe_db_spark.sources.tables import table
+
+    docs = table(spark, SF_SMOKE, "documents")
+    s1 = TX.priority_sample(docs, k=20).collect()
+    s2 = TX.priority_sample(docs, k=20).collect()
+    assert [r.doc_id for r in s1] == [r.doc_id for r in s2]
+    ps = [r.priority for r in s1]
+    assert ps == sorted(ps, reverse=True) and len(ps) == 20
+
+
+def test_dsir_scores_separate_target_domain(spark):
+    """DSIR semantic check: documents IN the target domain score higher on
+    average than documents outside it (the signal the resampler uses)."""
+    from tests.conftest import SF_SMOKE
+
+    from gfe_db_spark.sources.tables import table
+
+    docs = table(spark, SF_SMOKE, "documents")
+    out = TX.dsir_weights(docs, target_pred=F.col("lang") == "en")
+    joined = out.join(docs.select("doc_id", "lang"), "doc_id")
+    avg = dict(
+        joined.groupBy((F.col("lang") == "en").alias("t"))
+        .agg(F.avg("dsir_score").alias("s"))
+        .collect()
+    )
+    assert avg[True] > avg[False]
