@@ -150,7 +150,57 @@ LIMIT 30
 )
 
 
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the trained tokenizer: per-document word
+    and subword-token counts after the 3 learned merges. The scalable
+    apply path: merges are NOT re-derived per occurrence — the symbolized
+    word table becomes a vocab-sized (word → n_subtokens) dimension that
+    BROADCASTS onto the exploded corpus, so encoding 100 TB is one narrow
+    explode + a broadcast join + a keyed count, with the fold applied only
+    once per DISTINCT word."""
+    docs = table(spark, sf_dir, "documents")
+    _, syms = BPE.bpe_train(BPE.word_frequencies(docs), n_merges=N_MERGES)
+    wlen = syms.select("word", F.size("s").cast("long").alias("n_sub"))
+    doc_words = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("word"),
+    )
+    return (
+        doc_words.join(F.broadcast(wlen), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_subtokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BPE_ENCODE_SQL = (
+    _CHAIN
+    + """
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(w.s)) AS BIGINT) AS n_subtokens
+FROM (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents
+) dw
+JOIN w3 w USING (word)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "bpe_encode_corpus": QuerySpec(
+        bpe_encode_corpus,
+        BPE_ENCODE_SQL,
+        "corpus tokenization with the trained BPE vocab as a broadcast dimension",
+    ),
     "bpe_train_merges": QuerySpec(
         bpe_train_merges,
         BPE_TRAIN_SQL,

@@ -238,7 +238,111 @@ ORDER BY a.block
 """
 
 
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of `orders` in ONE scan: per column,
+    non-null count, exact distinct count, and min/max rendered to strings.
+    All statistics are computed in a single aggregation (one pass, one
+    shuffle for the distincts — Spark expands multiple count-distincts
+    itself); the 1-row result is exploded to long format. Doubles are
+    profiled in integer cents (floor(x*100): IEEE multiply + floor are
+    engine-exact, unlike double→string rendering); timestamps via
+    date_format."""
+    o = table(spark, sf_dir, "orders")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    row = o.agg(
+        F.count("o_orderkey").alias("nn_key"),
+        F.count_distinct("o_orderkey").alias("nd_key"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.count_distinct("o_custkey").alias("nd_cust"),
+        F.min("o_custkey").alias("min_cust"),
+        F.max("o_custkey").alias("max_cust"),
+        F.count("o_orderpriority").alias("nn_prio"),
+        F.count_distinct("o_orderpriority").alias("nd_prio"),
+        F.min("o_orderpriority").alias("min_prio"),
+        F.max("o_orderpriority").alias("max_prio"),
+        F.count("o_orderdate").alias("nn_date"),
+        F.count_distinct("o_orderdate").alias("nd_date"),
+        F.date_format(F.min("o_orderdate"), fmt).alias("min_date"),
+        F.date_format(F.max("o_orderdate"), fmt).alias("max_date"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.count_distinct("o_totalprice").alias("nd_price"),
+        F.floor(F.min("o_totalprice") * 100).alias("min_price_c"),
+        F.floor(F.max("o_totalprice") * 100).alias("max_price_c"),
+    )
+
+    def stat(name: str, nn, nd, mn, mx):
+        return F.struct(
+            F.lit(name).alias("col_name"),
+            F.col(nn).alias("n_nonnull"),
+            F.col(nd).alias("n_distinct"),
+            F.col(mn).cast("string").alias("min_val"),
+            F.col(mx).cast("string").alias("max_val"),
+        )
+
+    return (
+        row.select(
+            F.explode(
+                F.array(
+                    stat("o_orderkey", "nn_key", "nd_key", "min_key", "max_key"),
+                    stat("o_custkey", "nn_cust", "nd_cust", "min_cust", "max_cust"),
+                    stat("o_orderpriority", "nn_prio", "nd_prio", "min_prio", "max_prio"),
+                    stat("o_orderdate", "nn_date", "nd_date", "min_date", "max_date"),
+                    stat(
+                        "o_totalprice_cents",
+                        "nn_price",
+                        "nd_price",
+                        "min_price_c",
+                        "max_price_c",
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .orderBy("col_name")
+    )
+
+
+TABLE_PROFILE_SQL = """
+SELECT 'o_orderkey' AS col_name,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_nonnull,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(COUNT(o_custkey) AS BIGINT),
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(COUNT(o_orderpriority) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+       MIN(o_orderpriority), MAX(o_orderpriority)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', CAST(COUNT(o_orderdate) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+       strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+       strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+FROM orders
+UNION ALL
+SELECT 'o_totalprice_cents', CAST(COUNT(o_totalprice) AS BIGINT),
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+       CAST(CAST(FLOOR(MIN(o_totalprice) * 100) AS BIGINT) AS VARCHAR),
+       CAST(CAST(FLOOR(MAX(o_totalprice) * 100) AS BIGINT) AS VARCHAR)
+FROM orders
+ORDER BY col_name
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "table_profile": QuerySpec(
+        table_profile,
+        TABLE_PROFILE_SQL,
+        "single-pass ANALYZE-style column profile (non-null / ndv / min / max)",
+    ),
     "entity_match_blocking": QuerySpec(
         entity_match_blocking,
         ENTITY_MATCH_SQL,
