@@ -371,3 +371,83 @@ def test_bpe_iterations_are_keyed_aggs_no_python(spark, specs):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert re.search(r"hashpartitioning\([^)]*sym", plan)
     assert not re.search(r"SortMergeJoin|ShuffledHashJoin", plan)
+
+
+def test_set_similarity_prefix_join_is_token_keyed(spark, specs):
+    # Candidate generation must be the prefix-token equi-join and the
+    # verify step token-keyed equi-joins — a non-equi (nested-loop) join
+    # here means the prefix filter degenerated to all-pairs.
+    plan = plan_of(run(specs, spark, "set_similarity_join"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"hashpartitioning\([^)]*doc", plan), "window not doc-keyed"
+
+
+def test_entity_match_join_is_block_keyed(spark, specs):
+    # The self-join must be an equi-join on the blocking key (the
+    # levenshtein predicate applied post-join); a nested-loop strategy
+    # would mean the blocking bound was lost and pair cost reverts to n².
+    plan = plan_of(run(specs, spark, "entity_match_blocking"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
+
+
+def test_bpe_encode_vocab_broadcasts(spark, specs):
+    # Corpus encoding joins the exploded corpus against the vocab-sized
+    # (word → n_subtokens) dimension: the dimension must broadcast; a
+    # shuffle join would move the 100 TB corpus to apply a tiny vocab.
+    plan = plan_of(run(specs, spark, "bpe_encode_corpus"))
+    assert "BroadcastHashJoin" in plan
+    assert not re.search(r"SortMergeJoin|ShuffledHashJoin", plan)
+
+
+def test_table_profile_is_single_scan(spark, specs):
+    # All column statistics come from ONE pass over orders: exactly one
+    # parquet scan may appear in the plan.
+    plan = plan_of(run(specs, spark, "table_profile"))
+    # count node sections ("(1) Scan parquet"), not tree echo lines
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, f"profile re-scans the table ({n_scans} scans)"
+
+
+def test_cdc_apply_is_agg_not_window(spark, specs):
+    # The changelog apply is ONE keyed max_by aggregation (map-side
+    # partials, N-row shuffle); a Window node here means it regressed to
+    # the sort-based rn=1 formulation.
+    plan = plan_of(run(specs, spark, "cdc_apply_changelog"))
+    assert "Window" not in plan
+    assert re.search(r"hashpartitioning\([^)]*key", plan)
+
+
+def test_pit_join_window_is_custkey_partitioned(spark, specs):
+    # The SCD2 interval build must window per customer (never a global
+    # sort) and the probe join must be key-equi.
+    plan = plan_of(run(specs, spark, "scd2_point_in_time_join"))
+    assert "SinglePartition" not in plan, "global window detected"
+    assert "CartesianProduct" not in plan
+    assert re.search(r"hashpartitioning\([^)]*custkey", plan)
+
+
+def test_priority_sample_is_topk_not_global_sort(spark, specs):
+    # Weighted sampling must plan as TakeOrderedAndProject (per-partition
+    # heap + merge), not a full global sort of the corpus.
+    plan = plan_of(run(specs, spark, "weighted_sample_priority"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dsir_is_jvm_only_keyed_aggs(spark, specs):
+    # DSIR scoring is explode + keyed aggs + joins of vocab-sized stats —
+    # no Python eval anywhere, no cartesian.
+    plan = plan_of(run(specs, spark, "dsir_importance_weights"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_merge_unions_partial_states(spark, specs):
+    # The merged refresh must be the union of two partial-state aggregates
+    # re-aggregated on the group key — Union present, and no join (state
+    # merge is a keyed agg, not a reconciliation join).
+    plan = plan_of(run(specs, spark, "incremental_agg_merge"))
+    assert "Union" in plan
+    assert not re.search(r"Join", plan)
