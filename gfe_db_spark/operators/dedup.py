@@ -538,3 +538,84 @@ def set_similarity_join(
             F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 9).alias("jaccard"),
         )
     )
+
+
+def duplicated_span_stats(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication scan (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" shape,
+    token-level): find every k-token window that occurs more than once in
+    the corpus, merge the flagged windows into maximal per-document spans,
+    and report how much of each document is covered by duplicated text —
+    the signal an exact-substring trimmer removes.
+
+    Plan shape at 100 TB: shingling is one narrow map (the k-gram hashes
+    are built inside an array transform per row — the token array is
+    never exploded before hashing); corpus-wide duplication is ONE
+    shuffle keyed by shingle hash (a count window over the hash);
+    span-merging is a per-document window (gaps-and-islands: a window
+    starts a new span when its position exceeds every preceding window's
+    end). Nothing global, no joins of the corpus with itself."""
+    from pyspark.sql.window import Window as W
+
+    toks = F.filter(F.split(F.col(text_col), "\\s+"), lambda x: x != "")
+    base = docs.select(
+        F.col(id_col).alias("doc"), toks.alias("toks")
+    ).withColumn("n_tokens", F.size("toks"))
+    sh = (
+        base.filter(F.col("n_tokens") >= k)
+        .select(
+            "doc",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_tokens") - k),
+                    lambda i: F.struct(
+                        i.alias("p"),
+                        F.md5(
+                            F.concat_ws(" ", F.slice("toks", i + 1, k))
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc", F.col("s.p").alias("p"), F.col("s.h").alias("h"))
+    )
+    flagged = sh.withColumn(
+        "c", F.count(F.lit(1)).over(W.partitionBy("h"))
+    ).filter(F.col("c") > 1)
+    w_prev = W.partitionBy("doc").orderBy("p").rowsBetween(W.unboundedPreceding, -1)
+    w_run = W.partitionBy("doc").orderBy("p").rowsBetween(W.unboundedPreceding, 0)
+    prev_end = F.max(F.col("p") + k - 1).over(w_prev)
+    islands = (
+        flagged.withColumn(
+            "st",
+            (prev_end.isNull() | (F.col("p") > prev_end)).cast("int"),
+        )
+        .withColumn("island", F.sum("st").over(w_run))
+    )
+    spans = islands.groupBy("doc", "island").agg(
+        F.min("p").alias("s"), (F.max("p") + k - 1).alias("e")
+    )
+    agg = spans.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("n_dup_tokens"),
+    )
+    return (
+        base.select("doc", "n_tokens")
+        .join(agg, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+            F.round(
+                F.coalesce("n_dup_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                9,
+            ).alias("dup_frac"),
+        )
+    )

@@ -61,8 +61,10 @@ PRIORITY: tuple[str, ...] = (
     # dedup_keep_list rotated out (r2-green, unchanged)
     # corpus_prep_pipeline rotated out (r2-green, unchanged)
     # dedup_embedding_cosine rotated out (r2-green, unchanged); new this
-    # session: exact Jaccard join with lossless prefix filtering
+    # session: exact Jaccard join with lossless prefix filtering, and the
+    # Lee-et-al exact-substring duplicated-span scan
     "set_similarity_join",
+    "dedup_exact_substrings",
     # new in r3: cluster-then-prune semantic dedup (SemDeDup shape)
     "semdedup_prune",
     # similarity / ANN family (knn_brute_force and knn_ivf rotated out:
@@ -111,8 +113,11 @@ PRIORITY: tuple[str, ...] = (
     # stream_upsert_sink rotated out: rows-only (filesystem sink) with an
     # r2 driver row; executed streaming stays in-window via
     # stream_user_totals / stream_stream_join / stream_dedup (all SQL)
-    # new in r3: watermarked stream-stream interval join, executed
+    # new in r3: watermarked stream-stream interval join, executed; new
+    # this session: executed streaming CDC apply (tombstones, out-of-order
+    # batches) sharing the batch changelog oracle
     "stream_stream_join",
+    "stream_cdc_apply",
     # imgt_datasource_scan and skew_salted_count_distinct rotated out
     # (r2-green, unchanged; IMGT stays covered by gfe_end_to_end /
     # gfe_naming, skew by skew_salted_join / skew_stats_hot_keys below)
@@ -139,11 +144,14 @@ PRIORITY: tuple[str, ...] = (
     "benchmark_contamination",
     "stream_dedup",
     "sketch_distinct_accuracy",
-    "sketch_quantile_accuracy",
+    # sketch_quantile_accuracy slides past the window (sibling
+    # sketch_distinct_accuracy represents the accuracy-contract family
+    # in-window; the judge's full sweep still checks it)
     "text_lm_score",
     "ewma_user_value",
     "copurchase_pairs",
-    "histogram_quantity",
+    # histogram_quantity slides past the window (profiling family is
+    # in-window via table_profile; full sweep still checks it)
     "timeseries_gapfill_locf",
     "unpivot_measures",
     "scd2_customer_history",
@@ -155,6 +163,8 @@ PRIORITY: tuple[str, ...] = (
     "skew_salted_join",
     "skew_stats_hot_keys",
     "q9_profit_by_nation_year",
+    "sketch_quantile_accuracy",
+    "histogram_quantity",
     "q11_important_balance",
     "q16_supplier_count_distribution",
     "q20_quantity_threshold_suppliers",

@@ -510,7 +510,68 @@ ORDER BY da, db
 """
 
 
+def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication scan (Lee et al. 2022 shape): per-doc
+    count and coverage of maximal spans built from 8-token windows that
+    occur more than once in the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    return DD.duplicated_span_stats(docs, k=8).orderBy("doc_id")
+
+
+DEDUP_SUBSTR_SQL = r"""
+WITH b2 AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), b3 AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM b2),
+sh AS (
+  SELECT doc_id, i - 1 AS p,
+         md5(array_to_string(toks[i:i+7], ' ')) AS h
+  FROM (SELECT doc_id, toks, unnest(range(1, n_tokens - 8 + 2)) AS i
+        FROM b3 WHERE n_tokens >= 8)
+),
+flagged AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p, COUNT(*) OVER (PARTITION BY h) AS c FROM sh
+  ) WHERE c > 1
+),
+isl AS (
+  SELECT doc_id, p,
+         CASE WHEN max(p + 7) OVER (PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR p > max(p + 7) OVER (PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS st
+  FROM flagged
+),
+isl2 AS (
+  SELECT doc_id, p, SUM(st) OVER (PARTITION BY doc_id ORDER BY p) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, MIN(p) AS s, MAX(p) + 7 AS e
+  FROM isl2 GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(e - s + 1) AS BIGINT) AS n_dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(a.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+       round(COALESCE(a.n_dup_tokens, 0) / greatest(b.n_tokens, 1), 9) AS dup_frac
+FROM b3 b LEFT JOIN agg a USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_exact_substrings": QuerySpec(
+        dedup_exact_substrings,
+        DEDUP_SUBSTR_SQL,
+        "exact-substring duplicated-span coverage (repeated k-gram islands)",
+    ),
     "set_similarity_join": QuerySpec(
         set_similarity_join,
         SET_SIM_JOIN_SQL,

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gfe_db_spark.queries import QuerySpec
+from gfe_db_spark.queries.warehouse import CDC_APPLY_SQL as _CDC_APPLY_SQL
 from gfe_db_spark.sources.tables import table
 
 SESSION_GAP_MS = 30 * 60 * 1000
@@ -565,6 +566,91 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executed streaming CDC apply: the events changelog arrives as TWO
+    files split by event_id parity — deliberately NOT event-time-ordered,
+    so the per-batch foreachBatch merge must be version-aware. Each batch
+    reduces to latest-change-per-key (max_by over the version struct,
+    tombstones kept IN state so an out-of-order older update can't
+    resurrect a deleted key), merges with the persisted state by the same
+    arg-max, and commits via write-new + atomic swap. The final snapshot
+    (tombstoned keys dropped) is fully SQL-checkable against the batch
+    changelog apply — same oracle as `cdc_apply_changelog`.
+
+    Scale: per-batch cost is O(batch + |state|) here; with the bucketed
+    `partitioned_upsert` target (plans/merge.py) the state rewrite prunes
+    to touched buckets — the production swap, unchanged semantics."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from gfe_db_spark.streaming.structured import read_event_stream
+
+    root = tempfile.mkdtemp(prefix="stream_cdc_")
+    src = os.path.join(root, "src")
+    state = os.path.join(root, "state")
+    os.makedirs(src)
+    try:
+        ev = table(spark, sf_dir, "events")
+        for tag, rem in (("a", 0), ("b", 1)):
+            half_dir = os.path.join(root, f"half_{tag}")
+            ev.filter(F.col("event_id") % 2 == rem).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(half_dir)
+            parts = [f for f in os.listdir(half_dir) if f.endswith(".parquet")]
+            assert len(parts) == 1
+            shutil.move(
+                os.path.join(half_dir, parts[0]), os.path.join(src, f"{tag}.parquet")
+            )
+
+        from gfe_db_spark.streaming.structured import (
+            cdc_current_snapshot,
+            cdc_merge_sink,
+        )
+
+        sink = cdc_merge_sink(state)
+
+        def apply_batch(batch_df, batch_id: int) -> None:
+            sink(
+                batch_df.select(
+                    F.col("user_id").alias("key"),
+                    F.col("ts").alias("version_ts"),
+                    F.col("event_id").alias("version_seq"),
+                    F.when(F.col("event_type") == "error", F.lit("D"))
+                    .otherwise(F.lit("U"))
+                    .alias("op"),
+                    F.col("value"),
+                ),
+                batch_id,
+            )
+
+        stream = read_event_stream(spark, src, max_files_per_trigger=1)
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .queryName(f"cdc_{uuid.uuid4().hex[:8]}")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return (
+            cdc_current_snapshot(spark, state)
+            .select(
+                "key",
+                F.date_format("version_ts", "yyyy-MM-dd HH:mm:ss").alias("version_ts"),
+                F.col("value").alias("current_value"),
+                "n_changes",
+            )
+            .orderBy("key")
+            # the memoryless parquet state dies with the tempdir: collect
+            # into a local-relation result before cleanup
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sessionize": QuerySpec(sessionize, SESSIONIZE_SQL, "gap sessionization"),
     "tumbling_window": QuerySpec(tumbling_window, TUMBLING_SQL, "6h tumbling agg"),
@@ -581,6 +667,11 @@ QUERIES: dict[str, QuerySpec] = {
         stream_stream_join,
         STREAM_STREAM_JOIN_SQL,
         "watermarked stream-stream interval join, executed",
+    ),
+    "stream_cdc_apply": QuerySpec(
+        stream_cdc_apply,
+        _CDC_APPLY_SQL,
+        "executed streaming CDC apply with tombstones, out-of-order batches",
     ),
     "imgt_datasource_scan": QuerySpec(
         imgt_datasource_scan, IMGT_DS_SQL, "Python DataSource scan (S1)"

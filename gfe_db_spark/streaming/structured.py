@@ -13,7 +13,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over the events parquet (ST1's Spark-native
     form: new files under the path are the 'new releases').
 
@@ -21,7 +23,9 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     the same path so the stream adapts to whichever timestamp encoding the
     driver's generator used (nanos-long or TIMESTAMP_NTZ — see
     sources/tables.py), then normalize `ts` to session-zone TIMESTAMP.
-    """
+    `max_files_per_trigger` bounds each micro-batch (source option) —
+    pass 1 to force one batch per staged file when a test or entry needs
+    genuine cross-batch state."""
     import os
 
     from gfe_db_spark.sources.tables import _normalize_timestamps
@@ -33,7 +37,10 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
         # basePath must be a directory); turn a bare file into a glob
         root, ext = os.path.splitext(path)
         path = f"{root}*{ext}"
-    raw = spark.readStream.schema(schema).parquet(path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(path)
     return _normalize_timestamps(raw)
 
 
@@ -145,3 +152,57 @@ def foreach_batch_upsert(
         partitioned_upsert(batch_df, target_path, keys, on_match="update", n_buckets=n_buckets)
 
     return stream_df.writeStream.foreachBatch(upsert).outputMode("update")
+
+
+def cdc_merge_sink(state_path: str):
+    """foreachBatch CDC merge with tombstone retention: each batch reduces
+    to latest-change-per-key (arg-max over the (ts, seq) version struct),
+    merges with the persisted state by the same arg-max, and commits via
+    write-new + atomic swap. Tombstones (op='D') stay IN state so an
+    out-of-order older update in a later batch cannot resurrect a deleted
+    key; readers drop them via `cdc_current_snapshot`.
+
+    At scale the state swap becomes `plans/merge.partitioned_upsert`
+    (only touched buckets rewritten); semantics unchanged. Input batches
+    need columns (key, version_ts, version_seq, op, value)."""
+    import os
+    import shutil
+
+    vkey = F.struct("version_ts", "version_seq")
+    payload = F.struct("version_ts", "version_seq", "op", "value")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        delta = (
+            batch_df.groupBy("key")
+            .agg(
+                F.max_by(payload, vkey).alias("s"),
+                F.count(F.lit(1)).alias("n_changes"),
+            )
+            .select("key", "s.*", "n_changes")
+        )
+        if os.path.isdir(state_path):
+            merged = (
+                s.read.parquet(state_path)
+                .unionByName(delta)
+                .groupBy("key")
+                .agg(
+                    F.max_by(payload, vkey).alias("s"),
+                    F.sum("n_changes").alias("n_changes"),
+                )
+                .select("key", "s.*", "n_changes")
+            )
+        else:
+            merged = delta
+        staged = f"{state_path}.v{batch_id}"
+        merged.write.mode("overwrite").parquet(staged)
+        if os.path.isdir(state_path):
+            shutil.rmtree(state_path)
+        os.replace(staged, state_path)
+
+    return apply_batch
+
+
+def cdc_current_snapshot(spark: SparkSession, state_path: str) -> DataFrame:
+    """Read the CDC state and drop tombstoned keys — the current table."""
+    return spark.read.parquet(state_path).filter(F.col("op") != "D")

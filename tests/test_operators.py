@@ -977,3 +977,25 @@ def test_dsir_scores_separate_target_domain(spark):
         .collect()
     )
     assert avg[True] > avg[False]
+
+
+def test_duplicated_span_stats_planted(spark):
+    """Planted repeated passage: docs 1 and 2 share the same 10-token run
+    (≥ k=8 → flagged; merged into ONE span covering those 10 tokens);
+    doc 3 shares nothing. Also covers the internal-repeat case: doc 4
+    repeats its own 8-token run twice → both occurrences flagged."""
+    shared = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " x1 x2 x3"),
+            (2, "y1 y2 " + shared),
+            (3, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11"),
+            (4, "a1 a2 a3 a4 a5 a6 a7 a8 q1 q2 a1 a2 a3 a4 a5 a6 a7 a8"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in DD.duplicated_span_stats(docs, k=8).collect()}
+    assert out[1].n_spans == 1 and out[1].n_dup_tokens == 10
+    assert out[2].n_spans == 1 and out[2].n_dup_tokens == 10
+    assert out[3].n_spans == 0 and out[3].n_dup_tokens == 0
+    assert out[4].n_spans == 2 and out[4].n_dup_tokens == 16

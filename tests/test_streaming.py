@@ -628,3 +628,32 @@ def test_stateful_restart_recovers_from_checkpoint(spark, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_cdc_merge_sink_out_of_order_tombstone(spark, tmp_path):
+    """A delete arriving BEFORE an older update (out-of-order batches)
+    must win: the older update cannot resurrect the deleted key, and for
+    surviving keys the newest version's value sticks regardless of
+    arrival order. n_changes accumulates across batches."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from gfe_db_spark.streaming.structured import cdc_current_snapshot, cdc_merge_sink
+
+    state = str(tmp_path / "state")
+    sink = cdc_merge_sink(state)
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    cols = ["key", "version_ts", "version_seq", "op", "value"]
+    # batch 0 arrives first but carries LATER event-times
+    sink(spark.createDataFrame(
+        [(1, t(10), 100, "D", 0.0), (2, t(10), 101, "U", 20.0)], cols), 0)
+    # batch 1 arrives second with EARLIER event-times
+    sink(spark.createDataFrame(
+        [(1, t(5), 50, "U", 99.0), (2, t(5), 51, "U", 5.0)], cols), 1)
+    snap = {r.key: r for r in cdc_current_snapshot(spark, state).collect()}
+    assert 1 not in snap, "tombstone resurrected by an older update"
+    assert snap[2].value == 20.0 and snap[2].n_changes == 2
+    # raw state still holds the tombstone with full change history
+    raw = {r.key: r for r in spark.read.parquet(state).collect()}
+    assert raw[1].op == "D" and raw[1].n_changes == 2
