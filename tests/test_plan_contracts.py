@@ -451,3 +451,18 @@ def test_incremental_merge_unions_partial_states(spark, specs):
     plan = plan_of(run(specs, spark, "incremental_agg_merge"))
     assert "Union" in plan
     assert not re.search(r"Join", plan)
+
+
+def test_substring_dedup_two_keyed_shuffles(spark, specs):
+    # The span scan must be: shuffle on shingle hash (corpus count
+    # window) → shuffle on doc (island windows) → broadcast join of the
+    # tiny span aggregate back onto the doc list. No global window, no
+    # corpus self-join.
+    plan = plan_of(run(specs, spark, "dedup_exact_substrings"))
+    assert "SinglePartition" not in plan, "global window detected"
+    assert "CartesianProduct" not in plan
+    assert re.search(r"hashpartitioning\([^)]*h#", plan), "shingle window not hash-keyed"
+    assert re.search(r"hashpartitioning\([^)]*doc", plan), "island window not doc-keyed"
+    assert not re.search(r"SortMergeJoin|ShuffledHashJoin", plan), (
+        "span aggregate should broadcast back onto the doc list"
+    )
