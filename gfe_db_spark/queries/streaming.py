@@ -416,6 +416,77 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week
+    (epoch-week integers — engine-exact), counted per subsequent active
+    week offset. Two keyed aggs + a broadcast-size cohort join + one
+    final agg — the standard product-analytics shape with no windows and
+    integer-only arithmetic."""
+    ev = table(spark, sf_dir, "events")
+    # integer div, not float: a correctly-rounded double quotient can land
+    # on the wrong side of an integer and shift a week boundary
+    week = F.expr("unix_timestamp(ts) div 604800")
+    user_weeks = ev.select("user_id", week.alias("week")).distinct()
+    cohorts = user_weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        user_weeks.join(cohorts, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+RETENTION_SQL = """
+WITH uw AS (
+  -- floor-then-integer-divide matches Spark's unix_timestamp truncation
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week
+  FROM events
+), cohorts AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
+)
+SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+       CAST(COUNT(DISTINCT uw.user_id) AS BIGINT) AS n_active_users
+FROM uw JOIN cohorts c USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort_week, week_offset
+"""
+
+
+def event_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot crosstab: events counted by weekday × event_type via
+    DataFrame.pivot with the value list declared (declared values keep
+    the pivot a single pass with a fixed output schema — the
+    at-scale form; undeclared values would force a distinct-collect of
+    the pivot column first)."""
+    ev = table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.withColumn("weekday", F.dayofweek("ts"))
+        .groupBy("weekday")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .orderBy("weekday")
+    )
+    # pivot leaves missing cells null; a crosstab reports 0
+    return out.select(
+        "weekday", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+CROSSTAB_SQL = """
+SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS weekday,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events
+GROUP BY 1
+ORDER BY weekday
+"""
+
+
 ATTRIBUTION_SQL = """
 SELECT user_id, event_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
@@ -687,6 +758,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "attribution_last_touch": QuerySpec(
         attribution_last_touch, ATTRIBUTION_SQL, "purchase→last-click attribution"
+    ),
+    "retention_cohorts": QuerySpec(
+        retention_cohorts, RETENTION_SQL, "weekly cohort retention matrix"
+    ),
+    "event_crosstab": QuerySpec(
+        event_crosstab, CROSSTAB_SQL, "weekday × event-type pivot crosstab"
     ),
     "keep_latest_per_user": QuerySpec(
         keep_latest_per_user, KEEP_LATEST_SQL, "arg-max keep-latest dedup"
