@@ -472,3 +472,74 @@ def test_chunk_documents_reconstruction_property(spark, texts, chunk):
                 assert r.chunk_len == chunk  # only the tail may be short
             rebuilt = rebuilt[:start] + r.chunk_text
         assert rebuilt == t
+
+
+_doc_st = st.lists(
+    st.lists(st.sampled_from(list("abcdefgh")), min_size=1, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(texts=_doc_st)
+@settings(**SETTINGS)
+def test_set_similarity_prefix_filter_lossless(spark, texts):
+    """The PPJoin prefix filter must be LOSSLESS: against random
+    small-vocab corpora, the prefix-filtered join returns exactly the
+    pairs a brute-force exact Jaccard (plain Python) finds at t = 3/5."""
+    from gfe_db_spark.operators.dedup import set_similarity_join
+
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        (r.da, r.db)
+        for r in set_similarity_join(docs, 3, 5).collect()
+    }
+    sets = {i: set(t.split()) for i, t in enumerate(texts)}
+    want = set()
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if inter * 5 >= 3 * union:
+                    want.add((a, b))
+    assert got == want
+
+
+@given(texts=_doc_st)
+@settings(**SETTINGS)
+def test_duplicated_spans_match_bruteforce(spark, texts):
+    """Span coverage must equal a brute-force reference: flag every k-gram
+    occurring >1 time in the corpus, merge per-doc intervals, count
+    covered tokens (k=3 so short random docs exercise the path)."""
+    from collections import Counter
+
+    from gfe_db_spark.operators.dedup import duplicated_span_stats
+
+    k = 3
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_tokens)
+        for r in duplicated_span_stats(docs, k=k).collect()
+    }
+    grams: Counter = Counter()
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    for i, ts in toks.items():
+        for p in range(len(ts) - k + 1):
+            grams[tuple(ts[p : p + k])] += 1
+    want = {}
+    for i, ts in toks.items():
+        flagged = [
+            p for p in range(len(ts) - k + 1) if grams[tuple(ts[p : p + k])] > 1
+        ]
+        spans = []
+        for p in flagged:
+            # merge iff the window STARTS inside the current span
+            # (p <= prev_end); p == prev_end + 1 starts a new span,
+            # matching the operator's strict p > prev_end island rule
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + k - 1)
+            else:
+                spans.append([p, p + k - 1])
+        want[i] = (len(spans), sum(e - s + 1 for s, e in spans))
+    assert got == want
