@@ -619,3 +619,91 @@ def duplicated_span_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def bloom_bitset(
+    terms: DataFrame,
+    term_col: str = "shingle",
+    m_bits: int = 4096,
+    k: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Compile a term set into a Bloom-filter bitset: a 1-row DataFrame
+    ``{bloom_arr: array<long>}`` of ``m_bits/32`` 32-bit words (stored in
+    longs so the bit arithmetic is sign-safe in every engine).
+
+    This is the decontamination scale path: instead of joining a 100 TB
+    corpus against the benchmark term table, the benchmark compiles into a
+    bitset a few KB–MB wide that rides along as a broadcast row — the
+    corpus side never shuffles and never sees a join key. The k probe
+    positions use the portable md5-LE32 hash (`hash_le32_expr`) so a SQL
+    oracle can rebuild the identical filter.
+    """
+    from gfe_db_spark.operators.text import hash_le32_expr
+
+    n_words = m_bits // 32
+    pos_rows = terms.select(
+        F.explode(
+            F.array(
+                *[
+                    (
+                        hash_le32_expr(
+                            F.concat(F.col(term_col), F.lit(f":{salt}{i}"))
+                        )
+                        % m_bits
+                    )
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos")
+    )
+    words = (
+        pos_rows.select(
+            F.floor(F.col("pos") / 32).cast("int").alias("word"),
+            # 2^bit is exact in double up to bit 31; stays in codegen
+            F.pow(F.lit(2.0), (F.col("pos") % 32).cast("double"))
+            .cast("long")
+            .alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda w: F.coalesce(F.element_at(F.col("m"), w), F.lit(0).cast("long")),
+        ).alias("bloom_arr")
+    )
+
+
+def bloom_probe(
+    doc_terms: DataFrame,
+    bloom: DataFrame,
+    term_col: str = "shingle",
+    m_bits: int = 4096,
+    k: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Add a boolean ``bloom_hit`` per row: true iff all k probe bits for
+    the term are set in the broadcast bitset built by `bloom_bitset` (same
+    m_bits/k/salt). A 1-row broadcast nested-loop attach + pure column
+    arithmetic — no join key, no shuffle, no Python. Bloom guarantee: a
+    term in the build set always hits (no false negatives); a miss is
+    definitive."""
+    from gfe_db_spark.operators.text import hash_le32_expr
+
+    probed = doc_terms.crossJoin(F.broadcast(bloom))
+    hit = F.lit(True)
+    for i in range(k):
+        pos = (
+            hash_le32_expr(F.concat(F.col(term_col), F.lit(f":{salt}{i}")))
+            % m_bits
+        )
+        word = F.floor(pos / 32).cast("int")
+        mask = F.pow(F.lit(2.0), (pos % 32).cast("double")).cast("long")
+        hit = hit & (
+            F.element_at(F.col("bloom_arr"), word + 1).bitwiseAND(mask) != 0
+        )
+    return probed.withColumn("bloom_hit", hit).drop("bloom_arr")

@@ -110,7 +110,14 @@ def hash_le32(id_col: str, salt: str) -> Column:
     """Deterministic 32-bit hash: little-endian first 4 bytes of
     md5(id:salt), built from swapped hex pairs so any SQL engine with md5
     reproduces it (DuckDB: md5_number_upper(key) & 4294967295)."""
-    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    return hash_le32_expr(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+
+
+def hash_le32_expr(key: Column) -> Column:
+    """hash_le32 over an arbitrary string-key expression (the caller builds
+    the salted key). Same cross-engine contract: little-endian first 4
+    bytes of md5(key) = DuckDB ``md5_number_upper(key) & 4294967295``."""
+    h = F.md5(key)
     return F.conv(
         F.concat(
             F.substring(h, 7, 2), F.substring(h, 5, 2),

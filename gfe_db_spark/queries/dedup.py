@@ -321,6 +321,76 @@ ORDER BY doc_id
 )
 
 
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate documents are
+    forced into the SAME split by hashing the near-dup CLUSTER id instead
+    of the doc id. A per-doc hash split (text_split_assign) leaks: two
+    near-identical docs can land in train and test, inflating eval (the
+    contamination channel Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", measure). Pipeline: n-gram-Jaccard pairs →
+    connected components → split = hash(cluster_id) gate. Singleton docs
+    (cluster_id = doc_id) get exactly the text_split_assign assignment, so
+    adopting the safe split only moves docs that have near-dups.
+
+    Scale: candidate pairs are a shingle-keyed equi-join (never all-pairs),
+    CC is the iterative path-halving loop (plans/graph_algos.py), and the
+    split itself is a narrow map on cluster_id — no extra shuffle beyond
+    the dedup pass a pipeline already runs."""
+    from gfe_db_spark.operators.text import deterministic_split
+    from gfe_db_spark.plans.graph_algos import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(DD.shingles(docs, n=3), threshold=0.5)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    cc = connected_components(nodes, pairs.select("doc_a", "doc_b"), "doc_a", "doc_b")
+    assigned = deterministic_split(
+        cc.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")),
+        id_col="cluster_id",
+    )
+    return assigned.select("doc_id", "cluster_id", "split").orderBy("doc_id")
+
+
+# same recursive-CTE closure as dedup_keep_list; the split gate hashes the
+# component id with the same md5-LE32 contract as TEXT_SPLIT_SQL
+LEAKAGE_SAFE_SPLIT_SQL = (
+    _SHINGLE_CTE.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+    + """, sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  ) c
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_common / (sa.sz + sb.sz - n_common), 9) >= 0.5
+), edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+), reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+), comp AS (
+  SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
+), g AS (
+  SELECT doc_id, cluster_id,
+         CAST(md5_number_upper(CAST(cluster_id AS VARCHAR) || ':v1')
+              & 4294967295 AS BIGINT) % 10000 AS bucket
+  FROM comp
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM g ORDER BY doc_id
+"""
+)
+
+
 def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-corpus prep a real pipeline runs, end to end:
     quality gate (≥5 tokens) → exact dedup (md5, min-id representative) →
@@ -566,6 +636,93 @@ ORDER BY b.doc_id
 """
 
 
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: the benchmark set's distinct 3-gram
+    shingles compile into a 64 Ki-bit (2 KB) broadcast bitset (operators/dedup
+    `bloom_bitset`); every corpus shingle probes it with pure column
+    arithmetic — no benchmark join key ever touches the corpus side
+    (`bloom_probe`). Reports per-document bloom hits next to exact hits so
+    the Bloom contract is visible in the output: exact_hits <= bloom_hits
+    (no false negatives), n_false_pos bounds the filter's error.
+
+    Scale: at 100 TB the benchmark bitset is a few MB broadcast once;
+    the corpus does one doc-keyed agg — same cost as a plain count. The
+    exact join here is the verification channel, not the scale path.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bench_sh = (
+        DD.shingles(docs.filter("doc_id % 97 = 0"), n=3).select("shingle").distinct()
+    )
+    bloom = DD.bloom_bitset(bench_sh, m_bits=65536, k=3)
+    probed = DD.bloom_probe(DD.shingles(docs, n=3), bloom, m_bits=65536, k=3)
+    exact = probed.join(
+        F.broadcast(bench_sh.withColumn("__exact", F.lit(1))), "shingle", "left"
+    )
+    return (
+        exact.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0)).alias("bloom_hits"),
+            F.sum(F.when(F.col("__exact").isNotNull(), 1).otherwise(0)).alias(
+                "exact_hits"
+            ),
+            F.sum(
+                F.when(F.col("bloom_hit") & F.col("__exact").isNull(), 1).otherwise(0)
+            ).alias("n_false_pos"),
+        )
+        .withColumn("flagged", F.col("bloom_hits") > 0)
+        .orderBy("doc_id")
+    )
+
+
+# Oracle independence: the SQL rebuilds the filter in join form (explode
+# probes -> word-grouped bit_or -> LEFT JOIN on word) rather than the
+# Spark side's dense-array broadcast — only the hash contract
+# (md5_number_upper & 0xFFFFFFFF = little-endian first 4 md5 bytes) is
+# shared, and that contract is pinned by its own unit test.
+BLOOM_DECONTAMINATE_SQL = _SHINGLE_CTE + """
+, bsh AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+), probes AS (
+  SELECT unnest(range(0, 3)) AS i
+), bpos AS (
+  SELECT DISTINCT
+    CAST((md5_number_upper(b.shingle || ':bloom' || CAST(p.i AS VARCHAR))
+          & 4294967295) % 65536 AS BIGINT) AS pos
+  FROM bsh b CROSS JOIN probes p
+), bloom AS (
+  SELECT pos // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+  FROM bpos GROUP BY 1
+), pr AS (
+  SELECT s.doc_id, s.shingle,
+         CAST((md5_number_upper(s.shingle || ':bloom' || CAST(p.i AS VARCHAR))
+               & 4294967295) % 65536 AS BIGINT) AS pos
+  FROM sh s CROSS JOIN probes p
+), tested AS (
+  SELECT pr.doc_id, pr.shingle,
+         bool_and((COALESCE(b.bits, 0)
+                   & (CAST(1 AS BIGINT) << CAST(pr.pos % 32 AS INTEGER))) <> 0
+         ) AS bloom_hit
+  FROM pr LEFT JOIN bloom b ON b.word = pr.pos // 32
+  GROUP BY 1, 2
+), per_sh AS (
+  SELECT t.doc_id, t.bloom_hit, (e.shingle IS NOT NULL) AS exact_hit
+  FROM tested t LEFT JOIN bsh e ON e.shingle = t.shingle
+)
+SELECT doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hits,
+       CAST(SUM(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS exact_hits,
+       CAST(SUM(CASE WHEN bloom_hit AND NOT exact_hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos,
+       (SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) > 0) AS flagged
+FROM per_sh
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact_substrings": QuerySpec(
         dedup_exact_substrings,
@@ -608,5 +765,15 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "benchmark_contamination": QuerySpec(
         benchmark_contamination, CONTAMINATION_SQL, "train/test n-gram overlap scan"
+    ),
+    "bloom_decontaminate": QuerySpec(
+        bloom_decontaminate,
+        BLOOM_DECONTAMINATE_SQL,
+        "Bloom-bitset decontamination with exact-hit verification channel",
+    ),
+    "leakage_safe_split": QuerySpec(
+        leakage_safe_split,
+        LEAKAGE_SAFE_SPLIT_SQL,
+        "cluster-aware split: near-dups forced into the same train/val/test split",
     ),
 }

@@ -803,6 +803,52 @@ ORDER BY l_returnflag
 """
 
 
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters completes the sketch family (HLL distinct, quantile,
+    Bloom membership): which keys exceed a frequency threshold, found by a
+    single-pass bounded-memory sketch instead of a full groupBy. Spark's
+    `freqItems` (Karp et al. counter algorithm: ≤ 1/support counters per
+    partition, merged) GUARANTEES a superset of every key with proportion
+    strictly above `support` — false positives possible, false negatives
+    not. Like the k-means model and the IVF centroids, the sketch result
+    is bounded model-state (≤ 1/support = 200 keys) pulled to the driver,
+    not a data-path collect.
+
+    Hash anchoring follows the family pattern: exact per-key counts anchor
+    the hash; `in_sketch` asserts the no-false-negative contract Spark-side
+    (every exact heavy hitter must appear in the sketch's candidate set);
+    the oracle states the contract as literal TRUE. At 100 TB the exact
+    branch is the verification channel — production keeps only the
+    sketch's one pass."""
+    ev = table(spark, sf_dir, "events")
+    hot = ev.select("user_id").stat.freqItems(["user_id"], 0.005).first()[0]
+    freq = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("freq"))
+    total = freq.agg(F.sum("freq").alias("n_total"))
+    return (
+        freq.crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * 200 > F.col("n_total"))
+        .select(
+            "user_id",
+            "freq",
+            F.col("user_id").isin([int(x) for x in hot]).alias("in_sketch"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SKETCH_HEAVY_HITTERS_SQL = """
+WITH f AS (
+  SELECT user_id, COUNT(*) AS freq FROM events GROUP BY user_id
+), n AS (
+  SELECT SUM(freq) AS n_total FROM f
+)
+SELECT user_id, CAST(freq AS BIGINT) AS freq, TRUE AS in_sketch
+FROM f, n
+WHERE freq * 200 > n_total
+ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q4_order_priority": QuerySpec(q4_order_priority, Q4_SQL, "EXISTS semi-join group-count"),
     "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL, "pushdown scan scalar agg"),
@@ -840,5 +886,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "sketch_quantile_accuracy": QuerySpec(
         sketch_quantile_accuracy, SKETCH_QUANTILE_SQL, "approx-percentile accuracy contract"
+    ),
+    "sketch_heavy_hitters": QuerySpec(
+        sketch_heavy_hitters,
+        SKETCH_HEAVY_HITTERS_SQL,
+        "freqItems heavy-hitter superset contract",
     ),
 }

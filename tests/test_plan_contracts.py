@@ -466,3 +466,36 @@ def test_substring_dedup_two_keyed_shuffles(spark, specs):
     assert not re.search(r"SortMergeJoin|ShuffledHashJoin", plan), (
         "span aggregate should broadcast back onto the doc list"
     )
+
+
+def test_heavy_hitters_exact_branch_shape(spark, specs):
+    # The verification (exact) branch: one keyed agg per key + a 1-row
+    # broadcast total. No sort-merge join, no cartesian blowup, no Python.
+    plan = plan_of(run(specs, spark, "sketch_heavy_hitters"))
+    assert "CartesianProduct" not in plan
+    assert not re.search(r"SortMergeJoin|ShuffledHashJoin", plan)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_leakage_safe_split_no_cartesian_no_python(spark, specs):
+    # The split gate must stay a narrow map over the CC output: candidate
+    # pairs come from the shingle-keyed equi-join, never all-pairs, and
+    # nothing drops to Python eval.
+    plan = plan_of(run(specs, spark, "leakage_safe_split"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_probe_is_broadcast_only(spark, specs):
+    # The decontamination probe must never shuffle the corpus against the
+    # benchmark: the bitset attaches as a 1-row broadcast (IdentityBroadcast
+    # NLJ) and the exact-verification channel is a BroadcastHashJoin; the
+    # only shuffle is the final doc-keyed agg. No sort-merge anywhere.
+    plan = plan_of(run(specs, spark, "bloom_decontaminate"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan, (
+        "bitset should ride along as a 1-row broadcast"
+    )
+    assert "BroadcastHashJoin" in plan, "exact channel should broadcast"
+    assert not re.search(r"SortMergeJoin|ShuffledHashJoin", plan)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

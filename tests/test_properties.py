@@ -543,3 +543,100 @@ def test_duplicated_spans_match_bruteforce(spark, texts):
                 spans.append([p, p + k - 1])
         want[i] = (len(spans), sum(e - s + 1 for s, e in spans))
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.lists(word_st, min_size=3, max_size=10).map(" ".join),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_leakage_safe_split_cluster_consistent(spark, texts):
+    """The leakage-safety invariant for ANY corpus: every near-dup cluster
+    lands wholly inside one split (no train/test contamination channel),
+    and singleton docs get exactly the per-doc hash split — so adopting
+    the safe split changes nothing for docs without near-dups."""
+    from gfe_db_spark.operators.dedup import ngram_jaccard_pairs, shingles
+    from gfe_db_spark.operators.text import deterministic_split
+    from gfe_db_spark.plans.graph_algos import connected_components
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(shingles(docs, n=3), threshold=0.5)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    cc = connected_components(nodes, pairs.select("doc_a", "doc_b"), "doc_a", "doc_b")
+    assigned = deterministic_split(
+        cc.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")),
+        id_col="cluster_id",
+    )
+    per_cluster = assigned.groupBy("cluster_id").agg(
+        F.count_distinct("split").alias("n_splits"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    assert per_cluster.filter("n_splits > 1").count() == 0, "cluster spans splits"
+    singles = assigned.join(
+        per_cluster.filter("n_docs = 1").select("cluster_id"), "cluster_id"
+    )
+    doc_split = deterministic_split(docs.select("doc_id"), id_col="doc_id").select(
+        "doc_id", F.col("split").alias("doc_hash_split")
+    )
+    disagree = (
+        singles.join(doc_split, "doc_id")
+        .filter("split <> doc_hash_split")
+        .count()
+    )
+    assert disagree == 0, "singleton split differs from per-doc hash split"
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=8), min_size=20, max_size=200)
+)
+@settings(**SETTINGS)
+def test_freq_items_superset_of_exact_hitters(spark, keys):
+    """The heavy-hitter contract for ANY key distribution: freqItems with
+    support s returns a superset of every key whose frequency is strictly
+    above s (Karp counter guarantee — false positives allowed, false
+    negatives never)."""
+    df = spark.createDataFrame([(k,) for k in keys], "user_id long")
+    support = 0.2
+    sketch = set(df.stat.freqItems(["user_id"], support).first()[0])
+    n = len(keys)
+    from collections import Counter
+
+    exact = {k for k, c in Counter(keys).items() if c > support * n}
+    assert exact <= sketch, f"missed hitters: {exact - sketch}"
+
+
+@given(
+    texts=st.lists(
+        st.lists(word_st, min_size=3, max_size=10).map(" ".join),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_bloom_filter_no_false_negatives(spark, texts):
+    """The Bloom contract, for ANY corpus/benchmark and a deliberately tiny
+    filter (high collision pressure): every term in the build set probes
+    true (zero false negatives — the guarantee decontamination relies on),
+    and the bitset is exactly m_bits/32 words with only in-word bits set."""
+    from gfe_db_spark.operators.dedup import bloom_bitset, bloom_probe, shingles
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    bench_sh = shingles(docs.filter("doc_id % 2 = 0"), n=3).select("shingle").distinct()
+    doc_sh = shingles(docs, n=3)
+    # m=64 bits forces collisions, so false POSITIVES are likely — the
+    # property is that false NEGATIVES still never happen.
+    for m_bits in (64, 4096):
+        bloom = bloom_bitset(bench_sh, m_bits=m_bits, k=3)
+        arr = bloom.collect()[0].bloom_arr
+        assert len(arr) == m_bits // 32
+        assert all(0 <= w <= 0xFFFFFFFF for w in arr), "bits outside the 32-bit word"
+        probed = bloom_probe(doc_sh, bloom, m_bits=m_bits, k=3)
+        missed = (
+            probed.join(bench_sh, "shingle", "left_semi")
+            .filter(~F.col("bloom_hit"))
+            .count()
+        )
+        assert missed == 0, f"false negatives at m_bits={m_bits}"
