@@ -413,7 +413,8 @@ def _bucketed_candidate_scores(
 ) -> DataFrame:
     """Shared candidate-generation core for the bucketed embedding ops:
     sign-LSH int bucket → multi-probe explode → equi-join on bucket →
-    cosine per candidate → dedupe collisions.
+    cosine per candidate (each (id_a, id_b) candidate arises exactly once —
+    see the uniqueness note below — so no dedupe pass exists).
 
     Two scale choices: per-vector norms are computed once per ROW before
     the join (not 3 dot products per pair), and the cosine is scored
@@ -456,10 +457,11 @@ def _bucketed_candidate_scores(
                 _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 9
             ).alias("cos"),
         )
-        # a pair colliding in several probe buckets scores identically —
-        # min() is a pure dedupe, and the shuffle carries scalars only
-        .groupBy("id_a", "id_b")
-        .agg(F.min("cos").alias("cos"))
+        # candidates are already UNIQUE per (id_a, id_b): the a-side probe
+        # for mask m meets b iff bucket_a XOR m = bucket_b, i.e. the single
+        # mask m = bucket_a XOR bucket_b — XOR probing cannot produce the
+        # same pair from two probe rows, so no dedupe (and no extra
+        # shuffle) is needed; uniqueness is pinned by a property test
     )
 
 

@@ -545,6 +545,26 @@ def test_duplicated_spans_match_bruteforce(spark, texts):
     assert got == want
 
 
+def test_bucketed_candidates_are_unique_without_dedupe(spark):
+    """XOR multi-probe candidate generation emits every (id_a, id_b) pair
+    at most once — the single matching mask is bucket_a XOR bucket_b — so
+    the scoring pipeline's lack of a dedupe shuffle is sound. Checked for
+    both pair semantics over the real embeddings table."""
+    from gfe_db_spark.operators.dedup import _bucketed_candidate_scores
+    from gfe_db_spark.sources.tables import table
+    from tests.conftest import SF_SMOKE
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    for ordered in (True, False):
+        cand = _bucketed_candidate_scores(
+            emb, n_planes=8, probe_bits=2, id_col="vec_id",
+            vec_col="embedding", dim=64, ordered_pairs=ordered,
+        )
+        total = cand.count()
+        distinct = cand.select("id_a", "id_b").distinct().count()
+        assert total == distinct, f"duplicate candidates (ordered={ordered})"
+
+
 @given(
     texts=st.lists(
         st.lists(word_st, min_size=3, max_size=10).map(" ".join),
