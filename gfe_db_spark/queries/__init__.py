@@ -165,6 +165,8 @@ PRIORITY: tuple[str, ...] = (
     # round regardless.
     "outlier_mad_values",
     "join_cardinality_estimate",
+    # newest this session: JL projection with its distortion audit
+    "random_projection_distortion",
     # sketch_quantile_accuracy slides past the window (sibling
     # sketch_distinct_accuracy represents the accuracy-contract family
     # in-window; the judge's full sweep still checks it)

@@ -418,6 +418,76 @@ LIMIT 10
 """
 
 
+def random_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64→16 dims plus its distortion audit: squared
+    distance before/after for every consecutive-id pair (a deterministic
+    pair sample — at 100 TB the audit runs on a hash-gated sample while
+    the projection itself maps the whole corpus). Ratio ≈ 1 is the
+    distance-preservation JL promises; the per-pair spread IS the data a
+    pipeline uses to pick out_dim, so it's the output rather than a single
+    pass/fail bit. Projection matrix is md5-derived constants folded into
+    codegen — no stored model, any engine regenerates it."""
+    from gfe_db_spark.operators.dedup import _dot
+
+    emb = table(spark, sf_dir, "embeddings")
+    proj = SIM.random_projection(emb, out_dim=16)
+
+    def d2(x, y):
+        return _dot(
+            F.zip_with(x, y, lambda p, q: p - q), F.zip_with(x, y, lambda p, q: p - q)
+        )
+
+    a = proj.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("y").alias("ya")
+    )
+    b = proj.select(
+        (F.col("vec_id") - 1).alias("id_a"),
+        F.col("v").alias("vb"),
+        F.col("y").alias("yb"),
+    )
+    d2o = d2(F.col("va"), F.col("vb"))
+    d2p = d2(F.col("ya"), F.col("yb"))
+    return (
+        a.join(b, "id_a")
+        .where(d2o > 0)
+        .select(
+            "id_a",
+            F.round(d2o, 6).alias("d2_orig"),
+            F.round(d2p, 6).alias("d2_proj"),
+            F.round(d2p / d2o, 6).alias("ratio"),
+        )
+        .orderBy("id_a")
+    )
+
+
+def _rp_sql() -> str:
+    from gfe_db_spark.queries.lsh_sql import projection_list_sql
+
+    proj = projection_list_sql("v", out_dim=16, dim=64)
+    d2v = "list_sum(list_transform(range(1, 65), i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])))"
+    d2y = "list_sum(list_transform(range(1, 17), i -> (a.y[i] - b.y[i]) * (a.y[i] - b.y[i])))"
+    return f"""
+WITH v0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), p AS (
+  SELECT vec_id, v, {proj} AS y FROM v0
+), pairs AS (
+  SELECT a.vec_id AS id_a,
+         {d2v} AS d2o,
+         {d2y} AS d2p
+  FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
+)
+SELECT id_a, round(d2o, 6) AS d2_orig, round(d2p, 6) AS d2_proj,
+       round(d2p / d2o, 6) AS ratio
+FROM pairs
+WHERE d2o > 0
+ORDER BY id_a
+"""
+
+
+RANDOM_PROJECTION_SQL = _rp_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "knn_brute_force": QuerySpec(knn_brute_force, KNN_BRUTE_SQL, "exact cosine top-k"),
     "knn_pq_adc": QuerySpec(
@@ -440,5 +510,10 @@ QUERIES: dict[str, QuerySpec] = {
         semdedup_prune,
         SEMDEDUP_SQL,
         "cluster-then-prune semantic dedup (SemDeDup shape)",
+    ),
+    "random_projection_distortion": QuerySpec(
+        random_projection_distortion,
+        RANDOM_PROJECTION_SQL,
+        "JL 64→16 projection with per-pair distance-distortion audit",
     ),
 }

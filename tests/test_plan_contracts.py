@@ -468,6 +468,23 @@ def test_substring_dedup_two_keyed_shuffles(spark, specs):
     )
 
 
+def test_random_projection_is_codegen_constants(spark, specs):
+    # The JL matrix must fold into codegen as literals — no Python eval,
+    # no broadcast of a stored model, no cartesian; the only joins are the
+    # consecutive-id pair join.
+    plan = plan_of(run(specs, spark, "random_projection_distortion"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    df = run(specs, spark, "random_projection_distortion")
+    import statistics
+
+    ratios = [r.ratio for r in df.collect()]
+    m = statistics.fmean(ratios)
+    # distance preservation in expectation: JL with out_dim=16 on this
+    # deterministic corpus lands well inside this band
+    assert 0.7 < m < 1.4, m
+
+
 def test_outlier_mad_broadcasts_group_stats(spark, specs):
     # Both quantile tables are group-cardinality; they must come back as
     # broadcasts — the events table itself never hash-shuffles for a join.
