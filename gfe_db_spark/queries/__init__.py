@@ -165,8 +165,11 @@ PRIORITY: tuple[str, ...] = (
     # round regardless.
     "outlier_mad_values",
     "join_cardinality_estimate",
-    # newest this session: JL projection with its distortion audit
+    # newest this session: JL projection with its distortion audit, the
+    # sliding-window exact distinct, and the cross-table DQ gate
     "random_projection_distortion",
+    "rolling_distinct_users_7d",
+    "dq_constraint_suite",
     # sketch_quantile_accuracy slides past the window (sibling
     # sketch_distinct_accuracy represents the accuracy-contract family
     # in-window; the judge's full sweep still checks it)

@@ -722,8 +722,60 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the sliding-window
+    COUNT DISTINCT that window frames cannot express (DISTINCT isn't a
+    frame aggregate). Exact form: dedupe to (user, day) FIRST (collapsing
+    within-day activity before any fan-out), explode each active day into
+    the ≤7 window-days it contributes to, keep observed days via a
+    broadcast-size join, one distinct-count per window-day.
+
+    Scale: the shuffle fan-out is 7× the (user, day) DEDUPED activity
+    table, not 7× raw events; the sketch swap at 100 TB is per-day HLL
+    sketches merged over the trailing window (approx_count_distinct's
+    mergeable state) — same shape, no 7× explode. Epoch-day integers keep
+    the bucket math engine-exact."""
+    ev = table(spark, sf_dir, "events")
+    day = F.expr("unix_timestamp(ts) div 86400")
+    du = ev.select("user_id", day.alias("day")).distinct()
+    days = du.select(F.col("day").alias("wday")).distinct()
+    win = du.select(
+        "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("wday")
+    )
+    return (
+        win.join(F.broadcast(days), "wday")
+        .groupBy("wday")
+        .agg(F.count_distinct("user_id").alias("n_users_7d"))
+        .select(F.col("wday").alias("day"), "n_users_7d")
+        .orderBy("day")
+    )
+
+
+ROLLING_DISTINCT_SQL = """
+WITH du AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+), days AS (
+  SELECT DISTINCT day FROM du
+), win AS (
+  SELECT du.user_id, du.day + i.i AS wday
+  FROM du CROSS JOIN (SELECT unnest(range(0, 7)) AS i) i
+)
+SELECT w.wday AS day, CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_users_7d
+FROM win w JOIN days d ON d.day = w.wday
+GROUP BY 1
+ORDER BY day
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sessionize": QuerySpec(sessionize, SESSIONIZE_SQL, "gap sessionization"),
+    "rolling_distinct_users_7d": QuerySpec(
+        rolling_distinct_users_7d,
+        ROLLING_DISTINCT_SQL,
+        "trailing-7-day exact distinct users (sliding-window COUNT DISTINCT)",
+    ),
     "tumbling_window": QuerySpec(tumbling_window, TUMBLING_SQL, "6h tumbling agg"),
     "event_funnel": QuerySpec(event_funnel, EVENT_FUNNEL_SQL, "ordered funnel analysis"),
     "stream_user_totals": QuerySpec(

@@ -337,6 +337,110 @@ ORDER BY col_name
 """
 
 
+def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate: one row per constraint with its
+    violation count — the publish-blocking check a pipeline runs before a
+    dataset release (uniqueness, referential completeness, non-null,
+    accepted range). Extends F8/A10's single-artifact validation
+    (`sources/compat.validate_artifacts`) to cross-table invariants.
+
+    Each constraint is the cheapest plan that can falsify it: uniqueness =
+    count minus distinct-count in one agg; the FK is a left-anti join that
+    shuffles only the key columns; null/range checks are map-side
+    conditional sums in a single scan. At 100 TB the suite stays one pass
+    per table + one keyed anti-join — no constraint needs a sort."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    ev = table(spark, sf_dir, "events")
+
+    def check(name: str, vio):
+        return vio.select(
+            F.lit(name).alias("constraint_name"),
+            F.col("v").cast("long").alias("n_violations"),
+            (F.col("v") == 0).alias("passed"),
+        )
+
+    rows = [
+        check(
+            "orders_pk_unique",
+            orders.agg((F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("v")),
+        ),
+        check(
+            "lineitem_pk_unique",
+            li.agg(
+                (
+                    F.count(F.lit(1))
+                    - F.count_distinct("l_orderkey", "l_linenumber")
+                ).alias("v")
+            ),
+        ),
+        check(
+            "lineitem_orderkey_fk_complete",
+            li.join(
+                orders.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"),
+                "left_anti",
+            ).agg(F.count(F.lit(1)).alias("v")),
+        ),
+        check(
+            "events_ts_user_not_null",
+            ev.agg(
+                F.sum(
+                    F.when(
+                        F.col("ts").isNull() | F.col("user_id").isNull(), 1
+                    ).otherwise(0)
+                ).alias("v")
+            ),
+        ),
+        check(
+            "lineitem_quantity_in_range",
+            li.agg(
+                F.sum(
+                    F.when(
+                        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+                    ).otherwise(0)
+                ).alias("v")
+            ),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("constraint_name")
+
+
+DQ_SUITE_SQL = """
+SELECT * FROM (
+  SELECT 'orders_pk_unique' AS constraint_name,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations,
+         COUNT(*) - COUNT(DISTINCT o_orderkey) = 0 AS passed
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem_pk_unique',
+         CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+         COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) = 0
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_orderkey_fk_complete',
+         CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+  FROM lineitem l WHERE NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+  )
+  UNION ALL
+  SELECT 'events_ts_user_not_null',
+         CAST(SUM(CASE WHEN ts IS NULL OR user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         SUM(CASE WHEN ts IS NULL OR user_id IS NULL THEN 1 ELSE 0 END) = 0
+  FROM events
+  UNION ALL
+  SELECT 'lineitem_quantity_in_range',
+         CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT),
+         SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) = 0
+  FROM lineitem
+)
+ORDER BY constraint_name
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "table_profile": QuerySpec(
         table_profile,
@@ -362,5 +466,10 @@ QUERIES: dict[str, QuerySpec] = {
         incremental_agg_merge,
         INCREMENTAL_MERGE_SQL,
         "mergeable partial-aggregate state: base+delta merge == full recompute",
+    ),
+    "dq_constraint_suite": QuerySpec(
+        dq_constraint_suite,
+        DQ_SUITE_SQL,
+        "cross-table data-quality gate: pk/fk/null/range constraint checks",
     ),
 }

@@ -999,3 +999,33 @@ def test_duplicated_span_stats_planted(spark):
     assert out[2].n_spans == 1 and out[2].n_dup_tokens == 10
     assert out[3].n_spans == 0 and out[3].n_dup_tokens == 0
     assert out[4].n_spans == 2 and out[4].n_dup_tokens == 16
+
+
+def test_dq_constraint_suite_fires_on_planted_violations(spark, tmp_path):
+    """Point the suite at a doctored star schema and every constraint must
+    report its planted violation count — the negative test proving the
+    gate can actually fail."""
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(1,), (1,), (2,)], "o_orderkey long"
+    ).write.parquet(f"{d}/orders.parquet")  # dup pk (1 extra)
+    spark.createDataFrame(
+        [(1, 1, 10.0), (1, 1, 20.0), (99, 1, 999.0)],
+        "l_orderkey long, l_linenumber long, l_quantity double",
+    ).write.parquet(f"{d}/lineitem.parquet")  # dup pk, orphan fk 99, qty 999
+    spark.createDataFrame(
+        [(None, 7)], "ts timestamp, user_id long"
+    ).write.parquet(f"{d}/events.parquet")  # null ts
+    from gfe_db_spark.queries.warehouse import dq_constraint_suite
+
+    got = {
+        r.constraint_name: (r.n_violations, r.passed)
+        for r in dq_constraint_suite(spark, d).collect()
+    }
+    assert got["orders_pk_unique"] == (1, False)
+    assert got["lineitem_pk_unique"] == (1, False)
+    assert got["lineitem_orderkey_fk_complete"] == (1, False)
+    assert got["events_ts_user_not_null"] == (1, False)
+    assert got["lineitem_quantity_in_range"] == (1, False)

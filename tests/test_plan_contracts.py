@@ -468,6 +468,26 @@ def test_substring_dedup_two_keyed_shuffles(spark, specs):
     )
 
 
+def test_rolling_distinct_broadcasts_day_list(spark, specs):
+    # The observed-days filter is a broadcast-size join; the 7x fan-out
+    # must come from a Generate (explode) on the DEDUPED (user, day)
+    # table, never a cartesian.
+    plan = plan_of(run(specs, spark, "rolling_distinct_users_7d"))
+    assert "BroadcastHashJoin" in plan
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dq_suite_anti_join_and_single_scans(spark, specs):
+    # FK completeness is a LeftAnti on the key; no constraint needs a
+    # sort or a cartesian, and nothing drops to Python.
+    plan = plan_of(run(specs, spark, "dq_constraint_suite"))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_random_projection_is_codegen_constants(spark, specs):
     # The JL matrix must fold into codegen as literals — no Python eval,
     # no broadcast of a stored model, no cartesian; the only joins are the
