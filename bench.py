@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "knn_pq_adc",
     "zorder_layout",
     "dedup_incremental",
+    # sliding-window exact distinct (dedupe -> bounded explode -> keyed agg)
+    "rolling_distinct_users_7d",
 ]
 
 

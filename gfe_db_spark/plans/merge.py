@@ -45,9 +45,15 @@ def bucket_expr(keys: list[str], n_buckets: int = DEFAULT_BUCKETS) -> Column:
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
 
 
-def read_bucketed(spark, target_path: str) -> DataFrame:
-    """Read a bucketed target without the bookkeeping column."""
-    df = spark.read.parquet(target_path)
+def read_bucketed(spark, target_path: str, merge_schema: bool = False) -> DataFrame:
+    """Read a bucketed target without the bookkeeping column. Pass
+    merge_schema=True for targets committed with allow_schema_evolution —
+    untouched partitions keep the pre-evolution file schema, so a plain
+    read would silently drop the new columns."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(target_path)
     return df.drop("__bucket") if "__bucket" in df.columns else df
 
 
@@ -104,6 +110,7 @@ def partitioned_upsert(
     on_match: str = "update",
     n_buckets: int = DEFAULT_BUCKETS,
     merge_fn: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
+    allow_schema_evolution: bool = False,
 ) -> list[int]:
     """MERGE `batch` into the bucketed parquet target; returns the list of
     touched buckets (telemetry / tests).
@@ -112,6 +119,15 @@ def partitioned_upsert(
     on_match='create_only' → existing row kept, only new keys inserted
     merge_fn(existing, batch) → custom combine (e.g. releases array union);
     both inputs carry ``__bucket`` and the result must preserve it.
+
+    allow_schema_evolution=True lets a batch add (or omit) columns, the
+    Delta/Iceberg ``MERGE ... WITH SCHEMA EVOLUTION`` semantics on plain
+    parquet: missing columns null-fill on either side, and the existing
+    side is read with ``mergeSchema`` because untouched partitions keep
+    their old file schema until their next rewrite — so evolved targets
+    MUST be read via `read_bucketed(..., merge_schema=True)`. Off by
+    default: an unexpected schema drift should be a loud error, not a
+    silent null column.
     """
     spark = batch.sparkSession
     recover_staging(spark, target_path)
@@ -132,13 +148,21 @@ def partitioned_upsert(
 
         _check_bucket_count(spark, target_path, n_buckets)
         touched = sorted(r[0] for r in batch.select("__bucket").distinct().collect())
-        existing = spark.read.parquet(target_path).filter(F.col("__bucket").isin(touched))
+        reader = spark.read
+        if allow_schema_evolution:
+            reader = reader.option("mergeSchema", "true")
+        existing = reader.parquet(target_path).filter(F.col("__bucket").isin(touched))
+        evolve = {"allowMissingColumns": True} if allow_schema_evolution else {}
         if merge_fn is not None:
             merged = merge_fn(existing, batch)
         elif on_match == "update":
-            merged = batch.unionByName(existing.join(batch, on=keys, how="left_anti"))
+            merged = batch.unionByName(
+                existing.join(batch, on=keys, how="left_anti"), **evolve
+            )
         elif on_match == "create_only":
-            merged = existing.unionByName(batch.join(existing, on=keys, how="left_anti"))
+            merged = existing.unionByName(
+                batch.join(existing, on=keys, how="left_anti"), **evolve
+            )
         else:
             raise ValueError(f"unknown on_match: {on_match}")
 

@@ -657,3 +657,33 @@ def test_cdc_merge_sink_out_of_order_tombstone(spark, tmp_path):
     # raw state still holds the tombstone with full change history
     raw = {r.key: r for r in spark.read.parquet(state).collect()}
     assert raw[1].op == "D" and raw[1].n_changes == 2
+
+
+def test_partitioned_upsert_schema_evolution(spark, tmp_path):
+    """MERGE WITH SCHEMA EVOLUTION semantics on plain parquet: a batch may
+    add a column (old rows null-fill) and a later batch may omit it (new
+    rows null-fill); untouched partitions keep their old file schema, so
+    evolved targets read via mergeSchema. Without the flag, drift stays a
+    loud error."""
+    from gfe_db_spark.plans.merge import partitioned_upsert, read_bucketed
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    partitioned_upsert(base, target, ["k"], n_buckets=4)
+
+    widened = spark.createDataFrame([(2, "B", 9), (3, "c", 7)], "k long, v string, extra long")
+    # default: drift is an error, not a silent null column
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="extra|UNION|union"):
+        partitioned_upsert(widened, target, ["k"], n_buckets=4)
+
+    partitioned_upsert(widened, target, ["k"], n_buckets=4, allow_schema_evolution=True)
+    got = {r.k: (r.v, r.extra) for r in read_bucketed(spark, target, merge_schema=True).collect()}
+    assert got == {1: ("a", None), 2: ("B", 9), 3: ("c", 7)}
+
+    # a narrower later batch (no `extra`) still merges; its new row null-fills
+    narrow = spark.createDataFrame([(4, "d")], "k long, v string")
+    partitioned_upsert(narrow, target, ["k"], n_buckets=4, allow_schema_evolution=True)
+    got = {r.k: (r.v, r.extra) for r in read_bucketed(spark, target, merge_schema=True).collect()}
+    assert got == {1: ("a", None), 2: ("B", 9), 3: ("c", 7), 4: ("d", None)}
