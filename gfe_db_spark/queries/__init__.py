@@ -170,6 +170,8 @@ PRIORITY: tuple[str, ...] = (
     "random_projection_distortion",
     "rolling_distinct_users_7d",
     "dq_constraint_suite",
+    "fixed_k_per_group_sample",
+    "table_content_checksum",
     # sketch_quantile_accuracy slides past the window (sibling
     # sketch_distinct_accuracy represents the accuracy-contract family
     # in-window; the judge's full sweep still checks it)

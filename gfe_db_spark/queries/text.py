@@ -327,6 +327,46 @@ ORDER BY doc_id
 """
 
 
+def fixed_k_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sampling (k=20 docs per language): rank every
+    doc inside its stratum by the engine-portable hash and keep rank ≤ k.
+    The eval-set builder's shape — rate-based sampling (stratified_sample)
+    can't promise a count, this promises EXACTLY min(k, |stratum|), still
+    fully deterministic and reproducible on any engine with md5.
+
+    Scale: one shuffle keyed by the stratum, per-stratum top-k inside the
+    window (bounded state k per group); for strata too large to sort, the
+    two-pass refinement is: hash-gate to ~4k survivors at a rate estimated
+    from stratum counts, then window the survivors — same answer,
+    sort cost O(4k log 4k) per stratum."""
+    from pyspark.sql.window import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    h = TX.hash_le32("doc_id", "fixk")
+    w = W.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+        .orderBy("lang", "rk")
+    )
+
+
+FIXED_K_SAMPLE_SQL = """
+SELECT doc_id, lang, rk FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || ':fixk')
+                         & 4294967295 AS BIGINT) ASC, doc_id ASC
+         ) AS rk
+  FROM documents
+)
+WHERE rk <= 20
+ORDER BY lang, rk
+"""
+
+
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing: hash-sharded, per-shard window
     cumsum assigns every document a (shard, pack_id) under a 512-token
@@ -593,6 +633,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "stratified_sample": QuerySpec(
         stratified_sample, STRATIFIED_SAMPLE_SQL, "per-stratum deterministic sampling"
+    ),
+    "fixed_k_per_group_sample": QuerySpec(
+        fixed_k_per_group_sample,
+        FIXED_K_SAMPLE_SQL,
+        "exactly-k-per-stratum deterministic sample (hash-ranked window)",
     ),
     "pack_sequences": QuerySpec(
         pack_sequences, PACK_SEQUENCES_SQL, "sharded concat-and-chunk packing"

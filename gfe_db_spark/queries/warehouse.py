@@ -409,6 +409,49 @@ def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("constraint_name")
 
 
+def table_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard order-insensitive content checksum — the anti-entropy
+    check for replication, migration, or engine-swap validation: two
+    copies of a table agree iff every (shard, n_rows, checksum) row
+    agrees, and a corrupted/lost row pins the damage to one shard of 16.
+
+    checksum = bit_xor over rows of the engine-portable md5-LE32 of the
+    '|'-joined key columns: XOR is commutative/associative, so the result
+    is independent of row order and partitioning — exactly what a
+    distributed aggregation needs — and no sum overflow semantics differ
+    across engines. One scan, one keyed agg with map-side combine; this
+    entry IS the cross-engine validation run once against DuckDB."""
+    from gfe_db_spark.operators.text import hash_le32_expr
+
+    orders = table(spark, sf_dir, "orders")
+    row_h = hash_le32_expr(
+        F.concat(
+            F.concat_ws("|", "o_orderkey", "o_custkey", "o_orderstatus"),
+            F.lit(":cksum"),
+        )
+    )
+    return (
+        orders.groupBy((F.col("o_orderkey") % 16).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor(row_h).alias("checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+TABLE_CHECKSUM_SQL = """
+SELECT o_orderkey % 16 AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       bit_xor(CAST(md5_number_upper(
+         concat_ws('|', o_orderkey, o_custkey, o_orderstatus) || ':cksum')
+         & 4294967295 AS BIGINT)) AS checksum
+FROM orders
+GROUP BY 1
+ORDER BY shard
+"""
+
+
 DQ_SUITE_SQL = """
 SELECT * FROM (
   SELECT 'orders_pk_unique' AS constraint_name,
@@ -471,5 +514,10 @@ QUERIES: dict[str, QuerySpec] = {
         dq_constraint_suite,
         DQ_SUITE_SQL,
         "cross-table data-quality gate: pk/fk/null/range constraint checks",
+    ),
+    "table_content_checksum": QuerySpec(
+        table_content_checksum,
+        TABLE_CHECKSUM_SQL,
+        "per-shard XOR content checksum for replication/migration validation",
     ),
 }

@@ -1029,3 +1029,28 @@ def test_dq_constraint_suite_fires_on_planted_violations(spark, tmp_path):
     assert got["lineitem_orderkey_fk_complete"] == (1, False)
     assert got["events_ts_user_not_null"] == (1, False)
     assert got["lineitem_quantity_in_range"] == (1, False)
+
+
+def test_content_checksum_detects_single_row_change(spark, tmp_path):
+    """The anti-entropy contract: mutating exactly one row changes exactly
+    one shard's checksum, leaving the other 15 untouched."""
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path)
+    base = spark.range(200).selectExpr(
+        "id AS o_orderkey", "id * 7 AS o_custkey", "'O' AS o_orderstatus"
+    )
+    base.write.parquet(f"{d}/orders.parquet")
+    from gfe_db_spark.queries.warehouse import table_content_checksum
+
+    a = {r.shard: (r.n_rows, r.checksum) for r in table_content_checksum(spark, d).collect()}
+
+    d2 = str(tmp_path / "mut")
+    base.withColumn(
+        "o_orderstatus", F.when(F.col("o_orderkey") == 37, "F").otherwise("O")
+    ).write.parquet(f"{d2}/orders.parquet")
+    b = {r.shard: (r.n_rows, r.checksum) for r in table_content_checksum(spark, d2).collect()}
+
+    diff = [s for s in a if a[s] != b[s]]
+    assert diff == [37 % 16]
+    assert all(a[s][0] == b[s][0] for s in a), "row counts must agree"

@@ -468,6 +468,15 @@ def test_substring_dedup_two_keyed_shuffles(spark, specs):
     )
 
 
+def test_fixed_k_sample_window_is_stratum_keyed(spark, specs):
+    # The per-stratum rank must run inside a hash partitioning on the
+    # stratum key — a global window would single-partition the corpus.
+    plan = plan_of(run(specs, spark, "fixed_k_per_group_sample"))
+    assert "SinglePartition" not in plan
+    assert re.search(r"hashpartitioning\(lang", plan)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_rolling_distinct_broadcasts_day_list(spark, specs):
     # The observed-days filter is a broadcast-size join; the 7x fan-out
     # must come from a Generate (explode) on the DEDUPED (user, day)
