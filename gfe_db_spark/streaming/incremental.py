@@ -136,6 +136,28 @@ class PipelineResult:
     processed: list[str]
     rejected: list[str]
     graph: GraphTables | None
+    # per processed release: {"release", "pre": {label: n}, "post": {label: n}}
+    validations: list[dict] = field(default_factory=list)
+
+
+def validation_snapshot(graph: GraphTables | None) -> dict[str, int]:
+    """A7 node counts as a bounded dict (6 labels) — the pre/post-load
+    invariant probe (ref `execute_validation_queries/app.py:43-62`, run
+    before AND after load by the state machine, `pipeline.asl.json:4-9,
+    223-228`)."""
+    if graph is None:
+        return {}
+    from gfe_db_spark.plans.queries import node_counts
+
+    return {r["node"]: r["count"] for r in node_counts(graph).collect()}
+
+
+def load_invariants_ok(pre: dict[str, int], post: dict[str, int]) -> bool:
+    """The post-load gate: an idempotent MERGE can only grow or hold every
+    label's node count. A shrinking label after a load means the commit
+    destroyed data — the condition the reference's pre/post validation
+    queries exist to surface."""
+    return all(post.get(label, 0) >= n for label, n in pre.items())
 
 
 def run_incremental(
@@ -167,6 +189,7 @@ def run_incremental(
     registry = AccessionRegistry(spark, registry_path)
     processed: list[str] = []
     rejected: list[str] = []
+    validations: list[dict] = []
 
     for release in new:
         # the guard considers history + this release (late/out-of-order data)
@@ -176,13 +199,28 @@ def run_incremental(
         dat = os.path.join(data_dir, f"hla.{release}.dat")
         alleles = read_imgt_dat(spark, dat)
         tables = build_release(spark, alleles, release, registry, **build_kwargs)
+        # pre/post invariant probe around the commit (the reference runs
+        # its validation queries before AND after load so deltas are
+        # observable, pipeline.asl.json:4-9,223-228)
+        pre = validation_snapshot(graph)
         # partition-pruned MERGE commit: each table rewrites only the key
         # buckets this release touches (plans/merge.py), not the whole
         # accumulated graph. Commit order = data first, then state
         # (crash-safe: a replayed release re-MERGEs idempotently, ST3).
         upsert_graph(load_release(spark, tables, release), graph_path)
         graph = GraphTables.load(spark, graph_path)
+        post = validation_snapshot(graph)
+        if not load_invariants_ok(pre, post):
+            # the watermark is NOT committed: the release replays after the
+            # regression is diagnosed; failing loud beats a silent shrink
+            raise RuntimeError(
+                f"post-load invariant violation for release {release}: "
+                f"pre={pre} post={post}"
+            )
+        validations.append({"release": release, "pre": pre, "post": post})
         state.commit(release)
         processed.append(release)
 
-    return PipelineResult(processed=processed, rejected=rejected, graph=graph)
+    return PipelineResult(
+        processed=processed, rejected=rejected, graph=graph, validations=validations
+    )

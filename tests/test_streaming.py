@@ -65,6 +65,17 @@ def test_run_incremental_end_to_end(spark, tmp_path):
     }
     assert edges[("HLA-Aw1-1-1-1-1", "HLA-A*01:01:01:01")] == [3550, 3560]
 
+    # pre/post validation probes ran around each commit: first release
+    # starts from an empty graph, each post is non-shrinking vs its pre,
+    # and release N+1's pre equals release N's post (the observable-delta
+    # chain the reference's pre/post validation queries provide)
+    assert [v["release"] for v in res.validations] == ["3550", "3560"]
+    assert res.validations[0]["pre"] == {}
+    assert res.validations[1]["pre"] == res.validations[0]["post"]
+    for v in res.validations:
+        for label, n in v["pre"].items():
+            assert v["post"].get(label, 0) >= n
+
     # replay: nothing new → no-op, graph unchanged (ST3 idempotence)
     res2 = run_incremental(
         spark,
@@ -687,3 +698,13 @@ def test_partitioned_upsert_schema_evolution(spark, tmp_path):
     partitioned_upsert(narrow, target, ["k"], n_buckets=4, allow_schema_evolution=True)
     got = {r.k: (r.v, r.extra) for r in read_bucketed(spark, target, merge_schema=True).collect()}
     assert got == {1: ("a", None), 2: ("B", 9), 3: ("c", 7), 4: ("d", None)}
+
+
+def test_load_invariants_gate():
+    from gfe_db_spark.streaming.incremental import load_invariants_ok
+
+    assert load_invariants_ok({}, {"GFE": 5})
+    assert load_invariants_ok({"GFE": 5}, {"GFE": 5})
+    assert load_invariants_ok({"GFE": 5}, {"GFE": 9, "Sequence": 1})
+    assert not load_invariants_ok({"GFE": 5}, {"GFE": 4})
+    assert not load_invariants_ok({"GFE": 5, "Sequence": 2}, {"GFE": 9})
