@@ -172,6 +172,7 @@ PRIORITY: tuple[str, ...] = (
     "dq_constraint_suite",
     "fixed_k_per_group_sample",
     "table_content_checksum",
+    "rolling_distinct_users_7d_approx",
     # sketch_quantile_accuracy slides past the window (sibling
     # sketch_distinct_accuracy represents the accuracy-contract family
     # in-window; the judge's full sweep still checks it)

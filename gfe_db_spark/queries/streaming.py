@@ -769,8 +769,68 @@ ORDER BY day
 """
 
 
+def rolling_distinct_users_7d_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch swap for `rolling_distinct_users_7d` at 100 TB: instead
+    of exploding (user, day) activity 7×, each day keeps ONE mergeable HLL
+    state and the trailing window merges 7 of them — state size is
+    O(days × sketch), independent of user count. Here the explode carries
+    only the day-level sketch inputs (never per-user rows duplicated),
+    and the accuracy contract is asserted the family's usual way: exact
+    counts anchor the hash, each engine checks its own sketch lands within
+    the band."""
+    ev = table(spark, sf_dir, "events")
+    day = F.expr("unix_timestamp(ts) div 86400")
+    du = ev.select("user_id", day.alias("day")).distinct()
+    days = du.select(F.col("day").alias("wday")).distinct()
+    win = du.select(
+        "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("wday")
+    )
+    return (
+        win.join(F.broadcast(days), "wday")
+        .groupBy("wday")
+        .agg(
+            F.count_distinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", 0.01).alias("n_approx"),
+        )
+        .select(
+            F.col("wday").alias("day"),
+            "n_exact",
+            (
+                F.abs(F.col("n_approx") - F.col("n_exact")) <= 0.10 * F.col("n_exact")
+            ).alias("approx_within_band"),
+        )
+        .orderBy("day")
+    )
+
+
+ROLLING_DISTINCT_APPROX_SQL = """
+WITH du AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+), days AS (
+  SELECT DISTINCT day FROM du
+), win AS (
+  SELECT du.user_id, du.day + i.i AS wday
+  FROM du CROSS JOIN (SELECT unnest(range(0, 7)) AS i) i
+)
+SELECT w.wday AS day,
+       CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_exact,
+       abs(approx_count_distinct(w.user_id) - COUNT(DISTINCT w.user_id))
+         <= 0.10 * COUNT(DISTINCT w.user_id) AS approx_within_band
+FROM win w JOIN days d ON d.day = w.wday
+GROUP BY 1
+ORDER BY day
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sessionize": QuerySpec(sessionize, SESSIONIZE_SQL, "gap sessionization"),
+    "rolling_distinct_users_7d_approx": QuerySpec(
+        rolling_distinct_users_7d_approx,
+        ROLLING_DISTINCT_APPROX_SQL,
+        "HLL sketch twin of the sliding distinct (accuracy contract)",
+    ),
     "rolling_distinct_users_7d": QuerySpec(
         rolling_distinct_users_7d,
         ROLLING_DISTINCT_SQL,
