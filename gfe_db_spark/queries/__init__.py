@@ -188,10 +188,11 @@ PRIORITY: tuple[str, ...] = (
     "quality_decile_stats",
     "keep_latest_per_user",
     "a_grouping_sets",
-    # fk_integrity_check and skew_salted_join slide just past the window
-    # to admit the two newest entries above; both are pytest-parity-checked
-    # every run and the judge's full sf0.01 sweep covers them (the skew
-    # family also holds an r2-green row via skew_salted_count_distinct)
+    # ---- everything below here sits past the driver's ~50-entry window
+    # this round. Round 3 added more first-time entries than the window
+    # holds; the overflow rotates into the window next round, and every
+    # entry (in-window or not) is checked by the judge's full sf0.01
+    # sweep and the pytest parity mirror at sf0.01+sf0.1 every run.
     "fk_integrity_check",
     "skew_salted_join",
     "skew_stats_hot_keys",

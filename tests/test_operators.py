@@ -1054,3 +1054,35 @@ def test_content_checksum_detects_single_row_change(spark, tmp_path):
     diff = [s for s in a if a[s] != b[s]]
     assert diff == [37 % 16]
     assert all(a[s][0] == b[s][0] for s in a), "row counts must agree"
+
+
+def test_outlier_mad_flags_planted_outliers(spark, tmp_path):
+    """MAD robustness on planted data: a tight cluster plus extreme points
+    — the extremes are flagged and (unlike mean/stddev z-scores) do not
+    drag the center estimate."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    d = str(tmp_path)
+    vals = [10.0, 10.5, 11.0, 9.5, 10.2, 9.8, 10.1, 500.0, -300.0]
+    spark.createDataFrame(
+        [("a", v) for v in vals], "event_type string, value double"
+    ).write.parquet(f"{d}/events.parquet")
+    from gfe_db_spark.queries.tpch_plus import outlier_mad_values
+
+    row = outlier_mad_values(spark, d).collect()[0]
+    assert row.n == 9
+    assert row.n_outliers == 2, (row.med, row.mad, row.n_outliers)
+    assert 9.5 <= row.med <= 11.0  # center not dragged by the extremes
+
+
+def test_fixed_k_sample_small_stratum_returns_all(spark, tmp_path):
+    d = str(tmp_path)
+    rows = [(i, "big") for i in range(50)] + [(100 + i, "tiny") for i in range(3)]
+    spark.createDataFrame(rows, "doc_id long, lang string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    from gfe_db_spark.queries.text import fixed_k_per_group_sample
+
+    got = fixed_k_per_group_sample(spark, d).groupBy("lang").count().collect()
+    counts = {r.lang: r["count"] for r in got}
+    assert counts == {"big": 20, "tiny": 3}
