@@ -35,6 +35,11 @@ def cmd_build(args) -> int:
     from gfe_db_spark.sources.imgt import read_imgt_dat
 
     spark = _spark("gfe-build")
+    if args.use_existing and _build_output_complete(spark, args.output):
+        # the reference's Check Existing Build / USE_EXISTING_BUILD gate
+        # (pipeline.asl.json:36-67): reuse prior artifacts, skip recompute
+        print(f"existing build at {args.output} reused (--use-existing)", file=sys.stderr)
+        return 0
     alleles = read_imgt_dat(spark, args.input)
     if args.kir_input:
         # reference fetches KIR.dat separately (constants.py:37) and unions
@@ -70,6 +75,23 @@ def cmd_build(args) -> int:
         # > max-errors is the reference's critical condition (app.py:596)
         return 1 if capped > 10 else 2
     return 0
+
+
+def _build_output_complete(spark, output: str) -> bool:
+    """True iff every required build table exists and is non-empty — the
+    precondition for reusing a prior build (mirrors the reference's
+    expected-artifacts check, validate_build_output/app.py:59-82)."""
+    required = ["gfe_sequences", "all_features", "all_groups", "all_cds"]
+    for name in required:
+        path = os.path.join(output, name)
+        if not os.path.isdir(path):
+            return False
+        try:
+            if spark.read.parquet(path).limit(1).count() == 0:
+                return False
+        except Exception:
+            return False
+    return True
 
 
 def cmd_load(args) -> int:
@@ -182,6 +204,12 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="KIR.dat path; unions KIR alleles into the build and enables "
         "the KIR loci filter",
+    )
+    b.add_argument(
+        "--use-existing",
+        action="store_true",
+        help="skip the build when all output tables already exist and are "
+        "non-empty (the reference's USE_EXISTING_BUILD gate)",
     )
     b.add_argument(
         "--alignments",

@@ -118,3 +118,26 @@ def test_cli_compact(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "files 20 ->" in out
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_cli_build_use_existing_skips(spark, tmp_path, capsys):
+    """--use-existing reuses complete prior artifacts (exit 0, no rebuild)
+    but rebuilds when the output is missing or incomplete."""
+    import shutil
+
+    dat = fx.write_release_dat(str(tmp_path), "3550")
+    out = str(tmp_path / "out")
+    # nothing there yet → builds (fixture has a no-CDS allele → exit 2)
+    rc = main(["build", "-i", dat, "-r", "3550", "-o", out, "--use-existing"])
+    assert rc == 2
+    mtime = os.path.getmtime(os.path.join(out, "gfe_sequences"))
+    # complete output → skipped, exit 0, artifacts untouched
+    rc = main(["build", "-i", dat, "-r", "3550", "-o", out, "--use-existing"])
+    assert rc == 0
+    assert "reused" in capsys.readouterr().err
+    assert os.path.getmtime(os.path.join(out, "gfe_sequences")) == mtime
+    # incomplete output (a table missing) → rebuilds
+    shutil.rmtree(os.path.join(out, "all_groups"))
+    rc = main(["build", "-i", dat, "-r", "3550", "-o", out, "--use-existing"])
+    assert rc == 2
+    assert os.path.isdir(os.path.join(out, "all_groups"))
