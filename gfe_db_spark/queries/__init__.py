@@ -173,6 +173,7 @@ PRIORITY: tuple[str, ...] = (
     "fixed_k_per_group_sample",
     "table_content_checksum",
     "rolling_distinct_users_7d_approx",
+    "order_backlog_daily",
     # sketch_quantile_accuracy slides past the window (sibling
     # sketch_distinct_accuracy represents the accuracy-contract family
     # in-window; the judge's full sweep still checks it)

@@ -849,6 +849,69 @@ ORDER BY user_id
 """
 
 
+def order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-concurrency counting: how many orders are OPEN (placed,
+    not yet fully shipped) on each day — the boundary-delta formulation
+    that turns interval overlap into a keyed aggregate: +1 at the order
+    date, −1 the day after its last shipment, then a running sum over the
+    day-grain deltas. No per-day × per-order explode, no interval join.
+
+    Scale: the only window is the cumulative sum, and it runs over the
+    DAY-GRAIN delta table (calendar-bounded — thousands of rows at any
+    corpus size), never over raw orders; everything upstream is keyed
+    aggregation with map-side combine. The same shape computes concurrent
+    sessions, active loans, or GPU-job occupancy at 100 TB."""
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    # epoch-day integers throughout (the repo's engine-exact date currency)
+    span = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.min(F.unix_date(F.to_date("o_orderdate"))).alias("start_day"),
+            F.max(F.unix_date(F.to_date("l_shipdate"))).alias("end_day"),
+        )
+    )
+    deltas = span.select(
+        F.col("start_day").alias("day"), F.lit(1).alias("delta")
+    ).unionAll(
+        span.select((F.col("end_day") + 1).alias("day"), F.lit(-1).alias("delta"))
+    )
+    from pyspark.sql.window import Window as W
+
+    day_deltas = deltas.groupBy("day").agg(F.sum("delta").alias("d"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        day_deltas.withColumn("open_orders", F.sum("d").over(w).cast("long"))
+        .select(F.col("day").cast("long").alias("day"), "open_orders")
+        .orderBy("day")
+    )
+
+
+ORDER_BACKLOG_SQL = """
+WITH span AS (
+  SELECT o.o_orderkey,
+         MIN(date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)))
+           AS start_day,
+         MAX(date_diff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE)))
+           AS end_day
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey
+), deltas AS (
+  SELECT start_day AS day, 1 AS delta FROM span
+  UNION ALL
+  SELECT end_day + 1, -1 FROM span
+), dd AS (
+  SELECT day, SUM(delta) AS d FROM deltas GROUP BY 1
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(SUM(d) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS open_orders
+FROM dd
+ORDER BY day
+"""
+
+
 def outlier_mad_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-group outlier detection: median/MAD (median absolute
     deviation) flagging — the data-cleaning gate that, unlike mean/stddev
@@ -1003,6 +1066,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "outlier_mad_values": QuerySpec(
         outlier_mad_values, OUTLIER_MAD_SQL, "median/MAD robust outlier flagging"
+    ),
+    "order_backlog_daily": QuerySpec(
+        order_backlog_daily,
+        ORDER_BACKLOG_SQL,
+        "interval concurrency via boundary deltas + day-grain running sum",
     ),
     "join_cardinality_estimate": QuerySpec(
         join_cardinality_estimate,

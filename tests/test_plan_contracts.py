@@ -468,6 +468,24 @@ def test_substring_dedup_two_keyed_shuffles(spark, specs):
     )
 
 
+def test_order_backlog_window_runs_on_day_grain(spark, specs):
+    # The only window is the cumulative sum, and it must consume the
+    # day-grain aggregate (HashAggregate below the Window), never raw
+    # orders — the day table is calendar-bounded, so the single-partition
+    # running sum is safe at any corpus size. The closing invariant: all
+    # intervals end, so the final running sum is exactly zero.
+    df = run(specs, spark, "order_backlog_daily")
+    plan = plan_of(df)
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.index("Window") < plan.index("HashAggregate"), (
+        "window must sit above the day-grain aggregate"
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = df.collect()
+    assert rows[-1].open_orders == 0
+    assert max(r.open_orders for r in rows) > 0
+
+
 def test_fixed_k_sample_window_is_stratum_keyed(spark, specs):
     # The per-stratum rank must run inside a hash partitioning on the
     # stratum key — a global window would single-partition the corpus.
