@@ -174,6 +174,8 @@ PRIORITY: tuple[str, ...] = (
     "table_content_checksum",
     "rolling_distinct_users_7d_approx",
     "order_backlog_daily",
+    "nation_revenue_share",
+    "reorder_interval_stats",
     # sketch_quantile_accuracy slides past the window (sibling
     # sketch_distinct_accuracy represents the accuracy-contract family
     # in-window; the judge's full sweep still checks it)

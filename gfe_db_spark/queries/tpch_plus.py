@@ -849,6 +849,116 @@ ORDER BY user_id
 """
 
 
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's order revenue.
+    The contribution-analysis shape — a windowed total over the GROUP
+    GRAIN (25 nations), never over raw orders. Revenue travels as integer
+    cents end to end (2-dp money ×100, summed as BIGINT), so the window
+    total is exact and the final share is one double division both
+    engines compute identically — no decimal-scale or float-order
+    divergence channel."""
+    from pyspark.sql.window import Window as W
+
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    w = W.partitionBy("r_name")
+    return (
+        rev.select(
+            "r_name",
+            "n_name",
+            (F.col("rev_cents") / 100.0).alias("revenue"),
+            F.round(F.col("rev_cents") / F.sum("rev_cents").over(w), 9).alias("share"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+NATION_SHARE_SQL = """
+WITH rev AS (
+  SELECT r.r_name, n.n_name,
+         SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS rev_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, n_name,
+       rev_cents / 100.0 AS revenue,
+       round(rev_cents / SUM(rev_cents) OVER (PARTITION BY r_name), 9) AS share
+FROM rev
+ORDER BY r_name, n_name
+"""
+
+
+def reorder_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval analysis: per-customer day gaps between
+    consecutive orders (keyed lag — one shuffle on the customer key, with
+    a deterministic (day, orderkey) tie-break for same-day orders), rolled
+    up to robust per-segment statistics. The repeat-behavior metric
+    (reorder cadence, churn horizon) every commerce/retention pipeline
+    computes; day gaps are epoch-day integer differences, so only the
+    exact-percentile interpolation touches floats."""
+    from pyspark.sql.window import Window as W
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.unix_date(F.to_date("o_orderdate")).alias("day")
+    )
+    w = W.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    gaps = (
+        o.withColumn("gap", F.col("day") - F.lag("day").over(w))
+        .filter(F.col("gap").isNotNull())
+        .join(c, o.o_custkey == c.c_custkey)
+    )
+    return (
+        gaps.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.percentile("gap", F.lit(0.5)).alias("median_gap_days"),
+            F.percentile("gap", F.lit(0.9)).alias("p90_gap_days"),
+            F.max("gap").cast("long").alias("max_gap_days"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+REORDER_INTERVAL_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+  FROM orders
+), g AS (
+  SELECT o_custkey,
+         day - LAG(day) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey)
+           AS gap
+  FROM o
+)
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       quantile_cont(g.gap, 0.5) AS median_gap_days,
+       quantile_cont(g.gap, 0.9) AS p90_gap_days,
+       CAST(MAX(g.gap) AS BIGINT) AS max_gap_days
+FROM g JOIN customer c ON g.o_custkey = c.c_custkey
+WHERE g.gap IS NOT NULL
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-concurrency counting: how many orders are OPEN (placed,
     not yet fully shipped) on each day — the boundary-delta formulation
@@ -1071,6 +1181,16 @@ QUERIES: dict[str, QuerySpec] = {
         order_backlog_daily,
         ORDER_BACKLOG_SQL,
         "interval concurrency via boundary deltas + day-grain running sum",
+    ),
+    "nation_revenue_share": QuerySpec(
+        nation_revenue_share,
+        NATION_SHARE_SQL,
+        "ratio-to-report contribution share in exact integer cents",
+    ),
+    "reorder_interval_stats": QuerySpec(
+        reorder_interval_stats,
+        REORDER_INTERVAL_SQL,
+        "per-customer reorder cadence via keyed lag + robust segment stats",
     ),
     "join_cardinality_estimate": QuerySpec(
         join_cardinality_estimate,

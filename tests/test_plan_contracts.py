@@ -468,6 +468,31 @@ def test_substring_dedup_two_keyed_shuffles(spark, specs):
     )
 
 
+def test_nation_share_window_on_group_grain(spark, specs):
+    # Dims broadcast; the ratio-to-report window consumes the nation-grain
+    # aggregate (Window above HashAggregate), and shares close to 1 per
+    # region (exact integer-cents arithmetic under the division).
+    df = run(specs, spark, "nation_revenue_share")
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert plan.index("Window") < plan.index("HashAggregate")
+    from collections import defaultdict
+
+    per_region = defaultdict(float)
+    for r in df.collect():
+        per_region[r.r_name] += r.share
+    assert all(abs(v - 1.0) < 1e-6 for v in per_region.values()), dict(per_region)
+
+
+def test_reorder_lag_window_is_customer_keyed(spark, specs):
+    # The inter-order lag must run inside a hash partitioning on the
+    # customer key — never a global window.
+    plan = plan_of(run(specs, spark, "reorder_interval_stats"))
+    assert "SinglePartition" not in plan
+    assert re.search(r"hashpartitioning\(o_custkey", plan)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_order_backlog_window_runs_on_day_grain(spark, specs):
     # The only window is the cumulative sum, and it must consume the
     # day-grain aggregate (HashAggregate below the Window), never raw
