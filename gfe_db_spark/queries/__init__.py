@@ -176,6 +176,7 @@ PRIORITY: tuple[str, ...] = (
     "order_backlog_daily",
     "nation_revenue_share",
     "reorder_interval_stats",
+    "revenue_pareto_deciles",
     # sketch_quantile_accuracy slides past the window (sibling
     # sketch_distinct_accuracy represents the accuracy-contract family
     # in-window; the judge's full sweep still checks it)

@@ -959,6 +959,84 @@ ORDER BY 1
 """
 
 
+def revenue_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto curve): customers bucketed into
+    spend deciles and each decile's share of total revenue — WITHOUT a
+    global sort. Boundaries come from one exact-percentile aggregate over
+    the customer-grain revenue (a 9-number broadcast); every customer then
+    finds its decile by comparing against the broadcast boundaries, and
+    shares are exact integer-cents ratios. At 100 TB the swap is
+    `approx_percentile` for the boundary pass — same plan, bounded error,
+    still no sort of the customer table."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders")
+    cust_rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    qs = [i / 10.0 for i in range(1, 10)]
+    bnd = cust_rev.agg(
+        F.percentile("rev_cents", F.array(*[F.lit(q) for q in qs])).alias("b"),
+        F.sum("rev_cents").alias("total_cents"),
+    )
+    decile = sum(
+        [F.when(F.col("rev_cents") > F.element_at("b", i + 1), 1).otherwise(0) for i in range(9)],
+        F.lit(1),
+    )
+    return (
+        cust_rev.crossJoin(F.broadcast(bnd))
+        .select("rev_cents", "total_cents", decile.alias("decile"))
+        .groupBy("decile", "total_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev_cents").alias("dec_cents"),
+        )
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_customers",
+            F.round(F.col("dec_cents") / F.col("total_cents"), 9).alias("rev_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+PARETO_SQL = """
+WITH cust_rev AS (
+  SELECT c.c_custkey,
+         SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS rev_cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+), bnd AS (
+  SELECT quantile_cont(rev_cents, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS b,
+         SUM(rev_cents) AS total_cents
+  FROM cust_rev
+), bucketed AS (
+  SELECT cr.rev_cents, bnd.total_cents,
+         1 + (CASE WHEN cr.rev_cents > bnd.b[1] THEN 1 ELSE 0 END)
+           + (CASE WHEN cr.rev_cents > bnd.b[2] THEN 1 ELSE 0 END)
+           + (CASE WHEN cr.rev_cents > bnd.b[3] THEN 1 ELSE 0 END)
+           + (CASE WHEN cr.rev_cents > bnd.b[4] THEN 1 ELSE 0 END)
+           + (CASE WHEN cr.rev_cents > bnd.b[5] THEN 1 ELSE 0 END)
+           + (CASE WHEN cr.rev_cents > bnd.b[6] THEN 1 ELSE 0 END)
+           + (CASE WHEN cr.rev_cents > bnd.b[7] THEN 1 ELSE 0 END)
+           + (CASE WHEN cr.rev_cents > bnd.b[8] THEN 1 ELSE 0 END)
+           + (CASE WHEN cr.rev_cents > bnd.b[9] THEN 1 ELSE 0 END) AS decile
+  FROM cust_rev cr CROSS JOIN bnd
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       round(SUM(rev_cents) / MIN(total_cents), 9) AS rev_share
+FROM bucketed
+GROUP BY decile
+ORDER BY decile
+"""
+
+
 def order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-concurrency counting: how many orders are OPEN (placed,
     not yet fully shipped) on each day — the boundary-delta formulation
@@ -1191,6 +1269,11 @@ QUERIES: dict[str, QuerySpec] = {
         reorder_interval_stats,
         REORDER_INTERVAL_SQL,
         "per-customer reorder cadence via keyed lag + robust segment stats",
+    ),
+    "revenue_pareto_deciles": QuerySpec(
+        revenue_pareto_deciles,
+        PARETO_SQL,
+        "Pareto revenue concentration via broadcast percentile boundaries, no sort",
     ),
     "join_cardinality_estimate": QuerySpec(
         join_cardinality_estimate,

@@ -468,6 +468,19 @@ def test_substring_dedup_two_keyed_shuffles(spark, specs):
     )
 
 
+def test_pareto_deciles_no_global_sort(spark, specs):
+    # The whole point: no sort of the customer table. The only Sort in
+    # the plan is the 10-row presentation ORDER BY; boundaries arrive as
+    # a 1-row broadcast; shares close to 1.
+    df = run(specs, spark, "revenue_pareto_deciles")
+    plan = plan_of(df)
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    rows = df.collect()
+    assert abs(sum(r.rev_share for r in rows) - 1.0) < 1e-6
+    assert rows[-1].rev_share > rows[0].rev_share  # concentration increases
+
+
 def test_nation_share_window_on_group_grain(spark, specs):
     # Dims broadcast; the ratio-to-report window consumes the nation-grain
     # aggregate (Window above HashAggregate), and shares close to 1 per
