@@ -112,9 +112,10 @@ PRIORITY: tuple[str, ...] = (
     # mirror every run; the
     # gapfill entry exercises the bucket arithmetic end to end)
     "stream_user_totals",
-    # stream_upsert_sink rotated out: rows-only (filesystem sink) with an
-    # r2 driver row; executed streaming stays in-window via
-    # stream_user_totals / stream_stream_join / stream_dedup (all SQL)
+    # stream_upsert_sink upgraded rows-only -> SQL late in r3 (target
+    # aggregated vs source oracle); back in-window for its first
+    # hash-checked driver row
+    "stream_upsert_sink",
     # new in r3: watermarked stream-stream interval join, executed; new
     # this session: executed streaming CDC apply (tombstones, out-of-order
     # batches) sharing the batch changelog oracle

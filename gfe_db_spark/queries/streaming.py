@@ -194,8 +194,11 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST3 executed for real: stream the events parquet through the
     bucketed foreachBatch MERGE sink twice (second pass replays the same
-    input) and return per-bucket target counts — idempotence shows as
-    first-pass counts. Rows-only: the sink's effect is filesystem state."""
+    input) and return per-user aggregates of the upserted TARGET. The
+    oracle aggregates the source directly, so the hash check proves the
+    sink wrote exactly one row per key and the replay added nothing —
+    at-least-once delivery in, exactly-once table out. (Value travels as
+    integer cents so the check is float-order-proof.)"""
     import tempfile
 
     from gfe_db_spark.streaming.structured import foreach_batch_upsert, read_event_stream
@@ -210,10 +213,23 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     return (
         spark.read.parquet(target)
-        .groupBy("__bucket")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .orderBy("__bucket")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
+        )
+        .orderBy("user_id")
     )
+
+
+STREAM_UPSERT_SINK_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
 
 
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -844,7 +860,9 @@ QUERIES: dict[str, QuerySpec] = {
         "applyInPandasWithState executed; final state vs batch aggregate",
     ),
     "stream_upsert_sink": QuerySpec(
-        stream_upsert_sink, None, "foreachBatch bucketed MERGE sink + replay (rows-only)"
+        stream_upsert_sink,
+        STREAM_UPSERT_SINK_SQL,
+        "foreachBatch bucketed MERGE sink + replay, target content vs source oracle",
     ),
     "stream_stream_join": QuerySpec(
         stream_stream_join,
