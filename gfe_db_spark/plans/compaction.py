@@ -88,7 +88,13 @@ def compact_small_files(
     recover_compaction(spark, path)
     files = _list_data_files(spark, path)
     bytes_total = sum(sz for _, sz in files)
-    df = spark.read.parquet(path)
+    # mergeSchema ALWAYS: a schema-evolved target (partitioned_upsert with
+    # allow_schema_evolution) has files with differing schemas, and a
+    # plain read samples one footer — compacting through it would silently
+    # drop the evolved columns from old partitions. The footer-merge cost
+    # is negligible next to the rewrite itself. Bonus: after compaction
+    # every file carries the full schema, so plain reads work again.
+    df = spark.read.option("mergeSchema", "true").parquet(path)
     if len(files) < min_files:
         return CompactionStats(len(files), len(files), bytes_total, df.count(), True)
 

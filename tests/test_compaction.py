@@ -155,3 +155,27 @@ def test_compaction_composes_with_bucketed_upsert(spark, tmp_path):
     assert out.count() == 500
     assert out.filter("k = 42").first().v == 999
     assert {r.v for r in out.filter("k < 3").collect()} == {0, -1, -2}
+
+
+def test_compaction_unifies_evolved_schema(spark, tmp_path):
+    """Compacting a schema-evolved MERGE target must read through
+    mergeSchema (a plain read samples one footer and would silently drop
+    the evolved column) and, as a side effect, rewrite every file with
+    the full schema so plain reads work again afterwards."""
+    from gfe_db_spark.plans.merge import partitioned_upsert, read_bucketed
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame([(i, "x") for i in range(100)], "k long, v string")
+    partitioned_upsert(base, target, ["k"], n_buckets=4)
+    widened = spark.createDataFrame([(1, "y", 7)], "k long, v string, extra long")
+    partitioned_upsert(widened, target, ["k"], n_buckets=4, allow_schema_evolution=True)
+
+    stats = compact_small_files(
+        spark, target, target_bytes=10 * 1024 * 1024, partition_by=["__bucket"]
+    )
+    assert stats.rows == 100
+    # plain read (no mergeSchema) now sees the evolved column everywhere
+    out = read_bucketed(spark, target)
+    assert "extra" in out.columns
+    got = {r.k: r.extra for r in out.filter("k <= 2").collect()}
+    assert got[1] == 7 and got[0] is None and got[2] is None
