@@ -155,6 +155,9 @@ PRIORITY: tuple[str, ...] = (
     # newest this session: cluster-aware split (near-dups can't straddle
     # train/test) and the heavy-hitter sketch contract
     "leakage_safe_split",
+    # the r3 composition proof: quality -> exact dedup -> Bloom
+    # decontaminate -> leakage-safe split, one plan, one oracle
+    "corpus_prep_pipeline_v2",
     "stream_dedup",
     "sketch_distinct_accuracy",
     "sketch_heavy_hitters",

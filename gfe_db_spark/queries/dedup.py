@@ -723,7 +723,154 @@ ORDER BY doc_id
 """
 
 
+def corpus_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 corpus-prep composition, end to end in ONE plan:
+    quality gate (≥5 tokens) → exact dedup (md5, min-id representative) →
+    Bloom decontamination (drop any doc whose 3-grams probe the broadcast
+    benchmark bitset — the no-join scale path, zero false negatives) →
+    LEAKAGE-SAFE split (near-dup clusters hashed as a unit) → per-split
+    stats. v1 (`corpus_prep_pipeline`) proved the classic stages compose;
+    this proves the r3 additions compose with them — the pipeline a 100 TB
+    training-data release actually runs."""
+    from gfe_db_spark.operators.text import deterministic_split, token_stats
+    from gfe_db_spark.plans.graph_algos import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    q = token_stats(docs).filter(F.col("n_tokens") >= 5)
+    ex = q.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    survivors = q.join(ex.select("doc_id"), "doc_id")
+    # decontamination: same benchmark definition as bloom_decontaminate
+    bench_sh = (
+        DD.shingles(docs.filter("doc_id % 97 = 0"), n=3).select("shingle").distinct()
+    )
+    bloom = DD.bloom_bitset(bench_sh, m_bits=65536, k=3)
+    probed = DD.bloom_probe(DD.shingles(survivors, n=3), bloom, m_bits=65536, k=3)
+    flagged = probed.filter("bloom_hit").select("doc_id").distinct()
+    clean = survivors.join(flagged, "doc_id", "left_anti")
+    # leakage-safe split over the decontaminated corpus
+    pairs = DD.ngram_jaccard_pairs(DD.shingles(clean, n=3), threshold=0.5)
+    cc = connected_components(
+        clean.select(F.col("doc_id").alias("node")),
+        pairs.select("doc_a", "doc_b"),
+        "doc_a",
+        "doc_b",
+    )
+    assigned = deterministic_split(
+        cc.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")),
+        id_col="cluster_id",
+    )
+    return (
+        assigned.join(clean.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+CORPUS_PREP_V2_SQL = r"""
+WITH RECURSIVE q AS (
+  SELECT doc_id, text, n_chars FROM documents
+  WHERE len(string_split_regex(text, '\s+')) >= 5
+), ex AS (
+  SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)
+), s AS (
+  SELECT q.* FROM q JOIN ex USING (doc_id)
+), bt AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+  FROM documents WHERE doc_id % 97 = 0
+), bsh AS (
+  SELECT DISTINCT shingle FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+           i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+    FROM bt
+  )
+), probes AS (
+  SELECT unnest(range(0, 3)) AS i
+), bpos AS (
+  SELECT DISTINCT
+    CAST((md5_number_upper(b.shingle || ':bloom' || CAST(p.i AS VARCHAR))
+          & 4294967295) % 65536 AS BIGINT) AS pos
+  FROM bsh b CROSS JOIN probes p
+), bloom AS (
+  SELECT pos // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+  FROM bpos GROUP BY 1
+), st AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM s
+), ssh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                  i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+    FROM st
+  )
+), pr AS (
+  SELECT ssh.doc_id, ssh.shingle,
+         CAST((md5_number_upper(ssh.shingle || ':bloom' || CAST(p.i AS VARCHAR))
+               & 4294967295) % 65536 AS BIGINT) AS pos
+  FROM ssh CROSS JOIN probes p
+), tested AS (
+  SELECT pr.doc_id, pr.shingle,
+         bool_and((COALESCE(b.bits, 0)
+                   & (CAST(1 AS BIGINT) << CAST(pr.pos % 32 AS INTEGER))) <> 0
+         ) AS bloom_hit
+  FROM pr LEFT JOIN bloom b ON b.word = pr.pos // 32
+  GROUP BY 1, 2
+), flagged AS (
+  SELECT DISTINCT doc_id FROM tested WHERE bloom_hit
+), clean AS (
+  SELECT s.* FROM s LEFT JOIN flagged f USING (doc_id) WHERE f.doc_id IS NULL
+), csh AS (
+  SELECT ssh.doc_id, ssh.shingle FROM ssh JOIN clean USING (doc_id)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM csh GROUP BY doc_id
+), pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM csh a JOIN csh b ON a.shingle = b.shingle
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  ) c
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_common / (sa.sz + sb.sz - n_common), 9) >= 0.5
+), edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+), reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM clean
+  UNION
+  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+), comp AS (
+  SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
+), g AS (
+  SELECT comp.doc_id,
+         CAST(md5_number_upper(CAST(comp.cluster_id AS VARCHAR) || ':v1')
+              & 4294967295 AS BIGINT) % 10000 AS bucket,
+         clean.n_chars
+  FROM comp JOIN clean USING (doc_id)
+)
+SELECT CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM g
+GROUP BY split
+ORDER BY split
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "corpus_prep_pipeline_v2": QuerySpec(
+        corpus_prep_pipeline_v2,
+        CORPUS_PREP_V2_SQL,
+        "r3 composition: quality -> exact dedup -> Bloom decontaminate -> leakage-safe split",
+    ),
     "dedup_exact_substrings": QuerySpec(
         dedup_exact_substrings,
         DEDUP_SUBSTR_SQL,
