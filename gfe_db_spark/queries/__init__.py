@@ -181,6 +181,7 @@ PRIORITY: tuple[str, ...] = (
     "nation_revenue_share",
     "reorder_interval_stats",
     "revenue_pareto_deciles",
+    "division_all_regions",
     # sketch_quantile_accuracy slides past the window (sibling
     # sketch_distinct_accuracy represents the accuracy-contract family
     # in-window; the judge's full sweep still checks it)

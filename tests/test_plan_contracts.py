@@ -468,6 +468,21 @@ def test_substring_dedup_two_keyed_shuffles(spark, specs):
     )
 
 
+def test_division_broadcasts_dims_and_divisor(spark, specs):
+    # Relational division via distinct-count vs a 1-row broadcast divisor:
+    # dims broadcast, no per-element anti-join chain, no cartesian beyond
+    # the 1-row divisor attach, nothing in Python.
+    df = run(specs, spark, "division_all_regions")
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = {r.c_mktsegment: (r.n_customers, r.n_covering) for r in df.collect()}
+    assert sum(v[0] for v in rows.values()) > 0
+    # the division must be non-trivial: some customers fail the cover
+    assert any(v[1] < v[0] for v in rows.values()), rows
+
+
 def test_pareto_deciles_no_global_sort(spark, specs):
     # The whole point: no sort of the customer table. The only Sort in
     # the plan is the 10-row presentation ORDER BY; boundaries arrive as
