@@ -1086,3 +1086,33 @@ def test_fixed_k_sample_small_stratum_returns_all(spark, tmp_path):
     got = fixed_k_per_group_sample(spark, d).groupBy("lang").count().collect()
     counts = {r.lang: r["count"] for r in got}
     assert counts == {"big": 20, "tiny": 3}
+
+
+def test_division_planted_non_covering_customer(spark, tmp_path):
+    """Relational division on a planted schema: the customer who misses
+    one region must not count as covering; the one who reaches all must."""
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "SEG"), (2, "SEG")], "c_custkey long, c_mktsegment string"
+    ).write.parquet(f"{d}/customer.parquet")
+    spark.createDataFrame(
+        [(10, 1), (11, 2)], "o_orderkey long, o_custkey long"
+    ).write.parquet(f"{d}/orders.parquet")
+    # two regions, two nations, two suppliers; customer 1 buys from both
+    # suppliers, customer 2 only from supplier 100
+    spark.createDataFrame(
+        [(10, 100), (10, 200), (11, 100)], "l_orderkey long, l_suppkey long"
+    ).write.parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame(
+        [(100, 0), (200, 1)], "s_suppkey long, s_nationkey long"
+    ).write.parquet(f"{d}/supplier.parquet")
+    spark.createDataFrame(
+        [(0, 0), (1, 1)], "n_nationkey long, n_regionkey long"
+    ).write.parquet(f"{d}/nation.parquet")
+    spark.createDataFrame([(0,), (1,)], "r_regionkey long").write.parquet(
+        f"{d}/region.parquet"
+    )
+    from gfe_db_spark.queries.tpch_plus import division_all_regions
+
+    row = division_all_regions(spark, d).collect()[0]
+    assert (row.n_customers, row.n_covering) == (2, 1)

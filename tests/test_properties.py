@@ -694,3 +694,41 @@ def test_bloom_filter_no_false_negatives(spark, texts):
             .count()
         )
         assert missed == 0, f"false negatives at m_bits={m_bits}"
+
+
+@given(
+    spans=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # start day
+            st.integers(min_value=0, max_value=10),  # duration
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_interval_concurrency_matches_bruteforce(spark, spans):
+    """The boundary-delta running sum equals a per-day brute-force count
+    of open intervals, for ANY interval set (overlaps, nesting, zero
+    length), and closes to zero after the last end."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    rows = [(i, s, s + d) for i, (s, d) in enumerate(spans)]
+    df = spark.createDataFrame(rows, "id long, start_day long, end_day long")
+    deltas = df.select(F.col("start_day").alias("day"), F.lit(1).alias("delta")).unionAll(
+        df.select((F.col("end_day") + 1).alias("day"), F.lit(-1).alias("delta"))
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    got = {
+        r.day: r.open
+        for r in deltas.groupBy("day")
+        .agg(F.sum("delta").alias("d"))
+        .withColumn("open", F.sum("d").over(w))
+        .collect()
+    }
+    days = sorted(got)
+    for day in days:
+        want = sum(1 for _, s, e in rows if s <= day <= e)
+        assert got[day] == want, (day, got[day], want)
+    assert got[days[-1]] == 0  # day after the last end closes everything
