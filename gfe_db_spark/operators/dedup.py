@@ -318,6 +318,64 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return docs.select(F.col(id_col).alias("doc_id"), _simhash(F.col(text_col)).alias("simhash64"))
 
 
+def simhash_hamming_pairs(
+    sig: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash64",
+) -> DataFrame:
+    """Near-duplicate pairs from 64-bit SimHash fingerprints, by exact
+    Hamming distance ≤ ``max_hamming`` — the candidate-generation half
+    SimHash needs to be a dedup operator rather than just a fingerprint.
+
+    Pigeonhole banding makes it complete without all-pairs: split the 64
+    bits into ``n_blocks`` disjoint blocks; two fingerprints within
+    Hamming distance k differ in at most k blocks, so with
+    ``n_blocks >= k + 1`` they must agree EXACTLY on at least one block.
+    The plan is a narrow map (each row → n_blocks ``(block_id,
+    block_val)`` keys), an equi-join on those two scalars, then the exact
+    ``bit_count(a XOR b)`` check on surviving candidates only. At 100 TB
+    the corpus shuffles ``n_blocks``× scalars — never a cross join; block
+    width (64 / n_blocks) controls the collision fan-out, so raising
+    ``max_hamming`` (more, narrower blocks) trades join fan-out for
+    recall window exactly like LSH banding does.
+    """
+    if n_blocks < max_hamming + 1:
+        raise ValueError(
+            f"pigeonhole completeness needs n_blocks >= max_hamming + 1 "
+            f"(got n_blocks={n_blocks}, max_hamming={max_hamming})"
+        )
+    if 64 % n_blocks != 0:
+        raise ValueError(f"n_blocks must divide 64 (got {n_blocks})")
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    blocks = sig.filter(F.col(sig_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(sig_col).alias("sig"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col(sig_col), width * i).bitwiseAND(F.lit(mask))
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("block_id", "block_val"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(b, ["block_id", "block_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Array dot product with builtins: zip_with → aggregate. Left-to-right
     summation keeps it deterministic (and matches DuckDB's list functions)."""

@@ -262,6 +262,56 @@ def bigram_next_tokens(
     )
 
 
+def strip_boilerplate(
+    docs: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style line-level boilerplate removal: drop every line that
+    appears verbatim in ``min_docs`` or more distinct documents (cookie
+    banners, nav bars, license footers), reassemble the survivors in
+    original order.
+
+    Shape at scale: one keyed agg computes per-line document frequency
+    (map-side combinable), the corpus then LEFT-joins only against the
+    *boilerplate* subset — lines over the threshold — which is orders of
+    magnitude smaller than the line table and typically broadcastable;
+    the hottest lines (highest df) are exactly the ones in the dim side,
+    so the big side never self-joins and skew stays on the small side.
+    Reassembly is a per-doc agg: collect (pos, line) structs for kept
+    lines, array_sort (struct ordering sorts by pos first), join with the
+    newline back.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("line_df"))
+        .filter(F.col("line_df") >= min_docs)
+        .select("line", F.lit(1).alias("__boiler"))
+    )
+    flagged = lines.join(F.broadcast(boiler), "line", "left")
+    kept_struct = F.when(
+        F.col("__boiler").isNull(), F.struct(F.col("pos"), F.col("line"))
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(kept_struct).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+                ),
+                "\n",
+            ).alias("cleaned"),
+        )
+    )
+
+
 def repetition_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Intra-document repetition signals (the Gopher-style quality rules
     for machine-generated/looping text): duplicate-token fraction and the

@@ -67,6 +67,10 @@ PRIORITY: tuple[str, ...] = (
     "dedup_exact_substrings",
     # new in r3: cluster-then-prune semantic dedup (SemDeDup shape)
     "semdedup_prune",
+    # new in r4: SimHash completed into a dedup operator — pigeonhole
+    # block banding generates candidate pairs, exact bit_count(XOR)
+    # verifies; first-time entry, in-window
+    "dedup_simhash_hamming",
     # similarity / ANN family (knn_brute_force and knn_ivf rotated out:
     # r2-green, unchanged)
     # back in the window: gained the unrolled-Lloyd SQL oracle in r3

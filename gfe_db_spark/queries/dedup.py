@@ -158,8 +158,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash(docs).orderBy("doc_id")
 
 
-DEDUP_SIMHASH_SQL = r"""
-WITH t AS (
+# shared CTE chain computing the bit-exact SimHash fingerprint in DuckDB;
+# reused by the fingerprint entry and the Hamming-banded pair entry
+_SIMHASH_SIG_CTES = r"""t AS (
   SELECT doc_id, text,
          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
   FROM documents
@@ -167,17 +168,59 @@ WITH t AS (
   SELECT doc_id, text, len(toks) AS n,
          list_transform(toks, tok -> md5_number_upper(tok)) AS hs
   FROM t
+), sig AS (
+  SELECT doc_id,
+    CASE WHEN text IS NULL THEN NULL ELSE
+      CAST(list_sum(list_transform(range(0, 64), i ->
+        CASE WHEN 2 * len(list_filter(hs, hv -> (hv >> i) & 1 = 1)) > n
+             THEN CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+                       ELSE CAST(1 AS HUGEINT) << i END
+             ELSE CAST(0 AS HUGEINT) END)) AS BIGINT)
+    END AS simhash64
+  FROM h
+)"""
+
+DEDUP_SIMHASH_SQL = f"""
+WITH {_SIMHASH_SIG_CTES}
+SELECT doc_id, simhash64 FROM sig ORDER BY doc_id
+"""
+
+
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance ≤ 3 via pigeonhole
+    banding (4 disjoint 16-bit blocks → equi-join on (block_id,
+    block_val) → exact bit_count(XOR) on candidates). Complete for k ≤ 3
+    by the pigeonhole principle; never all-pairs."""
+    docs = table(spark, sf_dir, "documents")
+    return DD.simhash_hamming_pairs(DD.simhash(docs), max_hamming=3, n_blocks=4).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+DEDUP_SIMHASH_HAMMING_SQL = f"""
+WITH {_SIMHASH_SIG_CTES},
+u AS (
+  SELECT doc_id, simhash64,
+         CASE WHEN simhash64 < 0
+              THEN CAST(simhash64 AS HUGEINT) + CAST('18446744073709551616' AS HUGEINT)
+              ELSE CAST(simhash64 AS HUGEINT) END AS uh
+  FROM sig WHERE simhash64 IS NOT NULL
+),
+blocks AS (
+  SELECT doc_id, simhash64, b.block_id,
+         CAST((uh // b.dv) % 65536 AS BIGINT) AS block_val
+  FROM u, (VALUES (0, CAST(1 AS HUGEINT)),
+                  (1, CAST(65536 AS HUGEINT)),
+                  (2, CAST(4294967296 AS HUGEINT)),
+                  (3, CAST(281474976710656 AS HUGEINT))) b(block_id, dv)
 )
-SELECT doc_id,
-  CASE WHEN text IS NULL THEN NULL ELSE
-    CAST(list_sum(list_transform(range(0, 64), i ->
-      CASE WHEN 2 * len(list_filter(hs, hv -> (hv >> i) & 1 = 1)) > n
-           THEN CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
-                     ELSE CAST(1 AS HUGEINT) << i END
-           ELSE CAST(0 AS HUGEINT) END)) AS BIGINT)
-  END AS simhash64
-FROM h
-ORDER BY doc_id
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash64, b.simhash64)) AS INT) AS hamming
+FROM blocks a
+JOIN blocks b
+  ON a.block_id = b.block_id AND a.block_val = b.block_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3
+ORDER BY doc_a, doc_b
 """
 
 
@@ -895,6 +938,11 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_ngram_jaccard, DEDUP_JACCARD_SQL, "n-gram Jaccard pairs"
     ),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL, "SimHash fingerprints"),
+    "dedup_simhash_hamming": QuerySpec(
+        dedup_simhash_hamming,
+        DEDUP_SIMHASH_HAMMING_SQL,
+        "SimHash near-dup pairs: pigeonhole block banding + exact Hamming check",
+    ),
     "dedup_minhash_est": QuerySpec(
         dedup_minhash_est, DEDUP_MINHASH_EST_SQL, "MinHash Jaccard estimate per pair"
     ),

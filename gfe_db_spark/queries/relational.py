@@ -1160,7 +1160,72 @@ LIMIT 10
 """
 
 
+def regression_moments_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped least-squares regression (price vs quantity) computed from
+    exact decimal moments — the distributed form of `regr_slope` /
+    `regr_intercept` / `corr` that stays deterministic at any parallelism.
+
+    One keyed agg collects the five moments (Σx, Σy, Σx², Σy², Σxy)
+    through `_dsum` (per-row double→decimal is deterministic, decimal
+    addition exact), then slope/intercept/corr are pure per-group double
+    arithmetic on those sums. The builtins (`F.regr_slope` etc.) stream
+    float moments whose partition-merge order varies run to run; routing
+    the moments through decimal makes the hash-checkable twin. One
+    shuffle, map-side partials, no second pass.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum("l_quantity").alias("sx"),
+        _dsum("l_extendedprice").alias("sy"),
+        _dsum(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
+        _dsum(F.col("l_extendedprice") * F.col("l_extendedprice")).alias("syy"),
+        _dsum(F.col("l_quantity") * F.col("l_extendedprice")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / var_x
+    return g.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 9).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / nd, 9).alias("intercept"),
+        F.round(cov_n / (F.sqrt(var_x) * F.sqrt(var_y)), 9).alias("corr"),
+    ).orderBy("l_returnflag")
+
+
+REGRESSION_MOMENTS_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS syy,
+         CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx), 9) AS slope,
+       ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+             / CAST(n AS DOUBLE), 9) AS intercept,
+       ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
+                * SQRT(CAST(n AS DOUBLE) * syy - sy * sy)), 9) AS corr
+FROM m ORDER BY l_returnflag
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "regression_moments_by_flag": QuerySpec(
+        regression_moments_by_flag,
+        REGRESSION_MOMENTS_SQL,
+        "grouped least-squares slope/intercept/corr from exact decimal moments",
+    ),
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL, "TPC-H Q1 headline agg"),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL, "join+group+topk"),
     "q5_local_supplier_volume": QuerySpec(q5_local_supplier_volume, Q5_SQL, "6-way join"),

@@ -591,7 +591,42 @@ FROM scored ORDER BY doc_id
 """
 
 
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (CCNet preprocessing): lines seen in
+    ≥2 distinct documents are stripped, survivors reassembled in order.
+    The synthetic corpus has no repeated lines, so this checks the
+    explode → df-count → broadcast-dim anti-filter → ordered-reassembly
+    plumbing end to end; the removal semantics are covered by the planted
+    multi-line test in tests/test_operators.py."""
+    docs = table(spark, sf_dir, "documents")
+    return TX.strip_boilerplate(docs, min_docs=2).orderBy("doc_id")
+
+
+TEXT_BOILERPLATE_SQL = """
+WITH lines AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents)
+),
+boiler AS (
+  SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT l.doc_id,
+       COUNT(*) AS n_lines,
+       COUNT(*) FILTER (WHERE b.line IS NULL) AS n_kept,
+       COALESCE(string_agg(CASE WHEN b.line IS NULL THEN l.line END,
+                           chr(10) ORDER BY l.pos), '') AS cleaned
+FROM lines l LEFT JOIN boiler b USING (line)
+GROUP BY l.doc_id
+ORDER BY l.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_boilerplate_strip": QuerySpec(
+        text_boilerplate_strip,
+        TEXT_BOILERPLATE_SQL,
+        "CCNet line-level boilerplate removal with ordered reassembly",
+    ),
     "weighted_sample_priority": QuerySpec(
         weighted_sample_priority,
         WEIGHTED_SAMPLE_SQL,

@@ -1116,3 +1116,76 @@ def test_division_planted_non_covering_customer(spark, tmp_path):
 
     row = division_all_regions(spark, d).collect()[0]
     assert (row.n_customers, row.n_covering) == (2, 1)
+
+
+def test_simhash_hamming_pairs_planted(spark):
+    """Pigeonhole banding finds exactly the pairs within the Hamming
+    radius: planted signatures at distance 0, 2, 3, and far."""
+    from gfe_db_spark.operators import dedup as DD
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    base = 0x0123456789ABCDEF
+    rows = [
+        (1, signed(base)),                       # anchor
+        (2, signed(base)),                       # distance 0 from 1
+        (3, signed(base ^ 0b101)),               # distance 2 from 1/2
+        (4, signed(base ^ (1 << 63) ^ (1 << 0) ^ (1 << 32))),  # distance 3, spans blocks
+        (5, signed(base ^ 0xFFFF0000FFFF0000)),  # far (distance 32)
+        (6, None),                               # null signature: dropped
+    ]
+    sig = spark.createDataFrame(rows, "doc_id long, simhash64 long")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in DD.simhash_hamming_pairs(sig, max_hamming=3, n_blocks=4).collect()
+    }
+    # (3,4): bit 0 cancels in the XOR, leaving bits {2, 32, 63} — also in
+    assert got == {(1, 2): 0, (1, 3): 2, (2, 3): 2, (1, 4): 3, (2, 4): 3, (3, 4): 3}
+
+
+def test_simhash_hamming_rejects_incomplete_banding():
+    import pytest as _pytest
+
+    from gfe_db_spark.operators import dedup as DD
+
+    with _pytest.raises(ValueError):
+        DD.simhash_hamming_pairs(None, max_hamming=4, n_blocks=4)
+
+
+def test_strip_boilerplate_planted_shared_lines(spark):
+    """Lines shared by >= min_docs documents are stripped everywhere they
+    occur; unique lines survive in original order; a doc reduced to
+    nothing yields the empty string."""
+    from gfe_db_spark.operators import text as TX
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nreal content one\nFOOTER"),
+            (2, "COOKIE BANNER\nreal content two\nFOOTER"),
+            (3, "COOKIE BANNER\nFOOTER"),  # nothing left after stripping
+            (4, "only unique lines\nhere"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in TX.strip_boilerplate(docs, min_docs=2).collect()}
+    assert (got[1].n_lines, got[1].n_kept, got[1].cleaned) == (3, 1, "real content one")
+    assert (got[2].n_lines, got[2].n_kept, got[2].cleaned) == (3, 1, "real content two")
+    assert (got[3].n_lines, got[3].n_kept, got[3].cleaned) == (2, 0, "")
+    assert (got[4].n_lines, got[4].n_kept, got[4].cleaned) == (
+        2,
+        2,
+        "only unique lines\nhere",
+    )
+
+
+def test_strip_boilerplate_within_doc_repeats_not_boilerplate(spark):
+    """A line repeated only inside ONE doc has document frequency 1 and
+    must not be stripped (df counts distinct docs, not occurrences)."""
+    from gfe_db_spark.operators import text as TX
+
+    docs = spark.createDataFrame(
+        [(1, "la\nla\nbody")], "doc_id long, text string"
+    )
+    row = TX.strip_boilerplate(docs, min_docs=2).collect()[0]
+    assert (row.n_lines, row.n_kept, row.cleaned) == (3, 3, "la\nla\nbody")
