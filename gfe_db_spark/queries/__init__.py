@@ -71,6 +71,12 @@ PRIORITY: tuple[str, ...] = (
     # block banding generates candidate pairs, exact bit_count(XOR)
     # verifies; first-time entry, in-window
     "dedup_simhash_hamming",
+    # new in r4: CCNet line-level boilerplate removal (explode →
+    # df-count → broadcast-dim anti-filter → ordered reassembly)
+    "text_boilerplate_strip",
+    # new in r4: grouped least-squares from exact decimal moments —
+    # the deterministic distributed twin of regr_slope/intercept/corr
+    "regression_moments_by_flag",
     # similarity / ANN family (knn_brute_force and knn_ivf rotated out:
     # r2-green, unchanged)
     # back in the window: gained the unrolled-Lloyd SQL oracle in r3
