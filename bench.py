@@ -59,6 +59,11 @@ BENCH_QUERIES = [
     "dedup_incremental",
     # sliding-window exact distinct (dedupe -> bounded explode -> keyed agg)
     "rolling_distinct_users_7d",
+    # round-4: pigeonhole-banded SimHash pairs, global prefix-sum
+    # sharding, and iterative GD training (3 full-corpus agg passes)
+    "dedup_simhash_hamming",
+    "shard_by_token_budget",
+    "logreg_quality_train",
 ]
 
 

@@ -74,3 +74,63 @@ def pack_fill_stats(packed: DataFrame, max_tokens: int = DEFAULT_PACK_TOKENS) ->
             F.round(F.col("tokens_started") / F.lit(float(max_tokens)), 6),
         )
     )
+
+
+def shard_by_token_budget(
+    docs: DataFrame,
+    budget: int = 2048,
+    bucket_span: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to output shards by a GLOBAL token budget in
+    `id_col` order — the writer-side step that cuts a corpus into
+    training files of ~`budget` tokens each while preserving corpus
+    order (pack_sequences is the hash-sharded cousin that gives up
+    global order for embarrassing parallelism).
+
+    The global running sum is a two-phase distributed prefix sum, never
+    a single-partition window over the corpus: (1) bucket rows by id
+    range and cumsum WITHIN each bucket (parallel window, keyed
+    shuffle); (2) aggregate one total per bucket and turn those into
+    exclusive bucket offsets with a window over the tiny bucket table
+    (#rows = #buckets — bounded metadata, like the IVF centroid or BPE
+    vocab tables); (3) broadcast-join the offsets back. A document's
+    shard is the budget-chunk containing its first token.
+
+    Assumes ids are roughly uniform over their range so id-range buckets
+    are balanced; for skewed id spaces, substitute a range-partitioner
+    sample for the fixed `bucket_span` — the two-phase shape is unchanged.
+    """
+    toks = F.filter(tokenize(F.col(text_col)), lambda t: t != "")
+    base = docs.select(
+        F.col(id_col),
+        F.floor(F.col(id_col) / bucket_span).alias("__bucket"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    w_intra = (
+        Window.partitionBy("__bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    intra = F.coalesce(F.sum("n_tokens").over(w_intra), F.lit(0).cast("long"))
+    totals = base.groupBy("__bucket").agg(F.sum("n_tokens").alias("__total"))
+    w_bucket = (
+        Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__bucket",
+        F.coalesce(F.sum("__total").over(w_bucket), F.lit(0).cast("long")).alias(
+            "__offset"
+        ),
+    )
+    return (
+        base.join(F.broadcast(offsets), "__bucket")
+        .withColumn("start_offset", intra + F.col("__offset"))
+        .select(
+            id_col,
+            "n_tokens",
+            "start_offset",
+            F.floor(F.col("start_offset") / budget).alias("shard"),
+        )
+    )

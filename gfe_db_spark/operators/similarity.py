@@ -500,3 +500,77 @@ def pq_adc_topk(
         .orderBy(F.asc("adc_d2"), id_col)
         .limit(k)
     )
+
+
+def standardize_embeddings(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension z-score standardization across the whole corpus —
+    the feature-scaling pass before clustering/PQ training. Long-format
+    output (vec_id, pos, z): array-element processing as two keyed
+    shuffles, no UDF.
+
+    Shape at scale: posexplode is a narrow map; the per-dimension moments
+    are ONE keyed agg on `pos` (dim-count groups — tiny) with exact
+    decimal sums, broadcast-joined back onto the exploded rows. Constant
+    dimensions (variance 0) standardize to 0.0 rather than NaN.
+    """
+    x = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"),
+    )
+    stats = x.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(38,18)")).cast("double").alias("sx"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sx") / nd
+    var = F.col("sxx") / nd - mean * mean
+    z = F.when(var <= 0, F.lit(0.0)).otherwise(
+        F.round((F.col("v") - mean) / F.sqrt(var), 9)
+    )
+    return (
+        x.join(F.broadcast(stats), "pos")
+        .select("vec_id", "pos", z.alias("z"))
+    )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """The composed production-ANN layout: IVF restricts the search to the
+    n_probe centroids nearest the query (at scale: the PQ-code index is
+    parquet materialized PARTITIONED BY centroid_id — see
+    `ivf_write_index` — so the probe is dynamic partition pruning), and
+    within the probed cells the asymmetric-distance PQ pass scores m-byte
+    codes against a broadcast LUT — full vectors never move at query
+    time. This is IVFADC (Jégou et al.), here as a pure DataFrame
+    composition of ivf_assign → probe-prune → pq_encode → pq_adc_topk."""
+    qdf = query.select(F.col(query.columns[0]).cast("array<double>").alias("__q"))
+    probe = (
+        centroids.crossJoin(F.broadcast(qdf))
+        .withColumn(
+            "cos_q", cosine(F.col("centroid").cast("array<double>"), F.col("__q"))
+        )
+        .orderBy(F.desc("cos_q"), "centroid_id")
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+    assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    pruned = assigned.join(F.broadcast(probe), "centroid_id").select(id_col, vec_col)
+    codes = pq_encode(pruned, codebook, m=m, id_col=id_col, vec_col=vec_col, dim=dim)
+    return pq_adc_topk(
+        codes, codebook, query, k=k, m=m, id_col=id_col, vec_col=vec_col, dim=dim
+    )

@@ -77,6 +77,16 @@ PRIORITY: tuple[str, ...] = (
     # new in r4: grouped least-squares from exact decimal moments —
     # the deterministic distributed twin of regr_slope/intercept/corr
     "regression_moments_by_flag",
+    # new in r4: global token-budget sharding — the two-phase
+    # distributed prefix sum (bucket cumsum + exclusive offsets)
+    "shard_by_token_budget",
+    # new in r4: gradient-descent logistic regression vs the unrolled-GD
+    # SQL oracle (fast-sigmoid + decimal sums → bit-reproducible)
+    "logreg_quality_train",
+    # new in r4: executed stream-static broadcast enrichment
+    "stream_static_enrich",
+    # new in r4: per-dimension z-score standardization of embeddings
+    "embedding_standardize",
     # similarity / ANN family (knn_brute_force and knn_ivf rotated out:
     # r2-green, unchanged)
     # back in the window: gained the unrolled-Lloyd SQL oracle in r3
@@ -85,6 +95,9 @@ PRIORITY: tuple[str, ...] = (
     # ANN family stays covered by knn_ivf_trained / knn_pq_adc)
     # new late-r3: product-quantization ANN with ADC lookup
     "knn_pq_adc",
+    # new in r4: the IVFADC composition — IVF partition pruning + PQ
+    # asymmetric-distance scoring in one plan
+    "knn_ivf_pq",
     # embedding_quantize rotated out (r2-green, unchanged)
     # new late-r3 layout family: Z-order clustering + deterministic shuffle
     "zorder_layout",

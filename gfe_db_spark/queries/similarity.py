@@ -488,7 +488,130 @@ ORDER BY id_a
 RANDOM_PROJECTION_SQL = _rp_sql()
 
 
+def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the composed production-ANN layout: IVF probe prunes the
+    corpus to the 2 cells nearest the query (at scale: dynamic partition
+    pruning on the centroid-partitioned PQ-code index), then the
+    asymmetric-distance PQ pass scores m-byte codes against a broadcast
+    LUT inside the probed cells only. Centroids/codebook use the same
+    deterministic stand-ins as knn_ivf / knn_pq_adc."""
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    cb = SIM.pq_codebook(emb, m=4, ks=8)
+    query = emb.filter(F.col("vec_id") == 0).select("embedding")
+    return SIM.ivf_pq_topk(emb, centroids, cb, query, k=10, n_probe=2, m=4)
+
+
+KNN_IVF_PQ_SQL = f"""
+WITH cents AS (
+  SELECT CAST(vec_id AS INTEGER) AS centroid_id, embedding AS centroid
+  FROM embeddings WHERE vec_id < 4
+), q0 AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+), assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.centroid AS DOUBLE[])), 9) DESC, c.centroid_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+), probe AS (
+  SELECT centroid_id FROM (
+    SELECT c.centroid_id,
+           row_number() OVER (
+             ORDER BY round(list_cosine_similarity(CAST(c.centroid AS DOUBLE[]), CAST(q0.qv AS DOUBLE[])), 9) DESC, c.centroid_id
+           ) AS rn
+    FROM cents c CROSS JOIN q0
+  ) WHERE rn <= 2
+), pruned AS (
+  SELECT a.vec_id FROM assigned a JOIN probe p USING (centroid_id)
+), v0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cb AS (
+  SELECT s.sub, CAST(vec_id AS INT) AS code,
+         v[(s.sub * 16 + 1):(s.sub * 16 + 16)] AS codeword
+  FROM v0 CROSS JOIN {_PQ_SUBS}
+  WHERE vec_id < 8
+), subs AS (
+  SELECT v0.vec_id, s.sub, v[(s.sub * 16 + 1):(s.sub * 16 + 16)] AS sv
+  FROM v0 JOIN pruned USING (vec_id) CROSS JOIN {_PQ_SUBS}
+), scored AS (
+  SELECT subs.vec_id, subs.sub, cb.code,
+         {_PQ_D2.format(a="sv", b="codeword")} AS d2
+  FROM subs JOIN cb ON subs.sub = cb.sub
+), best AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), q AS (
+  SELECT s.sub, v[(s.sub * 16 + 1):(s.sub * 16 + 16)] AS qv
+  FROM v0 CROSS JOIN {_PQ_SUBS}
+  WHERE vec_id = 0
+), lut AS (
+  SELECT q.sub, cb.code,
+         {_PQ_D2.format(a="qv", b="codeword")} AS d2
+  FROM q JOIN cb ON q.sub = cb.sub
+)
+SELECT b.vec_id, round(SUM(l.d2), 9) AS adc_d2
+FROM best b JOIN lut l ON b.sub = l.sub AND b.code = l.code
+GROUP BY b.vec_id
+ORDER BY adc_d2, b.vec_id
+LIMIT 10
+"""
+
+
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding corpus
+    (long format): explode → one 64-group moment agg (decimal sums) →
+    broadcast join back. Deterministic at any parallelism."""
+    emb = table(spark, sf_dir, "embeddings")
+    return SIM.standardize_embeddings(emb).orderBy("vec_id", "pos")
+
+
+EMBEDDING_STANDARDIZE_SQL = """
+WITH x AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT pos, COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(v AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sxx
+  FROM x GROUP BY pos
+)
+SELECT x.vec_id, x.pos,
+       CASE WHEN (sxx / CAST(n AS DOUBLE)
+                  - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE))) <= 0
+            THEN 0.0
+            ELSE round((v - sx / CAST(n AS DOUBLE))
+                       / sqrt(sxx / CAST(n AS DOUBLE)
+                              - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE))), 9)
+       END AS z
+FROM x JOIN s USING (pos)
+ORDER BY vec_id, pos
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "embedding_standardize": QuerySpec(
+        embedding_standardize,
+        EMBEDDING_STANDARDIZE_SQL,
+        "per-dimension z-score standardization (explode → moment agg → broadcast join)",
+    ),
+    "knn_ivf_pq": QuerySpec(
+        knn_ivf_pq,
+        KNN_IVF_PQ_SQL,
+        "IVFADC: IVF partition pruning + PQ asymmetric-distance scoring, composed",
+    ),
     "knn_brute_force": QuerySpec(knn_brute_force, KNN_BRUTE_SQL, "exact cosine top-k"),
     "knn_pq_adc": QuerySpec(
         knn_pq_adc, KNN_PQ_SQL, "product-quantization ANN with ADC lookup"

@@ -840,7 +840,63 @@ ORDER BY day
 """
 
 
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment executed for real: file-source
+    stream over events joined per micro-batch against the static
+    customer→nation dimension chain (no state store, stream never
+    shuffles for the join), aggregated per nation in complete mode to a
+    memory sink. The oracle is the same join+agg in batch SQL, so the
+    hash check proves every streamed event was enriched exactly once.
+    (Value travels as integer cents — float-order-proof.)"""
+    import uuid
+
+    from gfe_db_spark.sources.tables import table
+    from gfe_db_spark.streaming.structured import read_event_stream, stream_static_enrich
+
+    dim = (
+        table(spark, sf_dir, "customer")
+        .join(
+            table(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey"), F.col("n_name"))
+    )
+    events = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    enriched = stream_static_enrich(events, dim, "user_id", "c_custkey")
+    agg = enriched.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT n_name, n_events, value_cents FROM {name} ORDER BY n_name")
+
+
+STREAM_STATIC_ENRICH_SQL = """
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stream_static_enrich": QuerySpec(
+        stream_static_enrich,
+        STREAM_STATIC_ENRICH_SQL,
+        "stream-static broadcast enrichment executed; target agg vs batch oracle",
+    ),
     "sessionize": QuerySpec(sessionize, SESSIONIZE_SQL, "gap sessionization"),
     "rolling_distinct_users_7d_approx": QuerySpec(
         rolling_distinct_users_7d_approx,

@@ -591,6 +591,116 @@ FROM scored ORDER BY doc_id
 """
 
 
+def shard_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-order token-budget sharding via a two-phase distributed
+    prefix sum (id-range bucket cumsum → exclusive bucket offsets →
+    broadcast join). The oracle is the single-window global cumsum —
+    semantically identical, but the Spark plan never funnels the corpus
+    through one partition."""
+    from gfe_db_spark.operators.packing import shard_by_token_budget as impl
+
+    docs = table(spark, sf_dir, "documents")
+    return impl(docs, budget=2048, bucket_span=64).orderBy("doc_id")
+
+
+SHARD_BY_TOKEN_BUDGET_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (
+         ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) AS BIGINT) AS start_offset,
+       CAST(FLOOR(CAST(COALESCE(SUM(n_tokens) OVER (
+         ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) AS BIGINT) / 2048) AS BIGINT) AS shard
+FROM t ORDER BY doc_id
+"""
+
+
+def logreg_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression (3 gradient steps, lr=0.5) fitting
+    lang=='en' from two length features — the quality-classifier training
+    loop of a data pipeline, run as DataFrame aggregations. The oracle
+    unrolls the same three steps as nested SQL CTEs (the PageRank-oracle
+    technique); fast-sigmoid + decimal-routed sums make the float loop
+    bit-reproducible in both engines."""
+    from gfe_db_spark.operators.ml import logreg_fit_summary
+
+    docs = table(spark, sf_dir, "documents")
+    feats = docs.select(
+        (F.length("text").cast("double") / F.lit(500.0)).alias("x1"),
+        (
+            F.size(F.filter(TX.tokenize(F.col("text")), lambda t: t != "")).cast(
+                "double"
+            )
+            / F.lit(100.0)
+        ).alias("x2"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    return logreg_fit_summary(feats, ["x1", "x2"], "y", steps=3, lr=0.5)
+
+
+def _logreg_unrolled_sql(steps: int = 3, lr: float = 0.5) -> str:
+    """Unrolled gradient-descent oracle: one (g, w) CTE pair per step."""
+    z = "((w0 + w1*x1) + w2*x2)"
+    p = f"(0.5 + {z} / (2.0 * (1.0 + abs({z}))))"
+
+    def dsum(expr: str) -> str:
+        return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)"
+
+    ctes = [
+        r"""f AS (
+  SELECT CAST(length(text) AS DOUBLE) / 500.0 AS x1,
+         CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+              AS DOUBLE) / 100.0 AS x2,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+)""",
+        "ws0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)",
+    ]
+    for s in range(1, steps + 1):
+        ctes.append(
+            f"""g{s} AS (
+  SELECT COUNT(*) AS n,
+         {dsum(f"({p} - y)")} AS g0,
+         {dsum(f"({p} - y) * x1")} AS g1,
+         {dsum(f"({p} - y) * x2")} AS g2
+  FROM f, ws{s - 1}
+)"""
+        )
+        ctes.append(
+            f"""ws{s} AS (
+  SELECT w0 - {lr} * (g0 / CAST(n AS DOUBLE)) AS w0,
+         w1 - {lr} * (g1 / CAST(n AS DOUBLE)) AS w1,
+         w2 - {lr} * (g2 / CAST(n AS DOUBLE)) AS w2
+  FROM g{s}, ws{s - 1}
+)"""
+        )
+    ctes.append(
+        f"""fin AS (
+  SELECT COUNT(*) AS n,
+         COUNT(*) FILTER (WHERE ({z} > 0) = (y = 1.0)) AS n_correct
+  FROM f, ws{steps}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT n, round(w0, 9) AS w0, round(w1, 9) AS w1, round(w2, 9) AS w2,
+       round(CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE), 9) AS accuracy
+FROM fin, ws{steps}
+"""
+    )
+
+
+LOGREG_TRAIN_SQL = _logreg_unrolled_sql(steps=3, lr=0.5)
+
+
 def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level boilerplate removal (CCNet preprocessing): lines seen in
     ≥2 distinct documents are stripped, survivors reassembled in order.
@@ -626,6 +736,16 @@ QUERIES: dict[str, QuerySpec] = {
         text_boilerplate_strip,
         TEXT_BOILERPLATE_SQL,
         "CCNet line-level boilerplate removal with ordered reassembly",
+    ),
+    "shard_by_token_budget": QuerySpec(
+        shard_by_token_budget,
+        SHARD_BY_TOKEN_BUDGET_SQL,
+        "global token-budget sharding via two-phase distributed prefix sum",
+    ),
+    "logreg_quality_train": QuerySpec(
+        logreg_quality_train,
+        LOGREG_TRAIN_SQL,
+        "distributed logistic regression, hash-checked vs unrolled-GD SQL oracle",
     ),
     "weighted_sample_priority": QuerySpec(
         weighted_sample_priority,

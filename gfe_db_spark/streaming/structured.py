@@ -206,3 +206,17 @@ def cdc_merge_sink(state_path: str):
 def cdc_current_snapshot(spark: SparkSession, state_path: str) -> DataFrame:
     """Read the CDC state and drop tombstoned keys — the current table."""
     return spark.read.parquet(state_path).filter(F.col("op") != "D")
+
+
+def stream_static_enrich(
+    events: DataFrame, dim: DataFrame, on_left: str, on_right: str
+) -> DataFrame:
+    """Stream-static enrichment: join each streaming micro-batch against a
+    static dimension. The static side re-plans per micro-batch, so Spark
+    broadcasts it when it fits auto-broadcast (the common dims-are-small
+    case) — the stream itself never shuffles for the join, and no state
+    store is involved (unlike stream-stream joins). Inner join keeps the
+    result append-able."""
+    return events.join(
+        F.broadcast(dim), events[on_left] == dim[on_right], "inner"
+    ).drop(on_right)

@@ -1189,3 +1189,89 @@ def test_strip_boilerplate_within_doc_repeats_not_boilerplate(spark):
     )
     row = TX.strip_boilerplate(docs, min_docs=2).collect()[0]
     assert (row.n_lines, row.n_kept, row.cleaned) == (3, 3, "la\nla\nbody")
+
+
+def test_shard_by_token_budget_matches_naive_global_cumsum(spark):
+    """The two-phase prefix sum (bucket cumsum + exclusive bucket
+    offsets) must equal the naive global running sum for every row,
+    including ids that straddle bucket boundaries and empty docs."""
+    from gfe_db_spark.operators.packing import shard_by_token_budget
+
+    rows = [(i, "tok " * (i % 7)) for i in range(0, 50)] + [(103, "a b c"), (205, "")]
+    docs = spark.createDataFrame([(i, t.strip()) for i, t in rows], "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.start_offset, r.shard)
+        for r in shard_by_token_budget(docs, budget=10, bucket_span=8).collect()
+    }
+    run = 0
+    for i, t in sorted(rows):
+        n = len([w for w in t.split() if w])
+        assert got[i] == (n, run, run // 10), (i, got[i], (n, run, run // 10))
+        run += n
+
+
+def test_logreg_learns_separable_data(spark):
+    """On linearly separable data the GD loop must reach accuracy 1.0 and
+    a positive slope; the run must be reproducible bit-for-bit across
+    repartitionings (decimal-routed gradient sums)."""
+    from gfe_db_spark.operators.ml import logreg_fit_summary, train_logreg
+
+    rows = [(float(i % 7) / 7.0 - 1.0, 0.0) for i in range(40)] + [
+        (float(i % 7) / 7.0 + 0.5, 1.0) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "x1 double, y double")
+    out = logreg_fit_summary(df, ["x1"], "y", steps=30, lr=1.0).collect()[0]
+    assert out.accuracy == 1.0
+    assert out.w1 > 0  # separating direction
+    w_a, _ = train_logreg(df, ["x1"], "y", steps=5, lr=1.0)
+    w_b, _ = train_logreg(df.repartition(13), ["x1"], "y", steps=5, lr=1.0)
+    assert w_a == w_b  # exact, not approximate
+
+
+def test_standardize_embeddings_moments_and_constant_dim(spark):
+    """Standardized dims have (population) mean 0 / std 1; a constant
+    dimension maps to all-zero instead of NaN."""
+    import math
+
+    from gfe_db_spark.operators.similarity import standardize_embeddings
+
+    rows = [(i, [float(i), 5.0, float(i * i % 7)]) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = standardize_embeddings(emb).collect()
+    by_pos = {}
+    for r in out:
+        by_pos.setdefault(r.pos, []).append(r.z)
+    assert all(z == 0.0 for z in by_pos[1])  # constant dim
+    for pos in (0, 2):
+        zs = by_pos[pos]
+        assert abs(sum(zs) / len(zs)) < 1e-6
+        assert abs(math.sqrt(sum(z * z for z in zs) / len(zs)) - 1.0) < 1e-6
+
+
+def test_ivf_pq_prunes_unprobed_cells(spark):
+    """IVFADC with n_probe=1 must return only vectors assigned to the
+    query's cell — members of the far cluster never appear, even when the
+    PQ approximation would score them."""
+    rows = []
+    for i in range(8):  # cluster A: near e0
+        v = [0.0] * 8
+        v[0], v[1] = 1.0, 0.01 * i
+        rows.append((i, v))
+    for i in range(8, 16):  # cluster B: near e4
+        v = [0.0] * 8
+        v[4], v[5] = 1.0, 0.01 * i
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = emb.filter(F.col("vec_id").isin(0, 8)).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    cb = SIM.pq_codebook(emb, m=4, ks=4, dim=8)
+    query = emb.filter(F.col("vec_id") == 0).select("embedding")
+    got = SIM.ivf_pq_topk(
+        emb, centroids, cb, query, k=16, n_probe=1, m=4, dim=8
+    ).collect()
+    ids = {r.vec_id for r in got}
+    assert ids <= set(range(8)) and 0 in ids
+    # self-query: the query's own code has ADC distance 0
+    assert min(r.adc_d2 for r in got) == 0.0

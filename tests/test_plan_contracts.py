@@ -225,6 +225,7 @@ def test_python_eval_only_where_justified(spark, specs):
         "alignment_join",      # same pipeline
         "gfe_naming",          # same pipeline (accession/naming slice)
         "dedup_simhash",       # 64-bit packing pandas UDF
+        "dedup_simhash_hamming",  # consumes the same SimHash pandas UDF
         "multimodal_metadata", # media decode mapInPandas
         "multimodal_features",
         "multimodal_real_decode",
@@ -638,3 +639,39 @@ def test_bloom_probe_is_broadcast_only(spark, specs):
     assert "BroadcastHashJoin" in plan, "exact channel should broadcast"
     assert not re.search(r"SortMergeJoin|ShuffledHashJoin", plan)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_simhash_hamming_is_block_keyed_join(spark, specs):
+    # Candidate generation must be an equi-join on (block_id, block_val) —
+    # pigeonhole banding, never an all-pairs product over fingerprints.
+    plan = plan_of(run(specs, spark, "dedup_simhash_hamming"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan)
+    assert re.search(r"block_id", plan), "join not keyed on the pigeonhole block"
+
+
+def test_boilerplate_joins_small_dim_side(spark, specs):
+    # The corpus line table joins the (filtered, tiny) boilerplate dim via
+    # broadcast — the big side must never self-join shuffle-to-shuffle.
+    plan = plan_of(run(specs, spark, "text_boilerplate_strip"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shard_by_token_budget_two_phase_prefix_sum(spark, specs):
+    # The corpus-sized window must be keyed by the id-range bucket; the
+    # only SinglePartition window runs over the tiny bucket-totals table
+    # (post-aggregation), and the offsets join back via broadcast.
+    plan = plan_of(run(specs, spark, "shard_by_token_budget"))
+    assert re.search(r"hashpartitioning\([^)]*__bucket", plan), "corpus window not bucket-keyed"
+    assert "BroadcastHashJoin" in plan, "bucket offsets not broadcast back"
+
+
+def test_embedding_standardize_broadcasts_moments(spark, specs):
+    # 64 moment rows join back onto the exploded corpus via broadcast;
+    # no UDF anywhere in the plan (pure builtins).
+    plan = plan_of(run(specs, spark, "embedding_standardize"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
