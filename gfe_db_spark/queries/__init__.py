@@ -181,6 +181,9 @@ PRIORITY: tuple[str, ...] = (
     # the r3 composition proof: quality -> exact dedup -> Bloom
     # decontaminate -> leakage-safe split, one plan, one oracle
     "corpus_prep_pipeline_v2",
+    # the r4 composition proof: boilerplate strip -> quality -> SimHash
+    # Hamming dedup -> global prefix-sum shard, one plan, one oracle
+    "corpus_prep_pipeline_v3",
     "stream_dedup",
     "sketch_distinct_accuracy",
     "sketch_heavy_hitters",

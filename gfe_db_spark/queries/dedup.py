@@ -813,6 +813,93 @@ def corpus_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_prep_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 corpus-prep composition, end to end in ONE plan:
+    CCNet boilerplate strip (shared lines removed, survivors reassembled)
+    → quality gate (≥5 tokens post-strip) → SimHash Hamming-banded
+    near-dup drop (drop the larger id of every pair within distance 3)
+    → GLOBAL token-budget sharding (two-phase prefix sum) → per-shard
+    stats. v2 proved the r3 stages compose; this proves the r4 stages do
+    — strip/dedup/shard is the writer path of a training-data release."""
+    from gfe_db_spark.operators.packing import shard_by_token_budget
+    from gfe_db_spark.operators.text import strip_boilerplate, tokenize
+
+    docs = table(spark, sf_dir, "documents")
+    cleaned = strip_boilerplate(docs, min_docs=2).select(
+        "doc_id", F.col("cleaned").alias("text")
+    )
+    n_tok = F.size(F.filter(tokenize(F.col("text")), lambda t: t != "")).cast("long")
+    gated = cleaned.withColumn("n_tokens", n_tok).filter(F.col("n_tokens") >= 5)
+    pairs = DD.simhash_hamming_pairs(DD.simhash(gated), max_hamming=3, n_blocks=4)
+    drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    surv = gated.join(drops, "doc_id", "left_anti")
+    sharded = shard_by_token_budget(surv, budget=4096, bucket_span=64)
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+_SIMHASH_OVER_GATED = _SIMHASH_SIG_CTES.replace("FROM documents", "FROM gated")
+
+CORPUS_PREP_V3_SQL = rf"""
+WITH lines AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents)
+), boiler AS (
+  SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+), cleaned AS (
+  SELECT l.doc_id,
+         COALESCE(string_agg(CASE WHEN b.line IS NULL THEN l.line END,
+                             chr(10) ORDER BY l.pos), '') AS text
+  FROM lines l LEFT JOIN boiler b USING (line)
+  GROUP BY l.doc_id
+), gated AS (
+  SELECT doc_id, text,
+         CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+              AS BIGINT) AS n_tokens
+  FROM cleaned
+  WHERE len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) >= 5
+), {_SIMHASH_OVER_GATED},
+u AS (
+  SELECT doc_id, simhash64,
+         CASE WHEN simhash64 < 0
+              THEN CAST(simhash64 AS HUGEINT) + CAST('18446744073709551616' AS HUGEINT)
+              ELSE CAST(simhash64 AS HUGEINT) END AS uh
+  FROM sig WHERE simhash64 IS NOT NULL
+), blocks AS (
+  SELECT doc_id, simhash64, b.block_id,
+         CAST((uh // b.dv) % 65536 AS BIGINT) AS block_val
+  FROM u, (VALUES (0, CAST(1 AS HUGEINT)),
+                  (1, CAST(65536 AS HUGEINT)),
+                  (2, CAST(4294967296 AS HUGEINT)),
+                  (3, CAST(281474976710656 AS HUGEINT))) b(block_id, dv)
+), drops AS (
+  SELECT DISTINCT b.doc_id
+  FROM blocks a
+  JOIN blocks b
+    ON a.block_id = b.block_id AND a.block_val = b.block_val AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3
+), surv AS (
+  SELECT g.doc_id, g.n_tokens FROM gated g
+  LEFT JOIN drops d USING (doc_id) WHERE d.doc_id IS NULL
+), sharded AS (
+  SELECT doc_id, n_tokens,
+         CAST(FLOOR(CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) / 4096) AS BIGINT) AS shard
+  FROM surv
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM sharded GROUP BY shard ORDER BY shard
+"""
+
+
 CORPUS_PREP_V2_SQL = r"""
 WITH RECURSIVE q AS (
   SELECT doc_id, text, n_chars FROM documents
@@ -909,6 +996,11 @@ ORDER BY split
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "corpus_prep_pipeline_v3": QuerySpec(
+        corpus_prep_pipeline_v3,
+        CORPUS_PREP_V3_SQL,
+        "r4 composition: boilerplate strip → quality → SimHash dedup → prefix-sum shard",
+    ),
     "corpus_prep_pipeline_v2": QuerySpec(
         corpus_prep_pipeline_v2,
         CORPUS_PREP_V2_SQL,

@@ -1275,3 +1275,32 @@ def test_ivf_pq_prunes_unprobed_cells(spark):
     assert ids <= set(range(8)) and 0 in ids
     # self-query: the query's own code has ADC distance 0
     assert min(r.adc_d2 for r in got) == 0.0
+
+
+def test_corpus_prep_v3_stage_interactions(spark, tmp_path):
+    """Composition semantics: (a) boilerplate stripping happens BEFORE the
+    token gate, so a doc that is mostly banner drops out; (b) the SimHash
+    near-dup stage drops the larger id of an identical pair; (c) shards
+    partition the surviving token stream in doc_id order."""
+    d = str(tmp_path)
+    banner = "SHARED BANNER LINE"
+    # 64-token bodies differing in ONE word: distinct as lines (so the
+    # stripper keeps them — line df=1) but SimHash-near (hamming 1,
+    # precomputed for this exact vocabulary)
+    body_a = " ".join(f"w{i}" for i in range(64))
+    body_b = " ".join(f"w{i}" for i in range(63)) + " zz"
+    rows = [
+        (1, f"{banner}\n{body_a}"),
+        (2, f"{banner}\n{body_b}"),         # near-dup of 1 post-strip
+        (3, f"{banner}\nshort text"),        # only 2 tokens post-strip: gated out
+        (4, "unique document with plenty of distinct tokens here"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    from gfe_db_spark.queries.dedup import corpus_prep_pipeline_v3
+
+    out = corpus_prep_pipeline_v3(spark, d).collect()
+    # survivors: doc 1 (kept, min of the near-dup pair, 64 tokens) and
+    # doc 4 (8 tokens); doc 2 dropped as near-dup, doc 3 gated
+    assert [(r.shard, r.n_docs, r.n_tokens) for r in out] == [(0, 2, 72)]
