@@ -107,14 +107,17 @@ import struct
 
 def encode_bmp_rgb24(width: int, height: int, pixels: bytes) -> bytes:
     """Minimal 24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up rows,
-    4-byte row padding). `pixels` supplies width*height*3 bytes, cycled if
-    short — a deterministic fixture builder for the decode path."""
+    4-byte row padding). `pixels` supplies width*height*3 bytes of the
+    CANONICAL top-down grid (cycled if short); like any real BMP encoder,
+    rows are written bottom-up into the file — so the same `pixels` bytes
+    given to `encode_png_rgb8` produce the same IMAGE, which is what lets
+    the cross-container perceptual-hash property hold."""
     row_raw = width * 3
     pad = (4 - row_raw % 4) % 4
     body = bytearray()
     need = width * height * 3
     px = (pixels * (need // max(len(pixels), 1) + 2))[:need] if pixels else b"\x00" * need
-    for r in range(height):
+    for r in range(height - 1, -1, -1):  # canonical top row lands last in file
         body += px[r * row_raw : (r + 1) * row_raw]
         body += b"\x00" * pad
     size = 14 + 40 + len(body)
@@ -125,13 +128,14 @@ def encode_bmp_rgb24(width: int, height: int, pixels: bytes) -> bytes:
     )
 
 
-def decode_bmp_rgb24(payload: bytes) -> tuple[int, int, float]:
-    """Parse a 24-bit BMP → (width, height, mean pixel byte). Raises on
-    anything that isn't the supported subset — decode errors are data
-    errors, surfaced not swallowed. Header-declared dimensions are
-    validated against the actual payload length, so truncated or
-    dimension-forging payloads error instead of yielding a silently wrong
-    mean (or a data-driven CPU blowup)."""
+def decode_bmp_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a 24-bit BMP → (width, height, CANONICAL top-down RGB
+    bytes). BMP stores rows bottom-up; flipping here means every decoder
+    in the module hands out the same grid orientation, so pixel-level
+    consumers (perceptual hashing, resize) are container-independent.
+    Raises on anything that isn't the supported subset — decode errors
+    are data errors, surfaced not swallowed; header-declared dimensions
+    are validated against the actual payload length."""
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     offset = struct.unpack_from("<I", payload, 10)[0]
@@ -149,12 +153,18 @@ def decode_bmp_rgb24(payload: bytes) -> tuple[int, int, float]:
             f"truncated BMP: header declares {width}x{height} "
             f"({need} bytes needed, {len(payload)} present)"
         )
-    total = 0
-    for r in range(height):
+    out = bytearray()
+    for r in range(height - 1, -1, -1):  # file bottom row = image last row
         start = offset + r * (row_raw + pad)
-        total += sum(payload[start : start + row_raw])
-    n = width * height * 3
-    return width, height, total / n
+        out += payload[start : start + row_raw]
+    return width, height, bytes(out)
+
+
+def decode_bmp_rgb24(payload: bytes) -> tuple[int, int, float]:
+    """Parse a 24-bit BMP → (width, height, mean pixel byte). Same error
+    contract as `decode_bmp_pixels` (which it delegates to)."""
+    width, height, px = decode_bmp_pixels(payload)
+    return width, height, sum(px) / len(px)
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -237,9 +247,9 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
     return out
 
 
-def decode_png(payload: bytes, max_pixels: int = 1 << 24) -> tuple[int, int, float]:
+def decode_png_pixels(payload: bytes, max_pixels: int = 1 << 24) -> tuple[int, int, int, bytes]:
     """Parse an 8-bit grayscale/RGB/RGBA non-interlaced PNG → (width,
-    height, mean channel byte) with stdlib zlib only. Same error contract
+    height, channels, top-down unfiltered channel bytes) with stdlib zlib only. Same error contract
     as the BMP decoder: unsupported variants, bad CRCs-at-structure-level,
     dimension forgery, and truncated streams raise — never a silently
     wrong mean. `max_pixels` bounds the inflate (zip-bomb guard: header
@@ -291,6 +301,13 @@ def decode_png(payload: bytes, max_pixels: int = 1 << 24) -> tuple[int, int, flo
             f"({expected} filtered bytes, {len(raw)} inflated)"
         )
     out = _png_unfilter(raw, width, height, bpp)
+    return width, height, bpp, bytes(out)
+
+
+def decode_png(payload: bytes, max_pixels: int = 1 << 24) -> tuple[int, int, float]:
+    """Parse an 8-bit PNG → (width, height, mean channel byte). Same
+    error contract as `decode_png_pixels` (which it delegates to)."""
+    width, height, _bpp, out = decode_png_pixels(payload, max_pixels)
     return width, height, sum(out) / len(out)
 
 
@@ -406,7 +423,7 @@ def _bmp_pixels(payload: bytes) -> tuple[int, int, list[bytes]]:
     pad = (4 - row_raw % 4) % 4
     rows = [
         payload[offset + r * (row_raw + pad) : offset + r * (row_raw + pad) + row_raw]
-        for r in range(height)
+        for r in range(height - 1, -1, -1)  # file is bottom-up; flip to top-down
     ]
     return width, height, rows
 
@@ -485,3 +502,81 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         ).alias("frame_ts_ms"),
     )
     return frames.withColumn("frame_payload", F.lit(None).cast("binary"))
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("container", T.StringType()),
+        T.StructField("ahash", T.LongType()),
+        T.StructField("ahash_error", T.StringType()),
+    ]
+)
+
+
+def perceptual_ahash(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Average-hash (aHash) over REALLY decoded pixels — the multimodal
+    dedup key computed from content, not container bytes. Because both
+    decoders hand out the CANONICAL top-down grid (BMP rows flipped, PNG
+    unfiltered), identical pixel content hashes identically whichever
+    container shipped it — so the hash equi-join collapses cross-format
+    duplicates that the payload-digest dedup (multimodal_dedup) cannot.
+
+    Integer-only arithmetic keeps it bit-portable to the SQL oracle:
+    gray_p = r+g+b (or 3×the single channel), bit p set iff
+    n_pixels·gray_p > Σgray. Hash width = pixel count; for arbitrary
+    images compose with `resize_images` down to 8×8 first (≤63 pixels —
+    larger grids error rather than silently truncate). Malformed payloads
+    route to the error column; Arrow-batched mapInPandas throughout.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    out.append((int(mid), None, None, "null payload"))
+                    continue
+                b = bytes(payload)
+                try:
+                    if b[:2] == b"BM":
+                        container = "bmp"
+                        w, h, px = decode_bmp_pixels(b)
+                        ch = 3
+                    elif b[: len(_PNG_SIG)] == _PNG_SIG:
+                        container = "png"
+                        w, h, ch, px = decode_png_pixels(b)
+                    else:
+                        raise ValueError("no pixel decoder for payload")
+                    n = w * h
+                    if n > 63:
+                        raise ValueError(
+                            f"aHash grid too large ({w}x{h}): resize to <=63 pixels first"
+                        )
+                    grays = []
+                    for p in range(n):
+                        base = p * ch
+                        if ch == 1:
+                            grays.append(3 * px[base])
+                        else:  # RGB / RGBA: alpha ignored
+                            grays.append(px[base] + px[base + 1] + px[base + 2])
+                    total = sum(grays)
+                    hv = 0
+                    for p, g in enumerate(grays):
+                        if n * g > total:
+                            hv |= 1 << p
+                    out.append((int(mid), container, hv, None))
+                except (ValueError, IndexError, struct.error) as ex:
+                    out.append((int(mid), None, None, str(ex)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "container", "ahash", "ahash_error"]
+            )
+
+    from gfe_db_spark.operators import spread_small_input
+
+    cols = spread_small_input(
+        media.select(F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload"))
+    )
+    return cols.mapInPandas(run, schema=AHASH_SCHEMA)

@@ -77,6 +77,10 @@ PRIORITY: tuple[str, ...] = (
     # new in r4: grouped least-squares from exact decimal moments —
     # the deterministic distributed twin of regr_slope/intercept/corr
     "regression_moments_by_flag",
+    # new in r4: exact MODE via count-then-argmax, and the chi-square
+    # independence test (the stats family growing past regression)
+    "mode_per_group",
+    "chisq_independence",
     # new in r4: global token-budget sharding — the two-phase
     # distributed prefix sum (bucket cumsum + exclusive offsets)
     "shard_by_token_budget",
@@ -120,6 +124,10 @@ PRIORITY: tuple[str, ...] = (
     "bpe_train_merges",
     "bpe_vocab_stats",
     "bpe_encode_corpus",
+    # new in r4: perceptual aHash over really-decoded pixels — the
+    # container-independent multimodal dedup key (BMP rows flipped to
+    # the canonical grid, PNG unfiltered)
+    "multimodal_phash_dedup",
     # multimodal family (multimodal_metadata rotated out: r2-green,
     # unchanged; multimodal_features, multimodal_frame_sample,
     # multimodal_dedup rotated out r2-green as well;

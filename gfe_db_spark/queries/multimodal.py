@@ -299,3 +299,62 @@ QUERIES: dict[str, QuerySpec] = {
         "real BMP/WAV struct decode + stats",
     ),
 }
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash dedup key over REALLY decoded pixels: the image
+    payloads (BMP for even ids, zlib PNG for odd — both real containers)
+    decode to the canonical top-down grid and aHash from pixel content,
+    so the key survives container conversion (pinned by the planted
+    cross-format test). The oracle recomputes every gray value and hash
+    bit from the md5 bytes the pixels were built from, including the BMP
+    bottom-up row flip."""
+    from gfe_db_spark.operators.multimodal import perceptual_ahash
+
+    media = real_media_from_documents(spark, sf_dir).filter(F.col("kind") == "image")
+    return perceptual_ahash(media).select("media_id", "container", "ahash").orderBy(
+        "media_id"
+    )
+
+
+MULTIMODAL_PHASH_SQL = """
+WITH img AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS container,
+         CAST(doc_id AS VARCHAR) || ':img' AS k
+  FROM documents WHERE doc_id % 3 = 0
+), bytes16 AS (
+  SELECT media_id, container,
+         list_transform(range(0, 16), kk ->
+           CASE WHEN kk < 8
+                THEN CAST((md5_number_upper(k) >> (8 * kk)) & 255 AS BIGINT)
+                ELSE CAST((md5_number_lower(k) >> (8 * (kk - 8))) & 255 AS BIGINT)
+           END) AS d
+  FROM img
+), grays AS (
+  -- both encoders take the fixture's cycled digest as the CANONICAL
+  -- top-down grid (the BMP encoder flips rows into the file and the
+  -- decoder flips them back), so canonical byte j = digest[j % 16] for
+  -- either container
+  SELECT media_id, container,
+         list_transform(range(0, 32), p ->
+           d[((p * 3 + 0) % 16) + 1]
+           + d[((p * 3 + 1) % 16) + 1]
+           + d[((p * 3 + 2) % 16) + 1]) AS g
+  FROM bytes16
+)
+SELECT media_id, container,
+       CAST(list_sum(list_transform(range(0, 32), p ->
+         CASE WHEN 32 * g[p + 1] > list_sum(g)
+              THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+         AS ahash
+FROM grays
+ORDER BY media_id
+"""
+
+
+QUERIES["multimodal_phash_dedup"] = QuerySpec(
+    multimodal_phash_dedup,
+    MULTIMODAL_PHASH_SQL,
+    "perceptual aHash over really-decoded pixels (container-independent dedup key)",
+)

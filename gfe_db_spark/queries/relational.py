@@ -1220,7 +1220,112 @@ FROM m ORDER BY l_returnflag
 """
 
 
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MODE (most frequent value) of l_shipinstruct per return
+    flag, deterministic tie-break toward the smaller value — the classic
+    aggregate Spark lacks as a builtin, expressed as count-then-argmax.
+    Two keyed aggs (both map-side combinable), no window over raw rows:
+    max_by on the (count, reversed-value) struct replaces the
+    row_number-over-counts formulation, so the second agg's shuffle
+    carries one row per (flag, instruct) pair, never per lineitem."""
+    part = table(spark, sf_dir, "part")
+    counts = part.groupBy("p_size", "p_brand").agg(F.count(F.lit(1)).alias("cnt"))
+    # argmax by (cnt desc, value asc) == min_by over (-cnt, value)
+    return (
+        counts.groupBy("p_size")
+        .agg(
+            F.min_by(
+                F.struct(F.col("p_brand").alias("v"), F.col("cnt").alias("c")),
+                F.struct((-F.col("cnt")).alias("nc"), F.col("p_brand").alias("v")),
+            ).alias("m")
+        )
+        .select(
+            "p_size",
+            F.col("m.v").alias("mode_value"),
+            F.col("m.c").alias("mode_count"),
+        )
+        .orderBy("p_size")
+    )
+
+
+MODE_PER_GROUP_SQL = """
+WITH c AS (
+  SELECT p_size, p_brand, COUNT(*) AS cnt
+  FROM part GROUP BY 1, 2
+)
+SELECT p_size, p_brand AS mode_value, cnt AS mode_count
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY p_size ORDER BY cnt DESC, p_brand
+  ) AS rn FROM c
+) WHERE rn = 1
+ORDER BY p_size
+"""
+
+
+def chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event_type and
+    day-of-week over the events table: observed counts are one keyed agg;
+    the row/column margins join back as broadcast dims; the statistic is
+    a decimal-routed sum of (o-e)^2/e. One row out (statistic + degrees
+    of freedom) — the A/B-test-shaped analytic a metrics pipeline runs."""
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type"), F.dayofweek("ts").cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows = cells.groupBy("event_type").agg(F.sum("o").alias("row_tot"))
+    colsm = cells.groupBy("dow").agg(F.sum("o").alias("col_tot"))
+    n = cells.agg(F.sum("o").alias("n_tot"))
+    term = cells.join(F.broadcast(rows), "event_type").join(
+        F.broadcast(colsm), "dow"
+    ).crossJoin(F.broadcast(n))
+    e = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("n_tot").cast("double")
+    )
+    contrib = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    return term.agg(
+        F.round(F.sum(contrib.cast("decimal(38,18)")).cast("double"), 9).alias("chisq"),
+        (
+            (F.count_distinct(F.col("event_type")) - F.lit(1))
+            * (F.count_distinct(F.col("dow")) - F.lit(1))
+        ).alias("dof"),
+    )
+
+
+CHISQ_SQL = """
+WITH cells AS (
+  SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow, COUNT(*) AS o
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, SUM(o) AS row_tot FROM cells GROUP BY 1
+), c AS (
+  SELECT dow, SUM(o) AS col_tot FROM cells GROUP BY 1
+), n AS (
+  SELECT SUM(o) AS n_tot FROM cells
+)
+SELECT round(CAST(CAST(SUM(CAST(
+         (CAST(o AS DOUBLE) - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+         * (CAST(o AS DOUBLE) - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+         / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+       AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE), 9) AS chisq,
+       CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT dow) - 1) AS BIGINT) AS dof
+FROM cells JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN n
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "mode_per_group": QuerySpec(
+        mode_per_group,
+        MODE_PER_GROUP_SQL,
+        "exact MODE per group via count-then-argmax (no raw-row window)",
+    ),
+    "chisq_independence": QuerySpec(
+        chisq_independence,
+        CHISQ_SQL,
+        "Pearson chi-square independence test, decimal-routed statistic",
+    ),
     "regression_moments_by_flag": QuerySpec(
         regression_moments_by_flag,
         REGRESSION_MOMENTS_SQL,

@@ -1304,3 +1304,77 @@ def test_corpus_prep_v3_stage_interactions(spark, tmp_path):
     # survivors: doc 1 (kept, min of the near-dup pair, 64 tokens) and
     # doc 4 (8 tokens); doc 2 dropped as near-dup, doc 3 gated
     assert [(r.shard, r.n_docs, r.n_tokens) for r in out] == [(0, 2, 72)]
+
+
+def test_perceptual_ahash_is_container_independent(spark):
+    """The same pixel content encoded as BMP and as PNG must produce the
+    SAME aHash (canonical top-down grid both ways) — the property that
+    makes it a cross-format dedup key, which payload-digest dedup lacks.
+    An asymmetric gradient makes the hash orientation-sensitive, so a
+    missing BMP row-flip would fail this test."""
+    from gfe_db_spark.operators.multimodal import (
+        encode_bmp_rgb24,
+        encode_png_rgb8,
+        perceptual_ahash,
+    )
+
+    px = bytes((7 * i) % 251 for i in range(96))  # asymmetric 8x4 RGB gradient
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_bmp_rgb24(8, 4, px))),
+            (2, bytearray(encode_png_rgb8(8, 4, px))),
+            (3, bytearray(b"not-an-image")),
+        ],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r for r in perceptual_ahash(media).collect()}
+    assert got[1].container == "bmp" and got[2].container == "png"
+    assert got[1].ahash == got[2].ahash and got[1].ahash is not None
+    assert got[3].ahash is None and "no pixel decoder" in got[3].ahash_error
+    # cross-check against a directly computed reference hash
+    grays = [px[3 * p] + px[3 * p + 1] + px[3 * p + 2] for p in range(32)]
+    ref = sum(1 << p for p, g in enumerate(grays) if 32 * g > sum(grays))
+    assert got[2].ahash == ref  # PNG grid is already canonical
+
+
+def test_mode_per_group_tie_breaks_to_smaller_value(spark, tmp_path):
+    """Two values tied on count: the mode must be the lexicographically
+    smaller one (deterministic argmax contract)."""
+    d = str(tmp_path)
+    rows = [(1, "B"), (1, "B"), (1, "A"), (1, "A"), (2, "Z")]
+    spark.createDataFrame(rows, "p_size int, p_brand string").write.parquet(
+        f"{d}/part.parquet"
+    )
+    from gfe_db_spark.queries.relational import mode_per_group
+
+    got = {r.p_size: (r.mode_value, r.mode_count) for r in mode_per_group(spark, d).collect()}
+    assert got == {1: ("A", 2), 2: ("Z", 1)}
+
+
+def test_chisq_independence_hand_computed(spark, tmp_path):
+    """2x2 contingency with known chi-square: observed [[10,20],[20,10]]
+    gives chisq = 60*(10*10-20*20)^2/(30*30*30*30) * ... verified against
+    the direct formula; dof = 1."""
+    import datetime
+
+    d = str(tmp_path)
+    # Sunday 2026-08-09 (dow 1) and Monday 2026-08-10 (dow 2)
+    sun = datetime.datetime(2026, 8, 9, 10, 0, 0)
+    mon = datetime.datetime(2026, 8, 10, 10, 0, 0)
+    rows = (
+        [(i, sun, 1, "a", 0.0, "{}") for i in range(10)]
+        + [(i + 10, mon, 1, "a", 0.0, "{}") for i in range(20)]
+        + [(i + 30, sun, 1, "b", 0.0, "{}") for i in range(20)]
+        + [(i + 50, mon, 1, "b", 0.0, "{}") for i in range(10)]
+    )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    from gfe_db_spark.queries.relational import chisq_independence
+
+    row = chisq_independence(spark, d).collect()[0]
+    # chi-square for [[10,20],[20,10]]: N*(ad-bc)^2 / (r1*r2*c1*c2)
+    expect = 60 * (10 * 10 - 20 * 20) ** 2 / (30 * 30 * 30 * 30)
+    assert row.dof == 1
+    assert abs(row.chisq - expect) < 1e-6
