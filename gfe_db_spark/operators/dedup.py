@@ -289,24 +289,32 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     def _simhash(texts):
         import hashlib
 
+        import numpy as np
+
         def one(t):
             if t is None:
                 return None
-            acc = [0] * 64
-            for tok in t.split():
-                # little-endian first-8-bytes: byte order is an arbitrary
-                # bit permutation for SimHash (Hamming distances are
-                # unchanged), and this orientation is exactly DuckDB's
-                # md5_number_upper — which makes the op oracle-checkable.
-                h = int.from_bytes(
-                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "little"
-                )
-                for i in range(64):
-                    acc[i] += 1 if (h >> i) & 1 else -1
-            v = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    v |= 1 << i
+            toks = t.split()
+            if not toks:
+                return 0
+            # little-endian first-8-bytes: byte order is an arbitrary
+            # bit permutation for SimHash (Hamming distances are
+            # unchanged), and this orientation is exactly DuckDB's
+            # md5_number_upper — which makes the op oracle-checkable.
+            # Bit-vote in numpy: unpackbits(little) index 8j+k is bit k
+            # of digest byte j == bit (8j+k) of the little-endian int,
+            # so the vectorized vote is bit-identical to the int loop.
+            digs = np.frombuffer(
+                b"".join(hashlib.md5(tok.encode("utf-8")).digest()[:8] for tok in toks),
+                dtype=np.uint8,
+            ).reshape(-1, 8)
+            ones = np.unpackbits(digs, axis=1, bitorder="little").sum(
+                axis=0, dtype=np.int64
+            )
+            mask = (2 * ones > len(toks)).astype(np.uint8)  # acc[i] > 0
+            v = int.from_bytes(
+                np.packbits(mask, bitorder="little").tobytes(), "little"
+            )
             # to signed 64-bit
             return v - (1 << 64) if v >= (1 << 63) else v
 
