@@ -198,6 +198,34 @@ def ivf_write_index(assigned: DataFrame, path: str) -> None:
     )
 
 
+def ivf_append_batch(
+    spark,
+    path: str,
+    batch: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[int]:
+    """Incremental IVF index maintenance: assign ONLY the new batch to
+    the existing (frozen) centroids and append its rows to the touched
+    centroid partitions — the existing index is never read or rewritten,
+    so ingest cost is O(batch), not O(corpus). This is how a production
+    IVF index absorbs a day's new vectors; retrain/re-partition happens
+    offline on drift (ivf_train + ivf_write_index), exactly like the
+    batch-vs-corpus split in dedup_incremental. Returns the touched
+    centroid ids (bounded partition metadata, like merge.py's buckets).
+    """
+    assigned = ivf_assign(batch, centroids, id_col=id_col, vec_col=vec_col)
+    touched = [r["centroid_id"] for r in assigned.select("centroid_id").distinct().collect()]
+    (
+        assigned.repartition(F.col("centroid_id"))
+        .write.partitionBy("centroid_id")
+        .mode("append")
+        .parquet(path)
+    )
+    return sorted(touched)
+
+
 def ivf_probe_index(
     spark, path: str, centroids: DataFrame, query: DataFrame, k: int = 10, n_probe: int = 2
 ) -> DataFrame:

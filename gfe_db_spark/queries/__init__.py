@@ -81,6 +81,10 @@ PRIORITY: tuple[str, ...] = (
     # independence test (the stats family growing past regression)
     "mode_per_group",
     "chisq_independence",
+    # new in r4: CRM/basket analytics — RFM quartile segmentation via
+    # broadcast percentile boundaries, and association-rule lift
+    "rfm_segmentation",
+    "association_rules_lift",
     # new in r4: global token-budget sharding — the two-phase
     # distributed prefix sum (bucket cumsum + exclusive offsets)
     "shard_by_token_budget",
@@ -91,6 +95,9 @@ PRIORITY: tuple[str, ...] = (
     "stream_static_enrich",
     # new in r4: per-dimension z-score standardization of embeddings
     "embedding_standardize",
+    # the r4 composition proof: boilerplate strip -> quality -> SimHash
+    # Hamming dedup -> global prefix-sum shard, one plan, one oracle
+    "corpus_prep_pipeline_v3",
     # similarity / ANN family (knn_brute_force and knn_ivf rotated out:
     # r2-green, unchanged)
     # back in the window: gained the unrolled-Lloyd SQL oracle in r3
@@ -102,6 +109,9 @@ PRIORITY: tuple[str, ...] = (
     # new in r4: the IVFADC composition — IVF partition pruning + PQ
     # asymmetric-distance scoring in one plan
     "knn_ivf_pq",
+    # new in r4: incremental IVF index append, executed against the
+    # materialized partitioned index (probe vs full-rebuild oracle)
+    "ann_index_append",
     # embedding_quantize rotated out (r2-green, unchanged)
     # new late-r3 layout family: Z-order clustering + deterministic shuffle
     "zorder_layout",
@@ -188,10 +198,9 @@ PRIORITY: tuple[str, ...] = (
     "leakage_safe_split",
     # the r3 composition proof: quality -> exact dedup -> Bloom
     # decontaminate -> leakage-safe split, one plan, one oracle
+    # (corpus_prep_pipeline_v2 stays just past the window — its stages
+    # are individually in-window and the judge's full sweep checks it)
     "corpus_prep_pipeline_v2",
-    # the r4 composition proof: boilerplate strip -> quality -> SimHash
-    # Hamming dedup -> global prefix-sum shard, one plan, one oracle
-    "corpus_prep_pipeline_v3",
     "stream_dedup",
     "sketch_distinct_accuracy",
     "sketch_heavy_hitters",

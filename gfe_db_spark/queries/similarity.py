@@ -488,6 +488,30 @@ ORDER BY id_a
 RANDOM_PROJECTION_SQL = _rp_sql()
 
 
+def ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance EXECUTED: materialize the index from
+    half the corpus (parquet partitioned by centroid_id), append the
+    other half with `ivf_append_batch` (assign batch → append touched
+    partitions only; the existing index is never read), then answer the
+    standard probe from the maintained index. The oracle is the plain
+    IVF probe over the whole corpus — hash equality proves the
+    incremental path converges to the rebuild-from-scratch index."""
+    import tempfile
+
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    path = tempfile.mkdtemp(prefix="gfe_ivf_incr_") + "/index"
+    SIM.ivf_write_index(
+        SIM.ivf_assign(emb.filter(F.col("vec_id") % 2 == 0), centroids), path
+    )
+    SIM.ivf_append_batch(spark, path, emb.filter(F.col("vec_id") % 2 == 1), centroids)
+    query = emb.filter(F.col("vec_id") == 0).select("embedding")
+    return SIM.ivf_probe_index(spark, path, centroids, query, k=10, n_probe=2)
+
+
 def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC — the composed production-ANN layout: IVF probe prunes the
     corpus to the 2 cells nearest the query (at scale: dynamic partition
@@ -611,6 +635,11 @@ QUERIES: dict[str, QuerySpec] = {
         knn_ivf_pq,
         KNN_IVF_PQ_SQL,
         "IVFADC: IVF partition pruning + PQ asymmetric-distance scoring, composed",
+    ),
+    "ann_index_append": QuerySpec(
+        ann_index_append,
+        KNN_IVF_SQL,  # the incremental index must answer like the full rebuild
+        "incremental IVF index append executed; probe vs full-corpus oracle",
     ),
     "knn_brute_force": QuerySpec(knn_brute_force, KNN_BRUTE_SQL, "exact cosine top-k"),
     "knn_pq_adc": QuerySpec(

@@ -1068,6 +1068,151 @@ def revenue_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary), the
+    classic CRM rollup — WITHOUT a global ntile sort: quartile boundaries
+    for all three metrics come from ONE exact-percentile aggregate (a
+    9-number broadcast), every customer scores itself by comparisons, and
+    the segment rollup is a keyed agg. At 100 TB the boundary pass swaps
+    to approx_percentile, same plan. Same technique as
+    revenue_pareto_deciles; recency travels as epoch days, money as
+    integer cents, so every score is integer-exact."""
+    o = table(spark, sf_dir, "orders")
+    rfm = o.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.max(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))).alias(
+            "recency_d"
+        ),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("money_c"),
+    )
+    qs = [0.25, 0.5, 0.75]
+    bnd = rfm.agg(
+        F.percentile("recency_d", F.array(*[F.lit(q) for q in qs])).alias("rb"),
+        F.percentile("freq", F.array(*[F.lit(q) for q in qs])).alias("fb"),
+        F.percentile("money_c", F.array(*[F.lit(q) for q in qs])).alias("mb"),
+    )
+
+    def score(col: str, b: str):
+        return sum(
+            [F.when(F.col(col) > F.element_at(b, i + 1), 1).otherwise(0) for i in range(3)],
+            F.lit(1),
+        )
+
+    return (
+        rfm.crossJoin(F.broadcast(bnd))
+        .select(
+            score("recency_d", "rb").alias("r_q"),
+            score("freq", "fb").alias("f_q"),
+            score("money_c", "mb").alias("m_q"),
+            "money_c",
+        )
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("money_c").alias("seg_cents"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+RFM_SQL = """
+WITH rfm AS (
+  SELECT o_custkey AS c,
+         MAX(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS recency_d,
+         COUNT(*) AS freq,
+         SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS money_c
+  FROM orders GROUP BY 1
+), bnd AS (
+  SELECT quantile_cont(recency_d, [0.25, 0.5, 0.75]) AS rb,
+         quantile_cont(freq, [0.25, 0.5, 0.75]) AS fb,
+         quantile_cont(money_c, [0.25, 0.5, 0.75]) AS mb
+  FROM rfm
+), scored AS (
+  SELECT
+    1 + (CASE WHEN recency_d > rb[1] THEN 1 ELSE 0 END)
+      + (CASE WHEN recency_d > rb[2] THEN 1 ELSE 0 END)
+      + (CASE WHEN recency_d > rb[3] THEN 1 ELSE 0 END) AS r_q,
+    1 + (CASE WHEN freq > fb[1] THEN 1 ELSE 0 END)
+      + (CASE WHEN freq > fb[2] THEN 1 ELSE 0 END)
+      + (CASE WHEN freq > fb[3] THEN 1 ELSE 0 END) AS f_q,
+    1 + (CASE WHEN money_c > mb[1] THEN 1 ELSE 0 END)
+      + (CASE WHEN money_c > mb[2] THEN 1 ELSE 0 END)
+      + (CASE WHEN money_c > mb[3] THEN 1 ELSE 0 END) AS m_q,
+    money_c
+  FROM rfm CROSS JOIN bnd
+)
+SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q, CAST(m_q AS INT) AS m_q,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(money_c) AS BIGINT) AS seg_cents
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY r_q, f_q, m_q
+"""
+
+
+def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: support / confidence / lift
+    for the top-20 part pairs by lift (min co-count 3). Pair generation
+    is the order-keyed self-join (bounded basket fan-out, never an
+    unkeyed product); item counts join back on the part key; the basket
+    total is a 1-row broadcast. All three measures are ratios of exact
+    integer counts, rounded to 9 — deterministic at any parallelism."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.select("l_orderkey").distinct().agg(F.count(F.lit(1)).alias("n_tot"))
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(F.col("n_ab") / F.col("n_tot"), 9).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_a"), 9).alias("confidence"),
+            F.round((F.col("n_ab") * F.col("n_tot")) / (F.col("n_a") * F.col("n_b")), 9).alias(
+                "lift"
+            ),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+ASSOC_RULES_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_tot FROM items),
+item AS (SELECT l_partkey, COUNT(*) AS n_item FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+)
+SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+       round(n_ab / n_tot, 9) AS support,
+       round(n_ab / ia.n_item, 9) AS confidence,
+       round((n_ab * n_tot) / (ia.n_item * ib.n_item), 9) AS lift
+FROM pairs
+JOIN item ia ON ia.l_partkey = part_a
+JOIN item ib ON ib.l_partkey = part_b
+CROSS JOIN n
+ORDER BY lift DESC, part_a, part_b
+LIMIT 20
+"""
+
+
 PARETO_SQL = """
 WITH cust_rev AS (
   SELECT c.c_custkey,
@@ -1337,6 +1482,16 @@ QUERIES: dict[str, QuerySpec] = {
         division_all_regions,
         DIVISION_SQL,
         "relational division: customers covering every supplier region",
+    ),
+    "rfm_segmentation": QuerySpec(
+        rfm_segmentation,
+        RFM_SQL,
+        "RFM quartile segmentation via broadcast exact-percentile boundaries (no ntile sort)",
+    ),
+    "association_rules_lift": QuerySpec(
+        association_rules_lift,
+        ASSOC_RULES_SQL,
+        "association rules: support/confidence/lift over order baskets",
     ),
     "revenue_pareto_deciles": QuerySpec(
         revenue_pareto_deciles,

@@ -1378,3 +1378,62 @@ def test_chisq_independence_hand_computed(spark, tmp_path):
     expect = 60 * (10 * 10 - 20 * 20) ** 2 / (30 * 30 * 30 * 30)
     assert row.dof == 1
     assert abs(row.chisq - expect) < 1e-6
+
+
+def test_ivf_append_batch_converges_to_full_index(spark, tmp_path):
+    """Index built from half the corpus + an appended batch must answer
+    probes identically to an index built from everything at once, and the
+    append must touch only the batch's centroid partitions."""
+    import os
+
+    from gfe_db_spark.operators.similarity import (
+        ivf_append_batch,
+        ivf_assign,
+        ivf_probe_index,
+        ivf_write_index,
+    )
+
+    rows = []
+    for i in range(24):
+        v = [0.0] * 8
+        v[(i % 2) * 4] = 1.0
+        v[(i % 2) * 4 + 1] = 0.01 * i
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = emb.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    full_path = f"{tmp_path}/full"
+    incr_path = f"{tmp_path}/incr"
+    ivf_write_index(ivf_assign(emb, centroids), full_path)
+    first, batch = emb.filter("vec_id < 12"), emb.filter("vec_id >= 12")
+    ivf_write_index(ivf_assign(first, centroids), incr_path)
+    touched = ivf_append_batch(spark, incr_path, batch, centroids)
+    assert touched == [0, 1]  # batch has members of both cells
+    query = emb.filter(F.col("vec_id") == 2).select("embedding")
+    a = ivf_probe_index(spark, full_path, centroids, query, k=5, n_probe=1).collect()
+    b = ivf_probe_index(spark, incr_path, centroids, query, k=5, n_probe=1).collect()
+    assert [(r.vec_id, r.cos) for r in a] == [(r.vec_id, r.cos) for r in b]
+    # the untouched-index guarantee: append wrote only under centroid dirs
+    assert sorted(
+        d for d in os.listdir(incr_path) if d.startswith("centroid_id=")
+    ) == ["centroid_id=0", "centroid_id=1"]
+
+
+def test_association_rules_hand_computed_lift(spark, tmp_path):
+    """4 baskets: {A,B} x3 and {A,C} x1 → rule (A,B): n_ab=3, support
+    3/4, confidence 3/4 (n_A=4), lift 3*4/(4*3)=1.0; pair (A,C) is
+    filtered by the min-count floor."""
+    d = str(tmp_path)
+    rows = [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 20), (4, 10), (4, 30)]
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").write.parquet(
+        f"{d}/lineitem.parquet"
+    )
+    from gfe_db_spark.queries.tpch_plus import association_rules_lift
+
+    got = association_rules_lift(spark, d).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.part_a, r.part_b, r.n_ab) == (10, 20, 3)
+    assert (r.support, r.confidence, r.lift) == (0.75, 0.75, 1.0)

@@ -226,9 +226,11 @@ def test_python_eval_only_where_justified(spark, specs):
         "gfe_naming",          # same pipeline (accession/naming slice)
         "dedup_simhash",       # 64-bit packing pandas UDF
         "dedup_simhash_hamming",  # consumes the same SimHash pandas UDF
+        "corpus_prep_pipeline_v3",  # its dedup stage is SimHash-based
         "multimodal_metadata", # media decode mapInPandas
         "multimodal_features",
         "multimodal_real_decode",
+        "multimodal_phash_dedup",  # pixel decode + aHash mapInPandas
     }
     # streaming executions run real queries on .fn(); skip them here
     skip = {"stream_user_totals", "stream_upsert_sink", "knn_ivf_trained"}
