@@ -214,6 +214,12 @@ def ivf_append_batch(
     offline on drift (ivf_train + ivf_write_index), exactly like the
     batch-vs-corpus split in dedup_incremental. Returns the touched
     centroid ids (bounded partition metadata, like merge.py's buckets).
+
+    Delivery contract: the append itself is all-or-nothing (parquet job
+    commit), but REPLAYING a committed batch duplicates rows — an
+    at-least-once producer should route through `partitioned_upsert`
+    keyed on (centroid_id, vec_id) instead, the same way the streaming
+    sink does (streaming/structured.foreach_batch_upsert).
     """
     assigned = ivf_assign(batch, centroids, id_col=id_col, vec_col=vec_col)
     touched = [r["centroid_id"] for r in assigned.select("centroid_id").distinct().collect()]

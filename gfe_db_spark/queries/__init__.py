@@ -128,6 +128,8 @@ PRIORITY: tuple[str, ...] = (
     # new this session: deterministic weighted sampling + DSIR weights
     "weighted_sample_priority",
     "dsir_importance_weights",
+    # new in r4: per-doc 3-gram novelty (unique-shingle share)
+    "text_ngram_novelty",
     # corpus_sample / text_bigram_lm rotated out (r2-green, unchanged)
     # new late-r3: distributed BPE tokenizer training + resulting vocab;
     # corpus encode (broadcast-vocab apply) is new this session

@@ -621,6 +621,57 @@ FROM t ORDER BY doc_id
 """
 
 
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct 3-gram
+    shingles that appear in NO other document — the diversity/curation
+    metric next to contamination (benchmark overlap) and TF-IDF
+    (term salience). One shingle-keyed df agg, one join back, one
+    doc-keyed rollup — all map-side combinable; never all-pairs."""
+    from gfe_db_spark.operators import dedup as DD
+
+    docs = table(spark, sf_dir, "documents")
+    sh = DD.shingles(docs, n=3)
+    df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    return (
+        sh.join(df_, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("df_") == 1, 1)).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 9).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_NGRAM_NOVELTY_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                  i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+    FROM t
+  )
+), df_ AS (
+  SELECT shingle, COUNT(*) AS df_ FROM sh GROUP BY 1
+)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(*) FILTER (WHERE df_.df_ = 1) AS BIGINT) AS n_novel,
+       round(COUNT(*) FILTER (WHERE df_.df_ = 1) / COUNT(*), 9) AS novelty
+FROM sh JOIN df_ USING (shingle)
+GROUP BY sh.doc_id
+ORDER BY sh.doc_id
+"""
+
+
 def logreg_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed logistic regression (3 gradient steps, lr=0.5) fitting
     lang=='en' from two length features — the quality-classifier training
@@ -741,6 +792,11 @@ QUERIES: dict[str, QuerySpec] = {
         shard_by_token_budget,
         SHARD_BY_TOKEN_BUDGET_SQL,
         "global token-budget sharding via two-phase distributed prefix sum",
+    ),
+    "text_ngram_novelty": QuerySpec(
+        text_ngram_novelty,
+        TEXT_NGRAM_NOVELTY_SQL,
+        "per-doc novelty: share of 3-gram shingles unique to the document",
     ),
     "logreg_quality_train": QuerySpec(
         logreg_quality_train,
