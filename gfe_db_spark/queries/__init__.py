@@ -168,6 +168,9 @@ PRIORITY: tuple[str, ...] = (
     # (both first-time entries — in-window for their first driver rows)
     "retention_cohorts",
     "event_crosstab",
+    # new in r4: linear multi-touch attribution allocation (the exact
+    # integer-split sibling of attribution_last_touch)
+    "attribution_linear",
     # imgt_datasource_scan and skew_salted_count_distinct rotated out
     # (r2-green, unchanged; IMGT stays covered by gfe_end_to_end /
     # gfe_naming, skew by skew_salted_join / skew_stats_hot_keys below)

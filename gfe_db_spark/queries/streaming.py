@@ -432,6 +432,68 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution ALLOCATION: each purchase's value
+    (integer cents) splits equally across the same user's clicks strictly
+    before it — emitted as the per-purchase allocation row
+    (n_prior_clicks, per-click quotient, remainder), all integer
+    arithmetic so the split is exact and engine-portable (the remainder
+    convention — assign to the last click — is the downstream joiner's
+    choice and doesn't change these numbers). Same single user-keyed
+    window shuffle as last-touch; no pair explosion."""
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow - 1)
+    )
+    n_clicks = F.count(
+        F.when(F.col("event_type") == "click", F.lit(1))
+    ).over(w)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        ev.withColumn("n_prior_clicks", n_clicks)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            cents.alias("value_cents"),
+            "n_prior_clicks",
+            F.when(
+                F.col("n_prior_clicks") > 0,
+                (cents / F.col("n_prior_clicks")).cast("long"),
+            ).alias("per_click_cents"),
+            F.when(
+                F.col("n_prior_clicks") > 0, cents % F.col("n_prior_clicks")
+            ).alias("remainder_cents"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+ATTRIBUTION_LINEAR_SQL = """
+WITH w AS (
+  SELECT user_id, event_id, event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS value_cents,
+         COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS n_prior_clicks
+  FROM events
+)
+SELECT user_id, event_id, value_cents,
+       CAST(n_prior_clicks AS BIGINT) AS n_prior_clicks,
+       CASE WHEN n_prior_clicks > 0
+            THEN value_cents // n_prior_clicks END AS per_click_cents,
+       CASE WHEN n_prior_clicks > 0
+            THEN value_cents % n_prior_clicks END AS remainder_cents
+FROM w WHERE event_type = 'purchase'
+ORDER BY user_id, event_id
+"""
+
+
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-activity week
     (epoch-week integers — engine-exact), counted per subsequent active
@@ -944,6 +1006,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "attribution_last_touch": QuerySpec(
         attribution_last_touch, ATTRIBUTION_SQL, "purchase→last-click attribution"
+    ),
+    "attribution_linear": QuerySpec(
+        attribution_linear,
+        ATTRIBUTION_LINEAR_SQL,
+        "linear multi-touch attribution allocation (integer-exact splits)",
     ),
     "retention_cohorts": QuerySpec(
         retention_cohorts, RETENTION_SQL, "weekly cohort retention matrix"

@@ -732,3 +732,70 @@ def test_interval_concurrency_matches_bruteforce(spark, spans):
         want = sum(1 for _, s, e in rows if s <= day <= e)
         assert got[day] == want, (day, got[day], want)
     assert got[days[-1]] == 0  # day after the last end closes everything
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+@settings(**SETTINGS)
+def test_simhash_banding_complete_and_exact(spark, seed):
+    """Pigeonhole banding is COMPLETE and PRECISE: over random 64-bit
+    signatures (plus planted near-dups), the banded join returns exactly
+    the brute-force pair set within Hamming distance 3 — no recall loss
+    (the pigeonhole guarantee) and no extra pairs (the exact bit_count
+    check)."""
+    import random
+
+    from gfe_db_spark.operators.dedup import simhash_hamming_pairs
+
+    rng = random.Random(seed)
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    sigs = {i: rng.getrandbits(64) for i in range(60)}
+    # plant near-dups of random anchors at distances 1..3
+    for j, d in [(60, 1), (61, 2), (62, 3), (63, 3)]:
+        base = sigs[rng.randrange(60)]
+        flip = 0
+        while bin(flip).count("1") < d:
+            flip |= 1 << rng.randrange(64)
+        sigs[j] = base ^ flip
+    expect = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    df = spark.createDataFrame(
+        [(i, signed(v)) for i, v in sigs.items()], "doc_id long, simhash64 long"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_hamming_pairs(df, max_hamming=3, n_blocks=4).collect()
+    }
+    assert got == expect
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=60),
+    budget=st.integers(min_value=1, max_value=40),
+)
+@settings(**SETTINGS)
+def test_shard_by_token_budget_equals_naive_cumsum(spark, sizes, budget):
+    """The two-phase distributed prefix sum equals the naive sequential
+    cumulative sum for arbitrary doc sizes, ids, and budgets, with ids
+    deliberately sparse so bucket boundaries are irregular."""
+    from gfe_db_spark.operators.packing import shard_by_token_budget
+
+    rows = [(7 * i + (i % 3), "x " * n) for i, n in enumerate(sizes)]
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.start_offset, r.shard)
+        for r in shard_by_token_budget(docs, budget=budget, bucket_span=5).collect()
+    }
+    run = 0
+    for i, t in sorted(rows):
+        n = len(t.split())
+        assert got[i] == (n, run, run // budget)
+        run += n
