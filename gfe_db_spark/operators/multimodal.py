@@ -527,15 +527,18 @@ def perceptual_ahash(
     Integer-only arithmetic keeps it bit-portable to the SQL oracle:
     gray_p = r+g+b (or 3×the single channel), bit p set iff
     n_pixels·gray_p > Σgray. Hash width = pixel count; for arbitrary
-    images compose with `resize_images` down to 8×8 first (≤63 pixels —
-    larger grids error rather than silently truncate). Malformed payloads
-    route to the error column; Arrow-batched mapInPandas throughout.
+    images compose with `resize_images` down to 8×8 first (≤64 pixels —
+    bit 63 wraps to the sign bit exactly like `_simhash`; larger grids
+    error rather than silently truncate). Malformed payloads route to
+    the error column; Arrow-batched mapInPandas throughout.
     """
+    import zlib
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+            # columns were aliased to media_id/payload in the select below
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     out.append((int(mid), None, None, "null payload"))
                     continue
@@ -551,9 +554,9 @@ def perceptual_ahash(
                     else:
                         raise ValueError("no pixel decoder for payload")
                     n = w * h
-                    if n > 63:
+                    if n > 64:
                         raise ValueError(
-                            f"aHash grid too large ({w}x{h}): resize to <=63 pixels first"
+                            f"aHash grid too large ({w}x{h}): resize to <=64 pixels first"
                         )
                     grays = []
                     for p in range(n):
@@ -567,8 +570,10 @@ def perceptual_ahash(
                     for p, g in enumerate(grays):
                         if n * g > total:
                             hv |= 1 << p
+                    if hv >= 1 << 63:  # 64-pixel grid: wrap to signed long
+                        hv -= 1 << 64
                     out.append((int(mid), container, hv, None))
-                except (ValueError, IndexError, struct.error) as ex:
+                except (ValueError, IndexError, struct.error, zlib.error) as ex:
                     out.append((int(mid), None, None, str(ex)))
             yield pd.DataFrame(
                 out, columns=["media_id", "container", "ahash", "ahash_error"]

@@ -221,14 +221,21 @@ def ivf_append_batch(
     keyed on (centroid_id, vec_id) instead, the same way the streaming
     sink does (streaming/structured.foreach_batch_upsert).
     """
-    assigned = ivf_assign(batch, centroids, id_col=id_col, vec_col=vec_col)
-    touched = [r["centroid_id"] for r in assigned.select("centroid_id").distinct().collect()]
-    (
-        assigned.repartition(F.col("centroid_id"))
-        .write.partitionBy("centroid_id")
-        .mode("append")
-        .parquet(path)
-    )
+    # persist so the assignment job (broadcast centroids + min_by agg over
+    # the batch) runs once, shared by the touched-id collect and the write
+    assigned = ivf_assign(batch, centroids, id_col=id_col, vec_col=vec_col).persist()
+    try:
+        touched = [
+            r["centroid_id"] for r in assigned.select("centroid_id").distinct().collect()
+        ]
+        (
+            assigned.repartition(F.col("centroid_id"))
+            .write.partitionBy("centroid_id")
+            .mode("append")
+            .parquet(path)
+        )
+    finally:
+        assigned.unpersist()
     return sorted(touched)
 
 

@@ -197,9 +197,11 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_SIMHASH_HAMMING_SQL = f"""
-WITH {_SIMHASH_SIG_CTES},
-u AS (
+# Shared unsigned-conversion + 16-bit pigeonhole-block CTEs over a `sig`
+# CTE exposing (doc_id, simhash64). Single source of truth so the banded
+# pair query and the v3 prep pipeline can never drift on block width or
+# divisor constants.
+_SIMHASH_BAND_CTES = r"""u AS (
   SELECT doc_id, simhash64,
          CASE WHEN simhash64 < 0
               THEN CAST(simhash64 AS HUGEINT) + CAST('18446744073709551616' AS HUGEINT)
@@ -213,7 +215,11 @@ blocks AS (
                   (1, CAST(65536 AS HUGEINT)),
                   (2, CAST(4294967296 AS HUGEINT)),
                   (3, CAST(281474976710656 AS HUGEINT))) b(block_id, dv)
-)
+)"""
+
+DEDUP_SIMHASH_HAMMING_SQL = f"""
+WITH {_SIMHASH_SIG_CTES},
+{_SIMHASH_BAND_CTES}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash64, b.simhash64)) AS INT) AS hamming
 FROM blocks a
@@ -865,20 +871,7 @@ WITH lines AS (
   FROM cleaned
   WHERE len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) >= 5
 ), {_SIMHASH_OVER_GATED},
-u AS (
-  SELECT doc_id, simhash64,
-         CASE WHEN simhash64 < 0
-              THEN CAST(simhash64 AS HUGEINT) + CAST('18446744073709551616' AS HUGEINT)
-              ELSE CAST(simhash64 AS HUGEINT) END AS uh
-  FROM sig WHERE simhash64 IS NOT NULL
-), blocks AS (
-  SELECT doc_id, simhash64, b.block_id,
-         CAST((uh // b.dv) % 65536 AS BIGINT) AS block_val
-  FROM u, (VALUES (0, CAST(1 AS HUGEINT)),
-                  (1, CAST(65536 AS HUGEINT)),
-                  (2, CAST(4294967296 AS HUGEINT)),
-                  (3, CAST(281474976710656 AS HUGEINT))) b(block_id, dv)
-), drops AS (
+{_SIMHASH_BAND_CTES}, drops AS (
   SELECT DISTINCT b.doc_id
   FROM blocks a
   JOIN blocks b

@@ -1221,13 +1221,13 @@ FROM m ORDER BY l_returnflag
 
 
 def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact MODE (most frequent value) of l_shipinstruct per return
-    flag, deterministic tie-break toward the smaller value — the classic
+    """Exact MODE (most frequent value) of p_brand per p_size,
+    deterministic tie-break toward the smaller value — the classic
     aggregate Spark lacks as a builtin, expressed as count-then-argmax.
     Two keyed aggs (both map-side combinable), no window over raw rows:
-    max_by on the (count, reversed-value) struct replaces the
+    min_by on the (-count, value) struct replaces the
     row_number-over-counts formulation, so the second agg's shuffle
-    carries one row per (flag, instruct) pair, never per lineitem."""
+    carries one row per (p_size, p_brand) pair, never per part row."""
     part = table(spark, sf_dir, "part")
     counts = part.groupBy("p_size", "p_brand").agg(F.count(F.lit(1)).alias("cnt"))
     # argmax by (cnt desc, value asc) == min_by over (-cnt, value)

@@ -456,17 +456,21 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn("n_prior_clicks", n_clicks)
         .filter(F.col("event_type") == "purchase")
+        .withColumn("value_cents", cents)
         .select(
             "user_id",
             "event_id",
-            cents.alias("value_cents"),
+            "value_cents",
             "n_prior_clicks",
+            # `div` is exact truncating integer division, matching DuckDB's
+            # integer `//` (both truncate toward zero) with no double rounding
             F.when(
                 F.col("n_prior_clicks") > 0,
-                (cents / F.col("n_prior_clicks")).cast("long"),
+                F.expr("value_cents div n_prior_clicks"),
             ).alias("per_click_cents"),
             F.when(
-                F.col("n_prior_clicks") > 0, cents % F.col("n_prior_clicks")
+                F.col("n_prior_clicks") > 0,
+                F.col("value_cents") % F.col("n_prior_clicks"),
             ).alias("remainder_cents"),
         )
         .orderBy("user_id", "event_id")

@@ -1337,6 +1337,40 @@ def test_perceptual_ahash_is_container_independent(spark):
     assert got[2].ahash == ref  # PNG grid is already canonical
 
 
+def test_perceptual_ahash_custom_columns_and_edge_grids(spark):
+    """Three regression pins: (1) non-default id/payload column names
+    work (the closure reads the ALIASED columns, not the caller's names);
+    (2) the canonical 8x8 = 64-pixel grid is accepted, with bit 63
+    wrapping to the signed-long sign bit like _simhash; (3) a PNG
+    signature with a corrupt deflate stream routes to the error column
+    (zlib.error is part of the malformed-payload contract) instead of
+    failing the task."""
+    from gfe_db_spark.operators.multimodal import (
+        _PNG_SIG,
+        encode_bmp_rgb24,
+        encode_png_rgb8,
+        perceptual_ahash,
+    )
+
+    # bright pixel in slot 63 so bit 63 is set → hash must come back negative
+    px = bytes(([0] * 63 * 3) + [255, 255, 255])
+    bad_png = bytes(encode_png_rgb8(2, 2, bytes(12)))
+    # corrupt the deflate stream inside IDAT but keep chunk structure valid
+    idat = bad_png.index(b"IDAT")
+    bad_png = bad_png[: idat + 4] + b"\xff\xff\xff\xff" + bad_png[idat + 8 :]
+    assert bad_png[: len(_PNG_SIG)] == _PNG_SIG
+    media = spark.createDataFrame(
+        [(10, bytearray(encode_bmp_rgb24(8, 8, px))), (11, bytearray(bad_png))],
+        "doc_id long, img_bytes binary",
+    )
+    got = {
+        r.media_id: r
+        for r in perceptual_ahash(media, id_col="doc_id", payload_col="img_bytes").collect()
+    }
+    assert got[10].ahash is not None and got[10].ahash < 0  # bit 63 → signed wrap
+    assert got[11].ahash is None and got[11].ahash_error  # corrupt IDAT → error channel
+
+
 def test_mode_per_group_tie_breaks_to_smaller_value(spark, tmp_path):
     """Two values tied on count: the mode must be the lexicographically
     smaller one (deterministic argmax contract)."""
