@@ -196,11 +196,15 @@ def tfidf_top_terms(
     """Per-document top-k terms by TF-IDF (smooth idf: ln((N+1)/(df+1))+1).
 
     The inverted-index build shape at scale: explode → (doc, term) counts
-    with map-side partial agg; document frequency is a second keyed agg
-    over distinct (doc, term) — already deduped by the first groupBy, no
-    extra distinct shuffle; N is a 1-row broadcast. Ranking is a window
-    keyed by doc (never global). Scores round to 9 before ranking so
-    ordering is engine-portable; ties break on the term."""
+    with map-side partial agg; document frequency is a COUNT window keyed
+    by term over those already-deduped (doc, term) rows — one extra
+    shuffle of the pairs, no self-join, and the expensive scan+explode
+    subtree is evaluated exactly once (the agg+join form evaluated it
+    twice: Catalyst reuses identical exchanges, not identical logical
+    subtrees feeding differently-partitioned consumers). N is a 1-row
+    broadcast. Ranking is a window keyed by doc (never global). Scores
+    round to 9 before ranking so ordering is engine-portable; ties break
+    on the term."""
     from pyspark.sql.window import Window as W
 
     from gfe_db_spark.operators import spread_small_input
@@ -213,10 +217,9 @@ def tfidf_top_terms(
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_ = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.countDistinct(id_col).alias("n_docs"))
     scored = (
-        pairs.join(df_, "term")
+        pairs.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
