@@ -555,17 +555,24 @@ def set_similarity_join(
     Verification is exact: candidates rejoin the (doc, token) table on
     both sides to count the true intersection, then the integer test
     inter·den ≥ num·(|A|+|B|-inter) decides. All equi-joins + keyed aggs —
-    no cross join, no floats in the decision path."""
+    no cross join, no floats in the decision path.
+
+    Plan shape: token df and doc size are COUNT windows over the deduped
+    (doc, token) rows rather than aggregates joined back — the expensive
+    explode+distinct subtree is evaluated once for the prefix build (and
+    once per verification side), not once per derived aggregate; doc
+    sizes ride through the candidate join so the final filter needs no
+    size re-join."""
     dt = (
         docs.select(F.col(id_col).alias("doc"), F.explode(F.split(F.col(text_col), "\\s+")).alias("tok"))
         .filter(F.col("tok") != "")
         .distinct()
     )
-    sizes = dt.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
-    dfreq = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.sql.window import Window as W
 
-    ranked = dt.join(dfreq, "tok").join(sizes, "doc")
+    ranked = dt.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("tok"))
+    ).withColumn("n", F.count(F.lit(1)).over(W.partitionBy("doc")))
     w = W.partitionBy("doc").orderBy("df", "tok")
     # integer ceil(num*n/den) = (num*n + den - 1) div den — integer div,
     # so the prefix bound can't wobble on a float boundary
@@ -576,12 +583,17 @@ def set_similarity_join(
     prefix = (
         ranked.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
-        .select("doc", "tok")
+        .select("doc", "tok", "n")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc") < F.col("b.doc")))
-        .select(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
+        .select(
+            F.col("a.doc").alias("da"),
+            F.col("b.doc").alias("db"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .distinct()
     )
     ta = dt.select(F.col("doc").alias("da"), "tok")
@@ -589,15 +601,12 @@ def set_similarity_join(
     inter = (
         cand.join(ta, "da")
         .join(tb, ["db", "tok"])
-        .groupBy("da", "db")
+        # na/nb are functionally dependent on da/db — extra keys, same groups
+        .groupBy("da", "db", "na", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col("doc").alias("da"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc").alias("db"), F.col("n").alias("nb"))
     return (
-        inter.join(sa, "da")
-        .join(sb, "db")
-        .filter(
+        inter.filter(
             F.col("inter") * threshold_den
             >= F.lit(threshold_num) * (F.col("na") + F.col("nb") - F.col("inter"))
         )
