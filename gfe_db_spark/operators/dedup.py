@@ -198,30 +198,39 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
     jaccard = |A∩B| / (|A| + |B| - |A∩B|), computed from a shingle-keyed
-    self-join (common count) plus a per-doc size dim. `max_bucket_size`
-    drops degenerate shingles (stop-shingles shared by everyone) — the
-    standard scale guard against quadratic hot buckets."""
-    sizes = shingle_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    sh = shingle_df
+    self-join (common count) with per-doc sizes derived as a COUNT window
+    over the shingle rows and carried through the join — no size dim to
+    aggregate and join back, so the shingle explode is evaluated once per
+    join side instead of once per derived table. `max_bucket_size` drops
+    degenerate shingles (stop-shingles shared by everyone) via a
+    shingle-keyed window count — the filter runs on the full rows, sizes
+    are computed BEFORE the cap (|A| is the true set size), and the
+    shingle-partitioned window output feeds the shingle equi-join with no
+    extra exchange."""
+    from pyspark.sql.window import Window as W
+
+    sh = shingle_df.withColumn("sz", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
     if max_bucket_size is not None:
-        freq = shingle_df.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-        sh = shingle_df.join(
-            freq.filter(F.col("df_") <= max_bucket_size).select("shingle"), "shingle"
-        )
+        sh = sh.withColumn(
+            "df_", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+        ).filter(F.col("df_") <= max_bucket_size)
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
         a.join(b, "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        # sz_a/sz_b are functionally dependent on doc_a/doc_b — extra
+        # group keys, identical groups
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.round(
                 F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")), 9
