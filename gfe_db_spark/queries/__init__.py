@@ -192,6 +192,10 @@ PRIORITY: tuple[str, ...] = (
     "doc_chunk_overlap",
     "mixture_resample",
     "text_repetition_stats",
+    # new in r4 (just past the 50-entry window; judge-sweep + pytest
+    # parity still check it): the imgt_stream streaming DataSource
+    # watcher, executed with a checkpoint restart inside the entry
+    "imgt_stream_scan",
     "stratified_sample",
     "pack_sequences",
     "benchmark_contamination",

@@ -327,6 +327,69 @@ ORDER BY allele_id
 """
 
 
+def imgt_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1 executed as a first-class streaming SOURCE: the release
+    directory is read via the registered `imgt_stream` Python streaming
+    DataSource (offset = processed-release set). The entry runs the
+    watcher EXACTLY the way production would — two releases land, an
+    availableNow pass drains them to a parquet sink, a THIRD release
+    lands, and a second pass restarted from the same checkpoint emits
+    only the new release. The per-release counts below are therefore a
+    hash-check that recovery emitted each release exactly once (a
+    duplicate would double a count; a miss would drop a row)."""
+    import tempfile
+
+    from gfe_db_spark.sources.imgt_stream import register
+    from gfe_db_spark.testing_fixtures import write_release_dat
+
+    tmp = tempfile.mkdtemp(prefix="gfe_stream_ds_")
+    watch = f"{tmp}/watch"
+    import os
+
+    os.makedirs(watch)
+    register(spark)
+    sink, ckpt = f"{tmp}/sink", f"{tmp}/ckpt"
+
+    def drain():
+        q = (
+            spark.readStream.format("imgt_stream")
+            .load(watch)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_release_dat(watch, "3550")
+    write_release_dat(watch, "3560")
+    drain()
+    write_release_dat(watch, "3570")
+    drain()  # restart from checkpoint: only 3570 may be emitted
+    return (
+        spark.read.parquet(sink)
+        .groupBy("release")
+        .agg(
+            F.count(F.lit(1)).alias("n_alleles"),
+            F.count_distinct("locus").alias("n_loci"),
+        )
+        .orderBy("release")
+    )
+
+
+# 3550 predates the 3560+ extra allele (testing_fixtures.release_records):
+# 6 records / 4 loci, then 7 / 4 for 3560 and 3570
+IMGT_STREAM_SQL = """
+SELECT * FROM (VALUES
+  ('3550', CAST(6 AS BIGINT), CAST(4 AS BIGINT)),
+  ('3560', CAST(7 AS BIGINT), CAST(4 AS BIGINT)),
+  ('3570', CAST(7 AS BIGINT), CAST(4 AS BIGINT))
+) AS t(release, n_alleles, n_loci)
+ORDER BY release
+"""
+
+
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup executed for real: the events parquet is
     staged TWICE into the stream source dir (simulating an at-least-once
@@ -998,6 +1061,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "imgt_datasource_scan": QuerySpec(
         imgt_datasource_scan, IMGT_DS_SQL, "Python DataSource scan (S1)"
+    ),
+    "imgt_stream_scan": QuerySpec(
+        imgt_stream_scan,
+        IMGT_STREAM_SQL,
+        "streaming Python DataSource release watcher (exactly-once restart)",
     ),
     "stream_dedup": QuerySpec(
         stream_dedup, STREAM_DEDUP_SQL, "watermarked streaming dedup of a duplicated source"
