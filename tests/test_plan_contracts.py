@@ -677,3 +677,43 @@ def test_embedding_standardize_broadcasts_moments(spark, specs):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
+
+
+def _n_nodes(plan: str, kind: str) -> int:
+    # formatted plans list each node twice (tree + detail); count details
+    return len(re.findall(rf"\(\d+\) {kind}", plan))
+
+
+def test_tfidf_evaluates_corpus_once(spark, specs):
+    # Document frequency is a term-keyed window COUNT over the (doc, term)
+    # rows, not an aggregate joined back: the expensive explode appears
+    # ONCE and the corpus is scanned once for the pairs plus once for the
+    # 1-row broadcast N (the join-back form exploded the corpus twice —
+    # Catalyst reuses identical exchanges, not identical subtrees feeding
+    # differently-partitioned consumers).
+    plan = plan_of(run(specs, spark, "text_tfidf_top_terms"))
+    assert _n_nodes(plan, "Generate") == 1, plan
+    assert _n_nodes(plan, "Scan parquet") == 2, plan
+
+
+def test_set_similarity_prefix_build_single_scan(spark, specs):
+    # Same contract for the prefix-filter join: token df and doc size are
+    # window counts with sizes carried through the candidate join, so the
+    # tokenize explode appears once per JOIN SIDE (prefix a/b + the two
+    # verification sides ta/tb) — 4 evaluations, where the agg-join-back
+    # form evaluated the explode ~10× (3 inside each prefix side, plus
+    # two size-dim re-joins).
+    plan = plan_of(run(specs, spark, "set_similarity_join"))
+    assert _n_nodes(plan, "Generate") == 4, plan
+    assert _n_nodes(plan, "Scan parquet") == 4, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_jaccard_carries_sizes(spark, specs):
+    # Sizes ride the shingle self-join as window-derived columns: only the
+    # two join sides evaluate the shingle explode (no size-dim or
+    # freq-dim subtree), and no cartesian fallback.
+    plan = plan_of(run(specs, spark, "dedup_ngram_jaccard"))
+    assert _n_nodes(plan, "Generate") == 2, plan
+    assert _n_nodes(plan, "Scan parquet") == 2, plan
+    assert "CartesianProduct" not in plan
