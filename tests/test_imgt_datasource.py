@@ -110,3 +110,17 @@ def test_stream_datasource_incremental_exactly_once(spark, tmp_path):
     batch = spark.read.format("imgt").load(str(watch / "hla.3560.dat"))
     stream_rel = got.filter(got["release"] == "3560").drop("release")
     assert _canon(stream_rel) == _canon(batch)
+
+
+def test_stream_reader_replay_of_missing_release_fails_loudly(tmp_path):
+    """If a release file named by a checkpointed offset has been deleted,
+    replay must raise (surfacing the data loss), never silently emit an
+    empty batch — exactly-once recovery depends on release immutability."""
+    from gfe_db_spark.sources.imgt_stream import IMGTStreamReader
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    r = IMGTStreamReader({"path": str(watch)})
+    assert r.initialOffset() == {"releases": []}
+    with pytest.raises(FileNotFoundError):
+        list(r.readBetweenOffsets({"releases": []}, {"releases": ["9999"]}))
