@@ -124,10 +124,35 @@ class IMGTStreamDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotently register the `imgt_stream` format on a session."""
+    """Idempotently register the `imgt_stream` format on a session.
+
+    Unlike batch Python DataSources (whose planner/worker processes pick
+    up `addPyFile` artifacts — how the sibling `imgt` format ships), the
+    STREAMING source runner is a driver-side Python process that does not
+    get the pyFiles path, so a driver started outside the repo (spark-
+    submit elsewhere, the round driver's cwd) would hit
+    ModuleNotFoundError unpickling the reader. Registering this module
+    and its two imports for pickle-BY-VALUE makes the registered source
+    self-contained: the runner needs no importable `gfe_db_spark` at all.
+    """
     from gfe_db_spark.session import ship_package
 
     ship_package(spark)
     if not getattr(spark, "_imgt_stream_ds_registered", False):
+        # MUST be pyspark's vendored cloudpickle — that's the instance the
+        # DataSource registration serializes with; the standalone package
+        # keeps a separate by-value registry and the hint would be ignored
+        from pyspark import cloudpickle
+
+        import gfe_db_spark.schemas
+        import gfe_db_spark.sources.imgt
+        import gfe_db_spark.sources.imgt_stream
+
+        for mod in (
+            gfe_db_spark.sources.imgt_stream,
+            gfe_db_spark.sources.imgt,
+            gfe_db_spark.schemas,
+        ):
+            cloudpickle.register_pickle_by_value(mod)
         spark.dataSource.register(IMGTStreamDataSource)
         spark._imgt_stream_ds_registered = True
