@@ -196,6 +196,8 @@ PRIORITY: tuple[str, ...] = (
     # parity still check it): the imgt_stream streaming DataSource
     # watcher, executed with a checkpoint restart inside the entry
     "imgt_stream_scan",
+    # new late-r4 (also past the window): per-domain quality-ranked cap
+    "domain_cap_sample",
     "stratified_sample",
     "pack_sequences",
     "benchmark_contamination",

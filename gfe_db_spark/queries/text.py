@@ -53,6 +53,56 @@ FROM t ORDER BY doc_id
 """
 
 
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (C4/RefinedWeb-style domain balancing): keep at most
+    K=5 documents per `source`, ranked by quality — here the exact integer
+    stopword-hit count (the proxy TEXT_QUALITY already mirrors in SQL), so
+    no float can reorder the cut — with a doc_id tie-break. Stops a
+    crawl's dominant domains from swamping the training mixture.
+
+    Plan at scale: a narrow map computes the score, then rank ≤ K over a
+    source-keyed window. Spark compiles the rank filter into
+    WindowGroupLimit, which keeps a running top-K per partition BEFORE the
+    shuffle — so each task ships at most K rows per domain, and a
+    billion-doc domain costs the shuffle K rows, not a full stratum sort."""
+    from pyspark.sql.window import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    stopwords = F.array(
+        *[F.lit(w) for ws in TX.LANG_MARKERS.values() for w in ws]
+    )
+    toks = F.split(F.col("text"), r"\s+")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.array_intersect(toks, stopwords)).cast("long").alias("stop_hits"),
+    )
+    w = W.partitionBy("source").orderBy(F.desc("stop_hits"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .orderBy("source", "rank")
+    )
+
+
+DOMAIN_CAP_SQL = rf"""
+WITH s AS (
+  SELECT source, doc_id,
+         CAST(len(list_intersect(string_split_regex(text, '\s+'),
+                                 [{_STOPWORDS}])) AS BIGINT) AS stop_hits
+  FROM documents
+), r AS (
+  SELECT source, doc_id, stop_hits,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY stop_hits DESC, doc_id
+         ) AS INT) AS rank
+  FROM s
+)
+SELECT source, doc_id, stop_hits, rank FROM r
+WHERE rank <= 5 ORDER BY source, rank
+"""
+
+
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram/stopword language-ID heuristic vs the labeled lang column."""
     docs = table(spark, sf_dir, "documents")
@@ -815,6 +865,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_SQL, "token counting"),
     "text_quality_scores": QuerySpec(text_quality_scores, TEXT_QUALITY_SQL, "quality signals"),
+    "domain_cap_sample": QuerySpec(
+        domain_cap_sample, DOMAIN_CAP_SQL, "per-domain quality-ranked cap (C4-style balancing)"
+    ),
     "text_lang_id": QuerySpec(text_lang_id, TEXT_LANG_SQL, "language-ID heuristic"),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL, "doc fingerprint"),
     "text_split_assign": QuerySpec(
