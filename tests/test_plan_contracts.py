@@ -717,3 +717,13 @@ def test_ngram_jaccard_carries_sizes(spark, specs):
     assert _n_nodes(plan, "Generate") == 2, plan
     assert _n_nodes(plan, "Scan parquet") == 2, plan
     assert "CartesianProduct" not in plan
+
+
+def test_domain_cap_uses_window_group_limit(spark, specs):
+    # The rank <= K filter must compile to WindowGroupLimit (partial
+    # top-K per partition BEFORE the shuffle): each task ships at most K
+    # rows per domain, so a billion-doc domain costs K rows, not a
+    # stratum sort. No join belongs in this plan.
+    plan = plan_of(run(specs, spark, "domain_cap_sample"))
+    assert "WindowGroupLimit" in plan
+    assert not re.search(r"Join", plan)
