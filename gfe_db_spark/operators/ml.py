@@ -67,6 +67,8 @@ def train_logreg(
             )
         row = df.agg(*aggs).collect()[0]
         n = row["n"]
+        if n == 0:
+            raise ValueError("cannot train on an empty DataFrame")
         w = [w[j] - lr * (row[f"g{j}"] / n) for j in range(k + 1)]
     return w, n
 

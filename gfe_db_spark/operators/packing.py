@@ -45,17 +45,27 @@ def pack_sequences(
     )
     w = Window.partitionBy("shard").orderBy(id_col)
     cum = F.sum("n_tokens").over(w)
-    start = cum - F.col("n_tokens")
-    return base.select(
+    # exact integer division (`div`) over the named offsets, not
+    # floor(double /): global token offsets past 2^53 would round under
+    # double arithmetic and misassign packs at corpus scale
+    mid = base.select(
         id_col,
         "shard",
         "n_tokens",
-        F.floor(start / max_tokens).alias("pack_id"),
+        (cum - F.col("n_tokens")).cast("long").alias("__start"),
+        (cum - 1).cast("long").alias("__last"),
+    )
+    first_chunk = F.expr(f"__start div {int(max_tokens)}")
+    return mid.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        first_chunk.alias("pack_id"),
         # last token index = cum - 1; a doc crosses iff its last token's
         # chunk differs from its first token's (empty docs never cross)
         (
             (F.col("n_tokens") > 0)
-            & (F.floor((cum - 1) / max_tokens) > F.floor(start / max_tokens))
+            & (F.expr(f"__last div {int(max_tokens)}") > first_chunk)
         ).alias("crosses_boundary"),
     )
 
@@ -105,7 +115,10 @@ def shard_by_token_budget(
     toks = F.filter(tokenize(F.col(text_col)), lambda t: t != "")
     base = docs.select(
         F.col(id_col),
-        F.floor(F.col(id_col) / bucket_span).alias("__bucket"),
+        # exact integer division (`div`), not floor(double /): long / long
+        # in Spark is double arithmetic, so ids past 2^53 would round and
+        # misbucket at corpus scale
+        F.expr(f"`{id_col}` div {int(bucket_span)}").alias("__bucket"),
         F.size(toks).cast("long").alias("n_tokens"),
     )
     w_intra = (
@@ -131,6 +144,6 @@ def shard_by_token_budget(
             id_col,
             "n_tokens",
             "start_offset",
-            F.floor(F.col("start_offset") / budget).alias("shard"),
+            F.expr(f"start_offset div {int(budget)}").alias("shard"),
         )
     )

@@ -32,260 +32,175 @@ class QuerySpec:
 # earned driver-green rows in CORRECTNESS_r01.json (generic SQL forms and
 # the classic TPC-H suite).
 PRIORITY: tuple[str, ...] = (
-    # graph / end-to-end GFE pipeline (SURVEY §2.3 J8, §2.9).
-    # graph_undirected_2hop and graph_3hop_motif rotated out of the
-    # 50-entry window (r2-green, unchanged) to make room for the round-3
-    # entries below; the motif family stays covered by graph_bfs_hops.
-    # graph_degree_distribution / graph_triangle_count / graph_pagerank
-    # rotated out (r2-green, unchanged); BFS is the new iterative entry
-    "graph_bfs_hops",
-    # gfe_end_to_end rotated out of the window: it is rows-only (no SQL
-    # oracle can express the stateful registry commit) and already has
-    # r1+r2 driver rows; the driver's entry() smoke still executes the
-    # full pipeline every round, and gfe_naming below hash-checks its
-    # accession/naming core. Window slots go to first-time SQL checks.
-    # new in r3: hash-checked accession-assignment + naming core of the
-    # e2e pipeline (closes the rows-only gap the r2 verdict flagged)
-    "gfe_naming",
-    # alignment_join rotated out (r2-green, unchanged; the GFE family
-    # stays in-window via gfe_end_to_end / gfe_naming / imgt scan)
-    # dedup family (beyond-reference LLM-pipeline core)
-    # dedup_exact rotated out (r2-green, unchanged; family still covered
-    # in-window by lsh/simhash/clusters/embedding entries)
-
-    # dedup_minhash_signatures rotated out (r2-green, unchanged)
-    # dedup_lsh_pairs / dedup_ngram_jaccard / dedup_simhash /
-    # dedup_minhash_est / dedup_clusters rotated out (r2-green, unchanged)
-    # new late-r3: batch-vs-corpus incremental LSH dedup
-    "dedup_incremental",
-    # dedup_keep_list rotated out (r2-green, unchanged)
-    # corpus_prep_pipeline rotated out (r2-green, unchanged)
-    # dedup_embedding_cosine rotated out (r2-green, unchanged); new this
-    # session: exact Jaccard join with lossless prefix filtering, and the
-    # Lee-et-al exact-substring duplicated-span scan
-    "set_similarity_join",
-    "dedup_exact_substrings",
-    # new in r3: cluster-then-prune semantic dedup (SemDeDup shape)
-    "semdedup_prune",
-    # new in r4: SimHash completed into a dedup operator — pigeonhole
-    # block banding generates candidate pairs, exact bit_count(XOR)
-    # verifies; first-time entry, in-window
-    "dedup_simhash_hamming",
-    # new in r4: CCNet line-level boilerplate removal (explode →
-    # df-count → broadcast-dim anti-filter → ordered reassembly)
-    "text_boilerplate_strip",
-    # new in r4: grouped least-squares from exact decimal moments —
-    # the deterministic distributed twin of regr_slope/intercept/corr
-    "regression_moments_by_flag",
-    # new in r4: exact MODE via count-then-argmax, and the chi-square
-    # independence test (the stats family growing past regression)
-    "mode_per_group",
-    "chisq_independence",
-    # new in r4: CRM/basket analytics — RFM quartile segmentation via
-    # broadcast percentile boundaries, and association-rule lift
-    "rfm_segmentation",
-    "association_rules_lift",
-    # new in r4: global token-budget sharding — the two-phase
-    # distributed prefix sum (bucket cumsum + exclusive offsets)
-    "shard_by_token_budget",
-    # new in r4: gradient-descent logistic regression vs the unrolled-GD
-    # SQL oracle (fast-sigmoid + decimal sums → bit-reproducible)
-    "logreg_quality_train",
-    # new in r4: executed stream-static broadcast enrichment
-    "stream_static_enrich",
-    # new in r4: per-dimension z-score standardization of embeddings
-    "embedding_standardize",
-    # the r4 composition proof: boilerplate strip -> quality -> SimHash
-    # Hamming dedup -> global prefix-sum shard, one plan, one oracle
-    "corpus_prep_pipeline_v3",
-    # similarity / ANN family (knn_brute_force and knn_ivf rotated out:
-    # r2-green, unchanged)
-    # back in the window: gained the unrolled-Lloyd SQL oracle in r3
-    "knn_ivf_trained",
-    # ann_lsh_buckets and ann_topk_join rotated out (r2-green, unchanged;
-    # ANN family stays covered by knn_ivf_trained / knn_pq_adc)
-    # new late-r3: product-quantization ANN with ADC lookup
-    "knn_pq_adc",
-    # new in r4: the IVFADC composition — IVF partition pruning + PQ
-    # asymmetric-distance scoring in one plan
-    "knn_ivf_pq",
-    # new in r4: incremental IVF index append, executed against the
-    # materialized partitioned index (probe vs full-rebuild oracle)
-    "ann_index_append",
-    # embedding_quantize rotated out (r2-green, unchanged)
-    # new late-r3 layout family: Z-order clustering + deterministic shuffle
-    "zorder_layout",
-    "corpus_shuffle",
-    # text-analysis family
-    # text_token_stats / text_quality_scores rotated out (r2-green,
-    # unchanged)
-    # text_lang_id rotated out (r2-green, unchanged); the normalized-rank
-    # window pair is new in r3
-    "w_relative_rank",
-    # text_fingerprint, text_split_assign rotated out (r2-green, unchanged)
-    # text_vocab_top, text_redact_pii, text_tfidf_top_terms rotated out
-    # (r2-green, unchanged; text family stays covered by the r3 entries)
-    # new this session: deterministic weighted sampling + DSIR weights
-    "weighted_sample_priority",
-    "dsir_importance_weights",
-    # new in r4: per-doc 3-gram novelty (unique-shingle share)
-    "text_ngram_novelty",
-    # corpus_sample / text_bigram_lm rotated out (r2-green, unchanged)
-    # new late-r3: distributed BPE tokenizer training + resulting vocab;
-    # corpus encode (broadcast-vocab apply) is new this session
-    "bpe_train_merges",
-    "bpe_vocab_stats",
-    "bpe_encode_corpus",
-    # new in r4: perceptual aHash over really-decoded pixels — the
-    # container-independent multimodal dedup key (BMP rows flipped to
-    # the canonical grid, PNG unfiltered)
-    "multimodal_phash_dedup",
-    # multimodal family (multimodal_metadata rotated out: r2-green,
-    # unchanged; multimodal_features, multimodal_frame_sample,
-    # multimodal_dedup rotated out r2-green as well;
-    # multimodal_real_decode rotated just past the window — r2-green, and
-    # its r3 PNG addition is re-verified by the judge's full sf0.01 sweep
-    # and the pytest parity mirror every run)
-    # streaming: batch twins + real streaming executions + DataSource scan
-    # (sessionize rotated out: r2-green, unchanged; the streaming family
-    # stays in-window via the three executed-stream entries below)
-    # tumbling_window, event_funnel rotated out (r2-green; their shared
-    # timestamp substrate changed in r3 — NTZ normalization — but both are
-    # re-verified by the full sf0.01/sf0.1 parity sweeps and the pytest
-    # mirror every run; the
-    # gapfill entry exercises the bucket arithmetic end to end)
-    "stream_user_totals",
-    # stream_upsert_sink upgraded rows-only -> SQL late in r3 (target
-    # aggregated vs source oracle); back in-window for its first
-    # hash-checked driver row
-    "stream_upsert_sink",
-    # new in r3: watermarked stream-stream interval join, executed; new
-    # this session: executed streaming CDC apply (tombstones, out-of-order
-    # batches) sharing the batch changelog oracle
-    "stream_stream_join",
-    "stream_cdc_apply",
-    # newest this session: weekly cohort retention and the pivot crosstab
-    # (both first-time entries — in-window for their first driver rows)
-    "retention_cohorts",
-    "event_crosstab",
-    # new in r4: linear multi-touch attribution allocation (the exact
-    # integer-split sibling of attribution_last_touch)
-    "attribution_linear",
-    # imgt_datasource_scan and skew_salted_count_distinct rotated out
-    # (r2-green, unchanged; IMGT stays covered by gfe_end_to_end /
-    # gfe_naming, skew by skew_salted_join / skew_stats_hot_keys below)
-    # new this session: warehouse maintenance family (PIT read over SCD2,
-    # delete-aware CDC apply, mergeable partial-agg state, blocked entity
-    # resolution)
-    "scd2_point_in_time_join",
-    "cdc_apply_changelog",
-    "incremental_agg_merge",
-    "entity_match_blocking",
-    "table_profile",
-    # TPC-H shapes: q21 never driver-checked (was position 51 in r1/r2) and
-    # q12 red in r2 (oracle dtype, fixed) lead; q9/q16/q20 earned r2-green
-    # rows and can safely trail past the 50-entry window.
-    "q12_priority_class",
-    "q21_waiting_suppliers",
-    # round-3 additions — inside the window for their first driver rows
-    "rolling_spend_7d",
-    "doc_chunk_overlap",
-    "mixture_resample",
-    "text_repetition_stats",
-    # new in r4 (just past the 50-entry window; judge-sweep + pytest
-    # parity still check it): the imgt_stream streaming DataSource
-    # watcher, executed with a checkpoint restart inside the entry
+    # ---- Round-5 window: positions 1-39 are exactly the 39 registry
+    # entries that have never received a driver CORRECTNESS row (the
+    # round-3 additions that overflowed the ~50-slot window, plus the two
+    # late-r4 entries imgt_stream_scan / domain_cap_sample). All 39 are
+    # green in the judge's full sf0.01 oracle sweep and the pytest parity
+    # mirror; this rotation gives each a driver row of record, after
+    # which every one of the 185 registry entries has at least one
+    # driver-green CORRECTNESS row.
+    # streaming DataSource watcher (executed checkpoint restart)
     "imgt_stream_scan",
-    # new late-r4 (also past the window): per-domain quality-ranked cap
+    # sampling / splits family
     "domain_cap_sample",
     "stratified_sample",
-    "pack_sequences",
-    "benchmark_contamination",
-    # newest this session: broadcast-bitset decontamination (the no-join
-    # scale path next to the exact-join verification channel)
-    "bloom_decontaminate",
-    # newest this session: cluster-aware split (near-dups can't straddle
-    # train/test) and the heavy-hitter sketch contract
-    "leakage_safe_split",
-    # the r3 composition proof: quality -> exact dedup -> Bloom
-    # decontaminate -> leakage-safe split, one plan, one oracle
-    # (corpus_prep_pipeline_v2 stays just past the window — its stages
-    # are individually in-window and the judge's full sweep checks it)
-    "corpus_prep_pipeline_v2",
-    "stream_dedup",
-    "sketch_distinct_accuracy",
-    "sketch_heavy_hitters",
-    # newest this session: robust MAD outlier gate and the key-sampled
-    # join-cardinality estimate (accuracy-contract family). Round 3 added
-    # more first-time entries than the driver's 50-slot window holds; the
-    # overflow (tail below) rotates in next round — the judge's full
-    # sf0.01 sweep and the pytest parity mirror check every entry every
-    # round regardless.
-    "outlier_mad_values",
-    "join_cardinality_estimate",
-    # newest this session: JL projection with its distortion audit, the
-    # sliding-window exact distinct, and the cross-table DQ gate
-    "random_projection_distortion",
-    "rolling_distinct_users_7d",
-    "dq_constraint_suite",
     "fixed_k_per_group_sample",
+    "leakage_safe_split",
+    # decontamination + packing + composed pipeline proof
+    "benchmark_contamination",
+    "bloom_decontaminate",
+    "pack_sequences",
+    "corpus_prep_pipeline_v2",
+    # executed streaming dedup
+    "stream_dedup",
+    # sketch / accuracy-contract family
+    "sketch_distinct_accuracy",
+    "sketch_quantile_accuracy",
+    "sketch_heavy_hitters",
+    "join_cardinality_estimate",
+    "random_projection_distortion",
+    # robust stats + profiling
+    "outlier_mad_values",
+    "histogram_quantity",
     "table_content_checksum",
+    "dq_constraint_suite",
+    "fk_integrity_check",
+    # rolling / time-series family
+    "rolling_distinct_users_7d",
     "rolling_distinct_users_7d_approx",
+    "timeseries_gapfill_locf",
+    "ewma_user_value",
     "order_backlog_daily",
+    # relational analytics
     "nation_revenue_share",
     "reorder_interval_stats",
     "revenue_pareto_deciles",
     "division_all_regions",
-    # sketch_quantile_accuracy slides past the window (sibling
-    # sketch_distinct_accuracy represents the accuracy-contract family
-    # in-window; the judge's full sweep still checks it)
-    "text_lm_score",
-    "ewma_user_value",
     "copurchase_pairs",
-    # histogram_quantity slides past the window (profiling family is
-    # in-window via table_profile; full sweep still checks it)
-    "timeseries_gapfill_locf",
     "unpivot_measures",
     "scd2_customer_history",
     "attribution_last_touch",
     "quality_decile_stats",
     "keep_latest_per_user",
     "a_grouping_sets",
-    # ---- everything below here sits past the driver's ~50-entry window
-    # this round. Round 3 added more first-time entries than the window
-    # holds; the overflow rotates into the window next round, and every
-    # entry (in-window or not) is checked by the judge's full sf0.01
-    # sweep and the pytest parity mirror at sf0.01+sf0.1 every run.
-    "fk_integrity_check",
+    # text LM scoring
+    "text_lm_score",
+    # skew handling
     "skew_salted_join",
     "skew_stats_hot_keys",
-    # q9_profit_by_nation_year slides past the window (r2-green, unchanged)
-    # to make room for the first-time retention/crosstab entries above
-    "multimodal_real_decode",
-    "q9_profit_by_nation_year",
-    "sketch_quantile_accuracy",
-    "histogram_quantity",
-    "q11_important_balance",
-    "q16_supplier_count_distribution",
-    "q20_quantity_threshold_suppliers",
-    # GFE-specific SURVEY §2 operators (F/J/A/W/SO families)
+    # ---- positions 40-50: oldest driver rows on record (r1-only, never
+    # re-checked since) — one representative per core family, refreshed.
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "w2_topk_per_group",
+    "w6_dense_rank_accession",
+    "a1_dedup_distinct",
+    "j1_broadcast_lookup",
     "f1_processability_filter",
+    "so1_except",
+    "c_scalar_suite",
+    "asof_last_purchase",
+    # ---- everything below sits past the driver's ~50-entry window this
+    # round; every entry regardless of position is checked by the full
+    # sf0.01 oracle sweep in the pytest parity mirror each run. Ordered
+    # roughly by how recently each last earned a driver row (most recent
+    # last): first the remaining r1-only rows, then r2, then r4.
+    "q2_min_price_part",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_volume_customer",
+    "q19_disjunctive_predicates",
+    "q22_global_sales_opportunity",
+    "a_count_distinct",
+    "a_cube",
+    "a_having_filter",
+    "a_rollup",
+    "c5_version_format",
+    "c10_date_kit",
+    "c12_json_extraction",
     "f2_skip_list_filter",
     "f5_regex_predicate",
     "f6_conditional_pivot",
-    "j1_broadcast_lookup",
     "j2_dimension_chain",
     "j4_composite_key_join",
     "j6_cross_join_singleton",
     "j7_anti_join",
-    "w6_dense_rank_accession",
-    "a1_dedup_distinct",
+    "j_full_outer_join",
+    "j_semi_join",
+    "range_band_join",
+    "pctl_quantity_by_flag",
+    "so_intersect",
     "a6_array_set_union",
     "a7_label_counts",
     "a8_explode_distinct_count",
     "a12_bool_all_reduce",
     "a13_monotonicity_guard",
-    "so1_except",
+    "w_lead_lag_delta",
+    "w_running_total",
+    "q9_profit_by_nation_year",
+    "q11_important_balance",
+    "q16_supplier_count_distribution",
+    "q20_quantity_threshold_suppliers",
+    "graph_bfs_hops",
+    "gfe_naming",
+    "dedup_incremental",
+    "set_similarity_join",
+    "dedup_exact_substrings",
+    "semdedup_prune",
+    "dedup_simhash_hamming",
+    "text_boilerplate_strip",
+    "regression_moments_by_flag",
+    "mode_per_group",
+    "chisq_independence",
+    "rfm_segmentation",
+    "association_rules_lift",
+    "shard_by_token_budget",
+    "logreg_quality_train",
+    "stream_static_enrich",
+    "embedding_standardize",
+    "corpus_prep_pipeline_v3",
+    "knn_ivf_trained",
+    "knn_pq_adc",
+    "knn_ivf_pq",
+    "ann_index_append",
+    "zorder_layout",
+    "corpus_shuffle",
+    "w_relative_rank",
+    "weighted_sample_priority",
+    "dsir_importance_weights",
+    "text_ngram_novelty",
+    "bpe_train_merges",
+    "bpe_vocab_stats",
+    "bpe_encode_corpus",
+    "multimodal_phash_dedup",
+    "multimodal_real_decode",
+    "stream_user_totals",
+    "stream_upsert_sink",
+    "stream_stream_join",
+    "stream_cdc_apply",
+    "retention_cohorts",
+    "event_crosstab",
+    "attribution_linear",
+    "scd2_point_in_time_join",
+    "cdc_apply_changelog",
+    "incremental_agg_merge",
+    "entity_match_blocking",
+    "table_profile",
+    "q12_priority_class",
+    "q21_waiting_suppliers",
+    "rolling_spend_7d",
+    "doc_chunk_overlap",
+    "mixture_resample",
+    "text_repetition_stats",
 )
 
 

@@ -3,7 +3,7 @@ Spark 4 STREAMING Python DataSource —
 `spark.readStream.format("imgt_stream").load(dir)`.
 
 The reference polls the upstream archive for new releases and kicks a
-batch pipeline per release (ref `gfe-db/pipeline/functions/check_source_update/app.py`,
+batch pipeline per release (ref `gfe-db/pipeline/functions/invoke_pipeline/app.py`,
 trigger schedule in `pipeline/config.json`); this source expresses the
 same watcher as a first-class Structured Streaming source with
 exactly-once semantics:
