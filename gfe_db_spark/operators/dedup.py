@@ -357,7 +357,47 @@ def simhash_hamming_pairs(
     width (64 / n_blocks) controls the collision fan-out, so raising
     ``max_hamming`` (more, narrower blocks) trades join fan-out for
     recall window exactly like LSH banding does.
+
+    An exact-digest gate (`_simhash_classes`) runs first: identical
+    fingerprints collapse into one signature-class row, so the banded
+    join is bounded by the number of DISTINCT fingerprints — a corpus
+    with k exact duplicates no longer piles k²/2 candidates into one
+    (block_id, block_val) bucket. Class pairs are expanded back to doc
+    pairs afterwards (output semantics unchanged); pipelines that only
+    need a drop list should call `simhash_neardup_drops`, which skips
+    the expansion entirely.
     """
+    _validate_banding(max_hamming, n_blocks)
+    members, classes = _simhash_classes(sig, id_col, sig_col)
+    rep_pairs = _banded_class_pairs(classes, max_hamming, n_blocks)
+    # Expand signature-class pairs back to doc pairs. Each unordered doc
+    # pair is produced exactly once (a class pair maps 1:1 to an unordered
+    # sig pair; within-class pairs have equal sigs, cross-class unequal),
+    # so no final distinct() is needed — cheaper than the pre-gate plan,
+    # which emitted each pair once per agreeing block.
+    cross = (
+        rep_pairs.join(members.select(F.col("doc_id").alias("_xa"), F.col("sig").alias("sig_a")), "sig_a")
+        .join(members.select(F.col("doc_id").alias("_xb"), F.col("sig").alias("sig_b")), "sig_b")
+        .select(
+            F.least("_xa", "_xb").alias("doc_a"),
+            F.greatest("_xa", "_xb").alias("doc_b"),
+            "hamming",
+        )
+    )
+    m, n = members.alias("m"), members.alias("n")
+    within = (
+        m.join(n, "sig")
+        .filter(F.col("m.doc_id") < F.col("n.doc_id"))
+        .select(
+            F.col("m.doc_id").alias("doc_a"),
+            F.col("n.doc_id").alias("doc_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)
+
+
+def _validate_banding(max_hamming: int, n_blocks: int) -> None:
     if n_blocks < max_hamming + 1:
         raise ValueError(
             f"pigeonhole completeness needs n_blocks >= max_hamming + 1 "
@@ -365,15 +405,42 @@ def simhash_hamming_pairs(
         )
     if 64 % n_blocks != 0:
         raise ValueError(f"n_blocks must divide 64 (got {n_blocks})")
+
+
+def _simhash_classes(
+    sig: DataFrame, id_col: str, sig_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-digest gate for SimHash banding: collapse identical
+    fingerprints into signature classes (one row per distinct signature,
+    representative = smallest member id) before any pairwise work. A
+    corpus with k exact duplicates contributes ONE row to the banded
+    join instead of k — without this, k identical docs put k²/2
+    candidate pairs in a single (block_id, block_val) bucket and the
+    bit_count verify + distinct() do quadratic work on them."""
+    members = sig.filter(F.col(sig_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sig")
+    )
+    classes = members.groupBy("sig").agg(F.min("doc_id").alias("rep"))
+    return members, classes
+
+
+def _banded_class_pairs(
+    classes: DataFrame, max_hamming: int, n_blocks: int
+) -> DataFrame:
+    """Pigeonhole-banded candidate join over DISTINCT signatures only:
+    (sig_a, sig_b, rep_a, rep_b, hamming) with rep_a < rep_b and
+    1 <= hamming <= max_hamming. The join input is bounded by the number
+    of distinct fingerprints, never the corpus row count."""
+    _validate_banding(max_hamming, n_blocks)
     width = 64 // n_blocks
     mask = (1 << width) - 1
-    blocks = sig.filter(F.col(sig_col).isNotNull()).select(
-        F.col(id_col).alias("doc_id"),
-        F.col(sig_col).alias("sig"),
+    blocks = classes.select(
+        "rep",
+        "sig",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col(sig_col), width * i).bitwiseAND(F.lit(mask))
+                    F.shiftrightunsigned(F.col("sig"), width * i).bitwiseAND(F.lit(mask))
                     for i in range(n_blocks)
                 ]
             )
@@ -382,15 +449,57 @@ def simhash_hamming_pairs(
     a, b = blocks.alias("a"), blocks.alias("b")
     return (
         a.join(b, ["block_id", "block_val"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(F.col("a.rep") < F.col("b.rep"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+            F.col("a.rep").alias("rep_a"),
+            F.col("b.rep").alias("rep_b"),
             F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_neardup_drops(
+    sig: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash64",
+) -> DataFrame:
+    """Drop list for keep-the-smallest-id near-dup pruning, WITHOUT
+    expanding exact-duplicate classes into pairs: returns one ``doc_id``
+    column holding every doc that has some smaller-id doc within
+    ``max_hamming``. Equivalent to collecting ``doc_b`` of every
+    `simhash_hamming_pairs` pair, but linear in the corpus even when the
+    corpus is dominated by exact duplicates:
+
+    - every non-representative class member is a Hamming-0 dup of its
+      class rep (the class min), so it is dropped outright — a keyed
+      groupBy + join, no pair enumeration;
+    - a representative r is dropped iff some OTHER class within
+      ``max_hamming`` has min id < r, which is exactly the rep-level
+      banded pair (rep', r) with rep' < r.
+
+    This is the form pipelines should consume (`corpus_prep_pipeline_v3`
+    does); the pair-expanding form exists for pair-set consumers and
+    oracle parity."""
+    members, classes = _simhash_classes(sig, id_col, sig_col)
+    non_reps = (
+        members.join(classes, "sig")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select("doc_id")
+    )
+    dropped_reps = (
+        _banded_class_pairs(classes, max_hamming, n_blocks)
+        .select(F.col("rep_b").alias("doc_id"))
+        .distinct()
+    )
+    # The two sides are disjoint (reps vs non-reps) and each is already
+    # distinct, so no final distinct() shuffle is needed.
+    return non_reps.unionByName(dropped_reps)
 
 
 def _dot(a: Column, b: Column) -> Column:

@@ -836,8 +836,12 @@ def corpus_prep_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_tok = F.size(F.filter(tokenize(F.col("text")), lambda t: t != "")).cast("long")
     gated = cleaned.withColumn("n_tokens", n_tok).filter(F.col("n_tokens") >= 5)
-    pairs = DD.simhash_hamming_pairs(DD.simhash(gated), max_hamming=3, n_blocks=4)
-    drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    # Drop-list form, not pair expansion: `simhash_neardup_drops` collapses
+    # exact-duplicate fingerprints into signature classes before the banded
+    # join, so a corpus dominated by exact duplicates stays linear here
+    # (the pair-expanding form would enumerate k²/2 within-class pairs
+    # just to distinct() them back down to k-1 drop ids).
+    drops = DD.simhash_neardup_drops(DD.simhash(gated), max_hamming=3, n_blocks=4)
     surv = gated.join(drops, "doc_id", "left_anti")
     sharded = shard_by_token_budget(surv, budget=4096, bucket_span=64)
     return (

@@ -1144,6 +1144,61 @@ def test_simhash_hamming_pairs_planted(spark):
     assert got == {(1, 2): 0, (1, 3): 2, (2, 3): 2, (1, 4): 3, (2, 4): 3, (3, 4): 3}
 
 
+def test_simhash_exact_dup_gate_bounds_candidates(spark):
+    """A corpus of 1k exact duplicates must NOT go quadratic in the banded
+    join: the exact-digest gate collapses identical fingerprints into one
+    signature class, so the candidate join sees 2 classes (not 1001 docs)
+    and produces 1 rep-level pair (not ~500k bucket collisions)."""
+    from gfe_db_spark.operators import dedup as DD
+
+    base = 0x0123456789ABCDEF
+    rows = [(i, base) for i in range(1000)]  # 1k exact duplicates
+    rows.append((5000, base ^ 0b1))  # one near-dup class at hamming 1
+    sig = spark.createDataFrame(rows, "doc_id long, simhash64 long")
+
+    _, classes = DD._simhash_classes(sig, "doc_id", "simhash64")
+    assert classes.count() == 2
+    rep_pairs = DD._banded_class_pairs(classes, max_hamming=3, n_blocks=4)
+    assert rep_pairs.count() == 1  # bounded by distinct sigs, not corpus size
+
+    # Drop-list path: everything except the smallest id drops, with no
+    # pair enumeration anywhere in the plan.
+    drops = DD.simhash_neardup_drops(sig, max_hamming=3, n_blocks=4)
+    assert drops.count() == 1000
+    assert drops.filter(F.col("doc_id") == 0).count() == 0
+
+    # Pair-expanding path keeps the full pair semantics (k*(k+1)/2 pairs
+    # over the 1001 mutually-near docs) even though the join was bounded.
+    assert DD.simhash_hamming_pairs(sig, max_hamming=3, n_blocks=4).count() == (
+        1001 * 1000
+    ) // 2
+
+
+def test_simhash_neardup_drops_matches_pair_semantics(spark):
+    """simhash_neardup_drops == {doc_b of every simhash_hamming_pairs
+    pair} on a mixed corpus (exact-dup classes + near classes + isolates)."""
+    from gfe_db_spark.operators import dedup as DD
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    base = 0x0123456789ABCDEF
+    rows = [
+        (7, signed(base)),
+        (2, signed(base)),          # exact dup of 7 (rep of this class = 2)
+        (11, signed(base)),         # exact dup
+        (3, signed(base ^ 0b101)),  # hamming 2 from the class above
+        (40, signed(base ^ 0xFFFF0000FFFF0000)),  # far isolate: survives
+        (41, signed((base ^ 0xFFFF0000FFFF0000) ^ (1 << 63))),  # h1 of 40
+        (50, None),
+    ]
+    sig = spark.createDataFrame(rows, "doc_id long, simhash64 long")
+    pairs = DD.simhash_hamming_pairs(sig, max_hamming=3, n_blocks=4)
+    expect = {r.doc_b for r in pairs.collect()}
+    got = {r.doc_id for r in DD.simhash_neardup_drops(sig, max_hamming=3, n_blocks=4).collect()}
+    assert got == expect == {3, 7, 11, 41}
+
+
 def test_simhash_hamming_rejects_incomplete_banding():
     import pytest as _pytest
 
