@@ -24,6 +24,13 @@ compaction and `plans/merge.py`'s two-phase commit):
 `recover_compaction` finishes a crash between (4)'s delete and rename —
 the only window where the target is missing — by promoting the completed
 staged dir; a staged dir *without* the marker is torn down as garbage.
+
+The swap in (4) is crash-safe but NOT reader-isolated: a reader scanning
+during the delete→rename window errors or sees nothing. For tables that
+need concurrent readers during maintenance, use the manifest-pointer
+layout (`plans/txtable.py`): `tx_compact` folds generations and repoints
+the manifest atomically, so readers never observe a missing or mixed
+table — old generations stay until `tx_vacuum`.
 """
 
 from __future__ import annotations

@@ -26,6 +26,14 @@ Cost per commit: O(batch + touched partitions), independent of target
 size once n_buckets exceeds the batch's key spread. On a Delta/Iceberg
 cluster the same call sites become ``MERGE INTO``; the bucket column and
 commit protocol carry over unchanged.
+
+The dynamic-overwrite commit here mutates the live directory, so a reader
+scanning DURING a commit can see a partial partition mix (writers are
+serialized by ST6, readers are not). When readers must be isolated from
+in-flight commits, use `plans/txtable.py`: the same bucketing and merge
+rules, but each commit lands in a fresh immutable generation dir published
+by an atomic manifest rename — a reader always resolves one complete
+snapshot.
 """
 
 from __future__ import annotations
@@ -103,6 +111,28 @@ def recover_staging(spark, target_path: str) -> bool:
     return False
 
 
+def apply_merge_rule(
+    existing: DataFrame,
+    batch: DataFrame,
+    keys: list[str],
+    on_match: str,
+    merge_fn: Callable[[DataFrame, DataFrame], DataFrame] | None,
+    allow_schema_evolution: bool = False,
+) -> DataFrame:
+    """The ON MATCH semantics shared by every MERGE writer in the engine
+    (`partitioned_upsert` here, `txtable.tx_upsert` for the
+    reader-isolated layout): batch-wins update, create_only, or a custom
+    combine."""
+    evolve = {"allowMissingColumns": True} if allow_schema_evolution else {}
+    if merge_fn is not None:
+        return merge_fn(existing, batch)
+    if on_match == "update":
+        return batch.unionByName(existing.join(batch, on=keys, how="left_anti"), **evolve)
+    if on_match == "create_only":
+        return existing.unionByName(batch.join(existing, on=keys, how="left_anti"), **evolve)
+    raise ValueError(f"unknown on_match: {on_match}")
+
+
 def partitioned_upsert(
     batch: DataFrame,
     target_path: str,
@@ -152,19 +182,9 @@ def partitioned_upsert(
         if allow_schema_evolution:
             reader = reader.option("mergeSchema", "true")
         existing = reader.parquet(target_path).filter(F.col("__bucket").isin(touched))
-        evolve = {"allowMissingColumns": True} if allow_schema_evolution else {}
-        if merge_fn is not None:
-            merged = merge_fn(existing, batch)
-        elif on_match == "update":
-            merged = batch.unionByName(
-                existing.join(batch, on=keys, how="left_anti"), **evolve
-            )
-        elif on_match == "create_only":
-            merged = existing.unionByName(
-                batch.join(existing, on=keys, how="left_anti"), **evolve
-            )
-        else:
-            raise ValueError(f"unknown on_match: {on_match}")
+        merged = apply_merge_rule(
+            existing, batch, keys, on_match, merge_fn, allow_schema_evolution
+        )
 
         # two-phase: stage the merged touched partitions (reading `existing`
         # and overwriting it in one job is illegal), then dynamic-overwrite —

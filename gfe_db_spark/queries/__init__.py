@@ -89,8 +89,10 @@ PRIORITY: tuple[str, ...] = (
     # skew handling
     "skew_salted_join",
     "skew_stats_hot_keys",
-    # ---- positions 40-50: oldest driver rows on record (r1-only, never
-    # re-checked since) — one representative per core family, refreshed.
+    # ---- new round-5 entries: need their first driver row.
+    "txtable_upsert",
+    # ---- remaining positions up to ~50: oldest driver rows on record
+    # (r1-only, never re-checked since) — one per core family, refreshed.
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q6_forecast_revenue",

@@ -484,6 +484,56 @@ ORDER BY constraint_name
 """
 
 
+def txtable_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reader-isolated MERGE executed end to end (plans/txtable.py): the
+    events table committed into a manifest-pointer parquet table —
+    bootstrap, an idempotent replay of the same batch, an update commit
+    that doubles `value` for click events (batch-wins ON MATCH), then a
+    manifest-flip compaction and a vacuum — and the final snapshot read
+    back through the manifest. The oracle recomputes the same state from
+    the source directly, so the hash check proves: one row per key after
+    the replay, the update commit rewrote exactly the matched keys, and
+    compaction + vacuum changed nothing a reader can see. Value travels
+    as integer cents (float-order-proof)."""
+    import tempfile
+
+    from gfe_db_spark.plans import txtable as TX
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    root = tempfile.mkdtemp(prefix="gfe_txtable_") + "/events_tx"
+    TX.tx_upsert(ev, root, ["event_id"], n_buckets=8)
+    TX.tx_upsert(ev, root, ["event_id"], n_buckets=8)  # replay → no dupes
+    clicks = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", (F.col("value") * 2).alias("value"))
+    )
+    TX.tx_upsert(clicks, root, ["event_id"], on_match="update", n_buckets=8)
+    TX.tx_compact(spark, root)
+    TX.tx_vacuum(spark, root, keep_manifests=1)
+    return (
+        TX.tx_read(spark, root)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+TXTABLE_UPSERT_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(CASE WHEN event_type = 'click' THEN value * 2
+                                ELSE value END * 100, 0) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "table_profile": QuerySpec(
         table_profile,
@@ -514,6 +564,11 @@ QUERIES: dict[str, QuerySpec] = {
         dq_constraint_suite,
         DQ_SUITE_SQL,
         "cross-table data-quality gate: pk/fk/null/range constraint checks",
+    ),
+    "txtable_upsert": QuerySpec(
+        txtable_upsert,
+        TXTABLE_UPSERT_SQL,
+        "reader-isolated manifest-pointer MERGE + compaction + vacuum, executed",
     ),
     "table_content_checksum": QuerySpec(
         table_content_checksum,

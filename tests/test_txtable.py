@@ -1,0 +1,215 @@
+"""Reader-isolated manifest-pointer table (plans/txtable.py).
+
+The round-4 verdict's one open durability item: `partitioned_upsert` /
+`compact_small_files` swap windows are non-atomic for a concurrent reader.
+txtable closes it — these tests pin the isolation guarantee itself (a
+reader polling during commits and compactions never observes a partial
+table), plus the O(batch) commit shape, crash recovery, optimistic
+conflict detection, and vacuum retention.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from gfe_db_spark.plans import txtable as TX
+
+
+def _mk(spark, n, val):
+    return spark.createDataFrame([(i, val) for i in range(n)], "k long, val long")
+
+
+def test_tx_roundtrip_and_idempotent_replay(spark, tmp_path):
+    root = str(tmp_path / "t")
+    TX.tx_upsert(_mk(spark, 50, 1), root, ["k"], n_buckets=4)
+    TX.tx_upsert(_mk(spark, 50, 1), root, ["k"], n_buckets=4)  # replay
+    got = TX.tx_read(spark, root)
+    assert got.count() == 50
+    assert got.select(F.countDistinct("k")).collect()[0][0] == 50
+    assert [r.val for r in got.select("val").distinct().collect()] == [1]
+
+
+def test_tx_update_and_create_only_semantics(spark, tmp_path):
+    root = str(tmp_path / "t")
+    TX.tx_upsert(_mk(spark, 10, 1), root, ["k"], n_buckets=4)
+    TX.tx_upsert(_mk(spark, 10, 2), root, ["k"], on_match="update", n_buckets=4)
+    assert {r.val for r in TX.tx_read(spark, root).collect()} == {2}
+    TX.tx_upsert(
+        spark.createDataFrame([(5, 9), (100, 9)], "k long, val long"),
+        root,
+        ["k"],
+        on_match="create_only",
+        n_buckets=4,
+    )
+    rows = {r.k: r.val for r in TX.tx_read(spark, root).collect()}
+    assert rows[5] == 2 and rows[100] == 9 and len(rows) == 11
+
+
+def test_tx_commit_is_o_batch(spark, tmp_path):
+    """A commit touching one bucket writes ONE new bucket dir; untouched
+    buckets keep resolving to their old generation."""
+    root = str(tmp_path / "t")
+    TX.tx_upsert(_mk(spark, 64, 1), root, ["k"], n_buckets=8)
+    one = spark.createDataFrame([(3, 7)], "k long, val long")
+    touched = TX.tx_upsert(one, root, ["k"], n_buckets=8)
+    assert len(touched) == 1
+    gen2 = TX._gen_path(root, 2)
+    names = [n for n in TX._list_names(spark, gen2) if n.startswith("__bucket=")]
+    assert names == [f"__bucket={touched[0]}"]
+    m = TX.read_manifest(spark, root)
+    gens = set(m["buckets"].values())
+    assert gens == {"gen-00000001", "gen-00000002"}
+    rows = {r.k: r.val for r in TX.tx_read(spark, root).collect()}
+    assert rows[3] == 7 and len(rows) == 64
+
+
+def test_tx_bucket_restricted_read_prunes_paths(spark, tmp_path):
+    root = str(tmp_path / "t")
+    TX.tx_upsert(_mk(spark, 64, 1), root, ["k"], n_buckets=8)
+    sub = TX.tx_read(spark, root, buckets=[3], drop_bucket=False)
+    files = sub.inputFiles()
+    assert files and all("__bucket=3" in f for f in files)
+
+
+def test_tx_reader_never_sees_partial_state(spark, tmp_path):
+    """THE isolation guarantee: a reader polling while a writer commits
+    full-table updates (every bucket touched, every commit) always sees
+    one complete snapshot — a single distinct `val` over the full row
+    count, never a mix of generations or a missing file."""
+    root = str(tmp_path / "t")
+    n = 200
+    TX.tx_upsert(_mk(spark, n, 0), root, ["k"], n_buckets=8)
+    errors: list[Exception] = []
+    done = threading.Event()
+
+    def writer():
+        try:
+            for v in range(1, 6):
+                TX.tx_upsert(_mk(spark, n, v), root, ["k"], n_buckets=8)
+        except Exception as e:  # surfaced in the main thread
+            errors.append(e)
+        finally:
+            done.set()
+
+    t = threading.Thread(target=writer)
+    t.start()
+    snapshots = 0
+    try:
+        while not done.is_set() or snapshots == 0:
+            row = (
+                TX.tx_read(spark, root)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.countDistinct("val").alias("nv"),
+                )
+                .collect()[0]
+            )
+            assert (row.n, row.nv) == (n, 1), "reader observed a torn snapshot"
+            snapshots += 1
+    finally:
+        t.join()
+    assert not errors
+    assert snapshots >= 1
+    final = TX.tx_read(spark, root).select("val").distinct().collect()
+    assert [r.val for r in final] == [5]
+
+
+def test_tx_reader_isolated_during_compaction(spark, tmp_path):
+    """Compaction repoints the manifest; a polling reader never sees a
+    missing or doubled table (compact_small_files' delete→rename window
+    does not exist here)."""
+    root = str(tmp_path / "t")
+    n = 120
+    for v in range(3):  # several generations to fold
+        TX.tx_upsert(_mk(spark, n, v), root, ["k"], n_buckets=8)
+    errors: list[Exception] = []
+    done = threading.Event()
+
+    def compactor():
+        try:
+            TX.tx_compact(spark, root)
+        except Exception as e:
+            errors.append(e)
+        finally:
+            done.set()
+
+    t = threading.Thread(target=compactor)
+    t.start()
+    try:
+        while not done.is_set():
+            assert TX.tx_read(spark, root).count() == n
+    finally:
+        t.join()
+    assert not errors
+    m = TX.read_manifest(spark, root)
+    assert set(m["buckets"].values()) == {"gen-00000004"}
+    # pre-compaction generations survive until an explicit vacuum
+    assert TX.current_manifest_number(spark, root) == 4
+    assert TX.tx_read(spark, root).count() == n
+
+
+def test_tx_recover_cleans_orphan_generation(spark, tmp_path):
+    """Crash between the generation write and the manifest rename leaves
+    an orphan gen dir; recover deletes it and the table stays at the last
+    published snapshot."""
+    root = str(tmp_path / "t")
+    TX.tx_upsert(_mk(spark, 20, 1), root, ["k"], n_buckets=4)
+    # simulate the crash: write gen-2 but never publish manifest 2
+    _mk(spark, 20, 2).withColumn("__bucket", F.lit(0)).write.partitionBy(
+        "__bucket"
+    ).parquet(TX._gen_path(root, 2))
+    assert {r.val for r in TX.tx_read(spark, root).collect()} == {1}
+    removed = TX.tx_recover(spark, root)
+    assert removed == [TX._gen_path(root, 2)]
+    # the next commit reuses generation number 2 cleanly
+    TX.tx_upsert(_mk(spark, 20, 3), root, ["k"], n_buckets=4)
+    assert {r.val for r in TX.tx_read(spark, root).collect()} == {3}
+
+
+def test_tx_conflict_detection(spark, tmp_path):
+    """Two writers racing to the same generation number: the loser gets
+    TxConflict, the winner's commit stands untouched."""
+    root = str(tmp_path / "t")
+    TX.tx_upsert(_mk(spark, 10, 1), root, ["k"], n_buckets=4)
+    # hand-publish manifest 2 to simulate the winner
+    m = TX.read_manifest(spark, root)
+    winner = dict(m, generation=2)
+    TX._commit_manifest(spark, root, winner)
+    with pytest.raises(TX.TxConflict):
+        TX._commit_manifest(spark, root, dict(m, generation=2))
+    assert TX.current_manifest_number(spark, root) == 2
+
+
+def test_tx_vacuum_retention(spark, tmp_path):
+    """Vacuum keeps every generation any retained manifest references and
+    deletes the rest; the current snapshot is untouched."""
+    root = str(tmp_path / "t")
+    for v in range(4):  # manifests 1..4; each rewrites every bucket
+        TX.tx_upsert(_mk(spark, 40, v), root, ["k"], n_buckets=4)
+    removed = TX.tx_vacuum(spark, root, keep_manifests=2)
+    # manifests 3,4 retained -> gens 3,4 live; gens 1,2 + manifests 1,2 go
+    names = set(TX._list_names(spark, root))
+    assert "gen-00000001" not in names and "gen-00000002" not in names
+    assert "gen-00000003" in names and "gen-00000004" in names
+    mnames = set(TX._list_names(spark, TX._manifest_dir(root)))
+    assert mnames == {"00000003.json", "00000004.json"}
+    assert len(removed) == 4
+    got = TX.tx_read(spark, root)
+    assert got.count() == 40
+    assert {r.val for r in got.select("val").distinct().collect()} == {3}
+
+
+def test_tx_manifest_is_tiny_and_complete(spark, tmp_path):
+    """The pointer the whole protocol swings on is a few hundred bytes of
+    JSON — bucket → generation, nothing else; no data paths are rewritten
+    to move the table forward."""
+    root = str(tmp_path / "t")
+    TX.tx_upsert(_mk(spark, 40, 1), root, ["k"], n_buckets=4)
+    raw = TX.fs_read_text(spark, TX._manifest_dir(root) + "/00000001.json")
+    m = json.loads(raw)
+    assert set(m) == {"generation", "n_buckets", "buckets"}
+    assert len(raw) < 1000
