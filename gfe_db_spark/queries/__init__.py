@@ -91,6 +91,10 @@ PRIORITY: tuple[str, ...] = (
     "skew_stats_hot_keys",
     # ---- new round-5 entries: need their first driver row.
     "txtable_upsert",
+    # A6/A8 re-check of record alongside the round-5 deep-history fixture
+    # (test_deep_release_history runs the same explode+distinct shape over
+    # a 10-release accumulation)
+    "a8_explode_distinct_count",
     # ---- remaining positions up to ~50: oldest driver rows on record
     # (r1-only, never re-checked since) — one per core family, refreshed.
     "q1_pricing_summary",
@@ -143,7 +147,6 @@ PRIORITY: tuple[str, ...] = (
     "so_intersect",
     "a6_array_set_union",
     "a7_label_counts",
-    "a8_explode_distinct_count",
     "a12_bool_all_reduce",
     "a13_monotonicity_guard",
     "w_lead_lag_delta",

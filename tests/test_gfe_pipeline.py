@@ -345,3 +345,96 @@ def test_snapshot_versioning_and_diff(spark, tmp_path):
     assert diff["edges_has_ipd_allele"].n_changed > 0
     # restore-by-version round-trips
     assert load_snapshot(spark, root, "v0001").nodes_gfe.count() == g1.nodes_gfe.count()
+
+
+def test_deep_release_history(spark, tmp_path_factory):
+    """Round-5 depth probe (the reference tracks 47 releases,
+    ref pipeline/config/IMGTHLA-repository-state.json:2-7; previous tests
+    topped out at 2-3): accumulate TEN releases through `run_incremental`
+    one at a time, asserting at EVERY step — accession/GFE-name stability
+    for the common allele prefix, A6 releases-array growth on the earliest
+    allele's edge, the A8 release histogram covering exactly the committed
+    history, versioned snapshots whose consecutive diffs only ever add or
+    release-extend rows (never remove), then replay-is-a-no-op and
+    out-of-order rejection on top of the deep state."""
+    import pyspark.sql.functions as SF
+
+    import gfe_db_spark.testing_fixtures as tfx
+    from gfe_db_spark.plans.snapshots import (
+        list_snapshots,
+        load_snapshot,
+        save_snapshot,
+        snapshot_diff,
+    )
+    from gfe_db_spark.streaming.incremental import run_incremental
+
+    tmp = str(tmp_path_factory.mktemp("deep"))
+    releases = [str(3300 + 10 * j) for j in range(10)]
+    for j, rel in enumerate(releases):
+        # growing corpus, prefix-stable: release j re-ships every earlier
+        # allele plus 3 new ones (synthetic_allele_records(n) is a prefix
+        # of synthetic_allele_records(n+3))
+        tfx.write_synthetic_dat(tmp, rel, 12 + 3 * j)
+    state = f"{tmp}/state.json"
+    reg = f"{tmp}/registry"
+    graph_path = f"{tmp}/graph"
+    snaps = f"{tmp}/snaps"
+
+    first_allele = "HLA-A*01:00"  # i=0 → present in every release
+    gfe_of_first = None
+    prev_counts: dict[str, int] = {}
+    for j, rel in enumerate(releases):
+        res = run_incremental(spark, tmp, releases[: j + 1], state, reg, graph_path)
+        assert res.processed == [rel] and not res.rejected
+        g = res.graph
+
+        # A8 at every depth: histogram covers exactly the committed history
+        hist = {
+            r.release_version: r["count"]
+            for r in has_ipd_allele_release_counts(g).collect()
+        }
+        assert set(hist) == {int(r) for r in releases[: j + 1]}
+
+        # A6 growth: the earliest allele's edge carries the FULL history
+        edges = g.edges_has_ipd_allele.filter(SF.col("dst") == first_allele).collect()
+        assert len(edges) == 1
+        assert edges[0].releases == [int(r) for r in releases[: j + 1]]
+
+        # accession-registry stability: the GFE name embeds every feature
+        # accession, so any drift for a prefix allele would mint a NEW GFE
+        # node / repoint this edge — the name must never move
+        if gfe_of_first is None:
+            gfe_of_first = edges[0].src
+        assert edges[0].src == gfe_of_first
+
+        # node counts only grow (create_only / update merges, no deletes)
+        counts = {r.node: r["count"] for r in node_counts(g).collect()}
+        for label, c in prev_counts.items():
+            assert counts[label] >= c, label
+        prev_counts = counts
+
+        save_snapshot(g, snaps)
+        if j > 0:
+            old = load_snapshot(spark, snaps, f"v{j:04d}")
+            diff = {r.table: r for r in snapshot_diff(old, g).collect()}
+            for tname, row in diff.items():
+                assert row.n_removed == 0, (rel, tname)
+                if tname != "edges_has_ipd_allele":
+                    assert row.n_changed == 0, (rel, tname)
+            # each release ships 3 new alleles → 3 new GFE nodes
+            assert diff["nodes_gfe"].n_added == 3
+            assert diff["edges_has_ipd_allele"].n_changed > 0
+
+    assert list_snapshots(spark, snaps) == [f"v{j:04d}" for j in range(1, 11)]
+
+    # replay the full history → watermark makes it a no-op
+    res = run_incremental(spark, tmp, releases, state, reg, graph_path)
+    assert res.processed == [] and res.rejected == []
+
+    # a format-valid but non-monotone release (3390 → 3500 skips a step)
+    # is rejected on top of the deep state, and the graph is untouched
+    tfx.write_synthetic_dat(tmp, "3500", 5)
+    res = run_incremental(spark, tmp, [*releases, "3500"], state, reg, graph_path)
+    assert res.processed == [] and res.rejected == ["3500"]
+    counts = {r.node: r["count"] for r in node_counts(res.graph).collect()}
+    assert counts == prev_counts
