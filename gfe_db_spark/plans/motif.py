@@ -36,6 +36,23 @@ _NODE_TABLE = {
     "Submitter": "nodes_submitter",
 }
 
+# Older schema labels used throughout the reference's documented query
+# surface (`docs/source/reference.rst:20` — "the WHO and IMGT_HLA nodes";
+# the doc's example queries write `(:WHO {name})`). Both are prior names
+# for today's IPD_Allele node, so the doc's literal query text keeps
+# working against this engine.
+LABEL_ALIASES = {
+    "WHO": "IPD_Allele",
+    "IMGT_HLA": "IPD_Allele",
+}
+
+
+def _resolve_label(label: str) -> str:
+    label = LABEL_ALIASES.get(label, label)
+    if label not in _NODE_TABLE:
+        raise ValueError(f"unknown node label: {label!r}")
+    return label
+
 # edge type → (table attr, src node label, dst node label, dst join spec)
 # dst join spec: "name" for name-keyed nodes, or the composite feature key.
 _EDGE_TABLE = {
@@ -71,6 +88,7 @@ def find(graph: GraphTables, pattern: str) -> DataFrame:
     bound: set[str] = set()
 
     for lvar, llab, etype, rvar, rlab, reversed_ in hops:
+        llab, rlab = _resolve_label(llab), _resolve_label(rlab)
         table_attr, src_lab, dst_lab, dst_key = _EDGE_TABLE[etype]
         edges = getattr(graph, table_attr)
         # pattern-direction: (l)-[:T]->(r) means l=src,r=dst; '<-' swaps
@@ -119,3 +137,126 @@ def find(graph: GraphTables, pattern: str) -> DataFrame:
             bound |= {src_var, dst_var}
 
     return result
+
+
+# --- mini-Cypher front end -------------------------------------------------
+# Enough MATCH/RETURN/ORDER BY to run the reference docs' literal query
+# text (`docs/source/reference.rst:36`):
+#
+#     MATCH (:WHO {name:'HLA-A*01:03:01:01'})-[]-(:GFE)-[]-(f:Feature)
+#     RETURN f.term, f.rank ORDER BY f.term, f.rank
+#
+# i.e. anonymous nodes, `{key:'value'}` property filters, untyped
+# undirected edges (the edge type is inferred from the endpoint label
+# pair — unambiguous in this schema), label aliases, and dotted RETURN /
+# ORDER BY projections. Output columns are named `<var>_<prop>`
+# (anonymous variables get `anonN` — no leading underscore: `find`
+# recovers the variable from a column name by splitting on the first
+# `_`, so a leading underscore would break unification).
+
+_CY_NODE = re.compile(r"\(\s*(\w+)?\s*(?::(\w+))?\s*(\{[^}]*\})?\s*\)")
+_CY_EDGE = re.compile(r"\s*(<-|-)\s*\[\s*(?::(\w+))?\s*\]\s*(->|-)\s*")
+_CY_PROP = re.compile(r"(\w+)\s*:\s*'([^']*)'")
+_CY_QUERY = re.compile(
+    r"^\s*MATCH\s+(?P<pattern>.+?)\s*"
+    r"RETURN\s+(?P<ret>.+?)"
+    r"(?:\s+ORDER\s+BY\s+(?P<order>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _infer_edge_type(llab: str, rlab: str) -> tuple[str, bool]:
+    """Untyped edge `-[]-`: resolve the single edge type connecting the
+    two endpoint labels (reversed_=True when the stored direction is
+    rlab→llab). Ambiguity is a loud error — the schema currently has at
+    most one edge type per label pair."""
+    cands = []
+    for etype, (_t, src, dst, _k) in _EDGE_TABLE.items():
+        if (src, dst) == (llab, rlab):
+            cands.append((etype, False))
+        if (src, dst) == (rlab, llab):
+            cands.append((etype, True))
+    if len(cands) != 1:
+        raise ValueError(
+            f"cannot infer edge type between {llab} and {rlab}: "
+            f"candidates {[c[0] for c in cands]}"
+        )
+    return cands[0]
+
+
+def run_cypher(graph: GraphTables, query: str) -> DataFrame:
+    """Execute a doc-style Cypher query (the subset above) against the
+    graph tables by normalizing it into `find`'s typed pattern form, then
+    applying property filters, RETURN projection, and ORDER BY."""
+    m = _CY_QUERY.match(query)
+    if not m:
+        raise ValueError(f"unsupported query shape: {query!r}")
+    pattern, ret, order = m.group("pattern"), m.group("ret"), m.group("order")
+
+    # tokenize: node (edge node)*
+    pos = 0
+    nodes: list[tuple[str, str, dict[str, str]]] = []  # (var, label, props)
+    edges: list[tuple[str | None, bool | None]] = []  # (etype, reversed_) per gap
+    used_vars = {v for v, _l, _p in _CY_NODE.findall(pattern) if v}
+    anon = 0
+    nm = _CY_NODE.match(pattern, pos)
+    if not nm:
+        raise ValueError(f"pattern must start with a node: {pattern!r}")
+    while True:
+        var, label, props_src = nm.groups()
+        if label is None:
+            raise ValueError(f"nodes need a label in this subset: {pattern!r}")
+        if var is None:
+            while f"anon{anon}" in used_vars:
+                anon += 1
+            var, anon = f"anon{anon}", anon + 1
+        props = dict(_CY_PROP.findall(props_src)) if props_src else {}
+        nodes.append((var, _resolve_label(label), props))
+        pos = nm.end()
+        if pos >= len(pattern) or not pattern[pos:].strip():
+            break
+        em = _CY_EDGE.match(pattern, pos)
+        if not em:
+            raise ValueError(f"expected an edge at …{pattern[pos:]!r}")
+        larrow, etype, rarrow = em.groups()
+        if larrow == "<-" and rarrow == "->":
+            raise ValueError(f"edge has two arrowheads: {pattern!r}")
+        reversed_ = None if etype is None and larrow == "-" and rarrow == "-" else (
+            larrow == "<-"
+        )
+        edges.append((etype, reversed_))
+        pos = em.end()
+        nm = _CY_NODE.match(pattern, pos)
+        if not nm:
+            raise ValueError(f"expected a node at …{pattern[pos:]!r}")
+
+    # normalize into find()'s typed form
+    hops = []
+    for i, (etype, reversed_) in enumerate(edges):
+        lvar, llab, _ = nodes[i]
+        rvar, rlab, _ = nodes[i + 1]
+        if etype is None:
+            etype, inferred_rev = _infer_edge_type(llab, rlab)
+            reversed_ = inferred_rev if reversed_ is None else reversed_
+        elif reversed_ is None:  # typed but undirected: stored direction
+            _t, src, _dst, _k = _EDGE_TABLE[etype]
+            reversed_ = src != llab
+        arrow = ("<-", "-") if reversed_ else ("-", "->")
+        hops.append(f"({lvar}:{llab}){arrow[0]}[:{etype}]{arrow[1]}({rvar}:{rlab})")
+    out = find(graph, "".join(hops))
+
+    for var, _label, props in nodes:
+        for key, val in props.items():
+            out = out.filter(F.col(f"{var}_{key}") == val)
+
+    def col_of(token: str) -> str:
+        token = token.strip()
+        if "." not in token:
+            raise ValueError(f"RETURN items must be var.prop: {token!r}")
+        var, prop = token.split(".", 1)
+        return f"{var}_{prop}"
+
+    out = out.select([F.col(col_of(t)) for t in ret.split(",")])
+    if order:
+        out = out.orderBy([F.col(col_of(t)) for t in order.split(",")])
+    return out

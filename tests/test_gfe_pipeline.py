@@ -438,3 +438,61 @@ def test_deep_release_history(spark, tmp_path_factory):
     assert res.processed == [] and res.rejected == ["3500"]
     counts = {r.node: r["count"] for r in node_counts(res.graph).collect()}
     assert counts == prev_counts
+
+
+def test_doc_literal_cypher_query(spark, tmp_path):
+    """The reference docs' example query runs VERBATIM
+    (ref docs/source/reference.rst:36): `WHO` label alias →
+    IPD_Allele, anonymous nodes, `{name:'…'}` property filter, untyped
+    undirected `-[]-` edges (type inferred from the label pair), and the
+    RETURN … ORDER BY clause."""
+    from gfe_db_spark.plans.accession import AccessionRegistry
+    from gfe_db_spark.plans.build import build_release
+    from gfe_db_spark.plans.load import load_release
+    from gfe_db_spark.plans.motif import run_cypher
+    from gfe_db_spark.sources.imgt import read_imgt_dat
+    from tests import gfe_fixtures as fx
+
+    dat = fx.write_release_dat(str(tmp_path), "3550")
+    built = build_release(
+        spark, read_imgt_dat(spark, dat), "3550",
+        AccessionRegistry(spark, str(tmp_path / "reg")),
+    )
+    g = load_release(spark, built, "3550")
+
+    doc_text = (
+        "MATCH (:WHO {name:'HLA-A*01:03:01:01'})-[]-(:GFE)-[]-(f:Feature) \n"
+        "RETURN f.term, f.rank ORDER BY f.term, f.rank"
+    )
+    out = run_cypher(g, doc_text)
+    assert out.columns == ["f_term", "f_rank"]
+    assert out.count() == 0  # the doc's allele isn't in the fixture release
+
+    # same literal text pointed at a fixture allele returns its feature
+    # expansion in the doc's result shape
+    got = [
+        (r.f_term, str(r.f_rank))
+        for r in run_cypher(
+            g, doc_text.replace("HLA-A*01:03:01:01", "HLA-A*01:01:01:01")
+        ).collect()
+    ]
+    assert got == [
+        ("EXON", "1"),
+        ("EXON", "2"),
+        ("FIVE_PRIME_UTR", "1"),
+        ("INTRON", "1"),
+        ("THREE_PRIME_UTR", "1"),
+    ]
+
+    # IMGT_HLA is the other historical label for the same node
+    got2 = run_cypher(
+        g,
+        "MATCH (w:IMGT_HLA {name:'HLA-A*01:01:01:01'})-[]-(:GFE) RETURN w.name",
+    ).collect()
+    assert [r.w_name for r in got2] == ["HLA-A*01:01:01:01"]
+
+    # typed find() accepts the alias labels too
+    from gfe_db_spark.plans.motif import find
+
+    aliased = find(g, "(w:WHO)<-[:HAS_IPD_ALLELE]-(a:GFE)")
+    assert aliased.count() == find(g, "(w:IPD_Allele)<-[:HAS_IPD_ALLELE]-(a:GFE)").count()
