@@ -241,6 +241,59 @@ def ngram_jaccard_pairs(
     )
 
 
+def neardup_components(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate components per document: (doc_id, cluster_id) where
+    cluster_id = min doc_id of the doc's n-gram-Jaccard connected
+    component. The shared core of `dedup_clusters` / `dedup_keep_list` /
+    `leakage_safe_split`.
+
+    An exact-digest gate runs FIRST: identical texts collapse to one
+    representative (min id per md5(text) class, via a digest-keyed window)
+    before any shingle work, and components computed over representatives
+    broadcast back to all members through the class mapping. Semantics are
+    unchanged — exact duplicates have Jaccard 1 ≥ any threshold, so the
+    member graph is exactly the quotient blow-up of the representative
+    graph, and the component min over members equals the component min
+    over representatives (each rep IS its class min). What changes is
+    cost: a corpus with k copies of a text contributes ONE row to the
+    shingle self-join instead of k — without the gate, k copies put k²
+    rows in every shared-shingle bucket and the pair groupBy goes
+    quadratic (measured: `leakage_safe_split` at sf1 — a 10×-replicated
+    corpus — ran >8 min ungated; gated it is back to sf0.1-like cost).
+
+    Scale: one digest-keyed window (same shuffle an exact-dedup pass
+    already pays), the shingle equi-join and CC loop over DISTINCT texts
+    only, and one rep_id-keyed equi-join to fan the verdict back out."""
+    from pyspark.sql.window import Window as W
+
+    from gfe_db_spark.plans.graph_algos import connected_components
+
+    cls = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).withColumn("rep_id", F.min("doc_id").over(W.partitionBy(F.md5(F.col("text")))))
+    reps = cls.filter(F.col("doc_id") == F.col("rep_id"))
+    pairs = ngram_jaccard_pairs(
+        shingles(reps, n=n), threshold=threshold, max_bucket_size=max_bucket_size
+    )
+    cc = connected_components(
+        reps.select(F.col("doc_id").alias("node")),
+        pairs.select("doc_a", "doc_b"),
+        "doc_a",
+        "doc_b",
+    )
+    return cls.select("doc_id", "rep_id").join(
+        cc.select(F.col("node").alias("rep_id"), F.col("component").alias("cluster_id")),
+        "rep_id",
+    ).select("doc_id", "cluster_id")
+
+
 def contamination_counts(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -271,24 +271,40 @@ DEDUP_EMBEDDING_SQL = _embedding_bucketed_sql()
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → duplicate clusters: connected components (iterative
     min-label propagation, plans/graph_algos.py) over the n-gram-Jaccard
-    pair graph; component id = min doc_id. Returns cluster sizes."""
-    from gfe_db_spark.plans.graph_algos import connected_components
-
-    docs = table(spark, sf_dir, "documents")
-    pairs = DD.ngram_jaccard_pairs(DD.shingles(docs, n=3), threshold=0.5)
-    nodes = docs.select(F.col("doc_id").alias("node"))
-    cc = connected_components(nodes, pairs.select("doc_a", "doc_b"), "doc_a", "doc_b")
+    pair graph; component id = min doc_id. Returns cluster sizes. Runs
+    behind the exact-digest gate (`neardup_components`): identical texts
+    collapse to one representative before the shingle join, so a corpus
+    dominated by exact duplicates can't go quadratic in a shingle bucket."""
+    cc = DD.neardup_components(table(spark, sf_dir, "documents"))
     return (
-        cc.groupBy("component")
+        cc.groupBy(F.col("cluster_id").alias("component"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("component")
     )
 
 
-# transitive closure via recursive CTE: lab reaches node → min per node
-DEDUP_CLUSTERS_SQL = (
-    _SHINGLE_CTE.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
-    + """, sizes AS (
+# Digest-gated transitive closure shared by the component-family oracles:
+# identical texts collapse to a representative class before the shingle
+# join, the recursive closure runs over representatives only, and the
+# verdict fans back out through the class mapping — the same gate (and the
+# same min-preservation argument) as operators.dedup.neardup_components,
+# but closed via a recursive CTE instead of iterative label propagation.
+_GATED_COMPONENT_CTE = r"""
+WITH RECURSIVE cls AS (
+  SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+  FROM documents
+), rd AS (
+  SELECT doc_id, text FROM cls WHERE doc_id = rep_id
+), t AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM rd
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                  i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+    FROM t
+  )
+), sizes AS (
   SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
 ), pairs AS (
   SELECT doc_a, doc_b FROM (
@@ -305,13 +321,22 @@ DEDUP_CLUSTERS_SQL = (
   UNION
   SELECT doc_b AS s, doc_a AS d FROM pairs
 ), reach(node, lab) AS (
-  SELECT doc_id, doc_id FROM documents
+  SELECT doc_id, doc_id FROM rd
   UNION
   SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+), comp AS (
+  SELECT node AS rep_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
+), verdict AS (
+  SELECT c.doc_id, m.cluster_id FROM cls c JOIN comp m ON c.rep_id = m.rep_id
 )
-SELECT component, COUNT(*) AS n_docs
-FROM (SELECT node, MIN(lab) AS component FROM reach GROUP BY node)
-GROUP BY component
+"""
+
+DEDUP_CLUSTERS_SQL = (
+    _GATED_COMPONENT_CTE
+    + """
+SELECT cluster_id AS component, COUNT(*) AS n_docs
+FROM verdict
+GROUP BY cluster_id
 ORDER BY component
 """
 )
@@ -322,49 +347,21 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     its near-dup cluster id and a keep flag (keep = cluster representative,
     i.e. the min doc_id — deterministic). Documents in no cluster keep
     themselves. This is `dedup_clusters` carried to the per-document
-    verdict, the join target for filtering a corpus."""
-    from gfe_db_spark.plans.graph_algos import connected_components
-
-    docs = table(spark, sf_dir, "documents")
-    pairs = DD.ngram_jaccard_pairs(DD.shingles(docs, n=3), threshold=0.5)
-    nodes = docs.select(F.col("doc_id").alias("node"))
-    cc = connected_components(nodes, pairs.select("doc_a", "doc_b"), "doc_a", "doc_b")
-    return (
-        cc.select(
-            F.col("node").alias("doc_id"),
-            F.col("component").alias("cluster_id"),
-            (F.col("node") == F.col("component")).alias("keep"),
-        )
-        .orderBy("doc_id")
-    )
+    verdict, the join target for filtering a corpus. Digest-gated like
+    the rest of the component family."""
+    cc = DD.neardup_components(table(spark, sf_dir, "documents"))
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    ).orderBy("doc_id")
 
 
-# per-document verdict over the same recursive-CTE closure as dedup_clusters
 DEDUP_KEEP_LIST_SQL = (
-    _SHINGLE_CTE.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
-    + """, sizes AS (
-  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
-), pairs AS (
-  SELECT doc_a, doc_b FROM (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-    FROM sh a JOIN sh b ON a.shingle = b.shingle
-    WHERE a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
-  ) c
-  JOIN sizes sa ON sa.doc_id = doc_a
-  JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE round(n_common / (sa.sz + sb.sz - n_common), 9) >= 0.5
-), edges AS (
-  SELECT doc_a AS s, doc_b AS d FROM pairs
-  UNION
-  SELECT doc_b AS s, doc_a AS d FROM pairs
-), reach(node, lab) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
-)
-SELECT node AS doc_id, MIN(lab) AS cluster_id, node = MIN(lab) AS keep
-FROM reach GROUP BY node
+    _GATED_COMPONENT_CTE
+    + """
+SELECT doc_id, cluster_id, doc_id = cluster_id AS keep
+FROM verdict
 ORDER BY doc_id
 """
 )
@@ -381,55 +378,29 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cluster_id = doc_id) get exactly the text_split_assign assignment, so
     adopting the safe split only moves docs that have near-dups.
 
-    Scale: candidate pairs are a shingle-keyed equi-join (never all-pairs),
-    CC is the iterative path-halving loop (plans/graph_algos.py), and the
-    split itself is a narrow map on cluster_id — no extra shuffle beyond
-    the dedup pass a pipeline already runs."""
+    Scale: candidate pairs are a shingle-keyed equi-join over DISTINCT
+    texts only (the exact-digest gate in `neardup_components` collapses
+    identical docs to a representative first — exact dups are Jaccard-1
+    near-dups, so the clusters are unchanged), CC is the iterative
+    path-halving loop (plans/graph_algos.py), and the split itself is a
+    narrow map on cluster_id — no extra shuffle beyond the dedup pass a
+    pipeline already runs."""
     from gfe_db_spark.operators.text import deterministic_split
-    from gfe_db_spark.plans.graph_algos import connected_components
 
-    docs = table(spark, sf_dir, "documents")
-    pairs = DD.ngram_jaccard_pairs(DD.shingles(docs, n=3), threshold=0.5)
-    nodes = docs.select(F.col("doc_id").alias("node"))
-    cc = connected_components(nodes, pairs.select("doc_a", "doc_b"), "doc_a", "doc_b")
-    assigned = deterministic_split(
-        cc.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")),
-        id_col="cluster_id",
-    )
+    cc = DD.neardup_components(table(spark, sf_dir, "documents"))
+    assigned = deterministic_split(cc, id_col="cluster_id")
     return assigned.select("doc_id", "cluster_id", "split").orderBy("doc_id")
 
 
-# same recursive-CTE closure as dedup_keep_list; the split gate hashes the
-# component id with the same md5-LE32 contract as TEXT_SPLIT_SQL
+# same gated recursive-CTE closure as dedup_keep_list; the split gate
+# hashes the component id with the same md5-LE32 contract as TEXT_SPLIT_SQL
 LEAKAGE_SAFE_SPLIT_SQL = (
-    _SHINGLE_CTE.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
-    + """, sizes AS (
-  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
-), pairs AS (
-  SELECT doc_a, doc_b FROM (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-    FROM sh a JOIN sh b ON a.shingle = b.shingle
-    WHERE a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
-  ) c
-  JOIN sizes sa ON sa.doc_id = doc_a
-  JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE round(n_common / (sa.sz + sb.sz - n_common), 9) >= 0.5
-), edges AS (
-  SELECT doc_a AS s, doc_b AS d FROM pairs
-  UNION
-  SELECT doc_b AS s, doc_a AS d FROM pairs
-), reach(node, lab) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
-), comp AS (
-  SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
-), g AS (
+    _GATED_COMPONENT_CTE
+    + """, g AS (
   SELECT doc_id, cluster_id,
          CAST(md5_number_upper(CAST(cluster_id AS VARCHAR) || ':v1')
               & 4294967295 AS BIGINT) % 10000 AS bucket
-  FROM comp
+  FROM verdict
 )
 SELECT doc_id, cluster_id,
        CASE WHEN bucket < 8000 THEN 'train'

@@ -1174,6 +1174,33 @@ def test_simhash_exact_dup_gate_bounds_candidates(spark):
     ) // 2
 
 
+def test_neardup_components_exact_dup_gate_bounds_pairs(spark):
+    """1k identical docs must NOT go quadratic in the shingle self-join:
+    the exact-digest gate collapses them to ONE representative, so the
+    Jaccard join sees 2 reps and zero candidate pairs (ungated, the k
+    copies put k rows in every shared-shingle bucket → ~500k pair-groups),
+    while the verdict still assigns every member to the class-min
+    cluster."""
+    rows = [(i, "alpha beta gamma delta epsilon") for i in range(1000)]
+    rows.append((2000, "wholly unrelated words over here instead"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {r.doc_id: r.cluster_id for r in DD.neardup_components(docs).collect()}
+    assert len(out) == 1001
+    assert all(out[i] == 0 for i in range(1000))
+    assert out[2000] == 2000
+
+    # The join input after the gate: one rep per distinct text → 0 pairs.
+    from pyspark.sql.window import Window as W
+
+    cls = docs.withColumn(
+        "rep_id", F.min("doc_id").over(W.partitionBy(F.md5("text")))
+    )
+    reps = cls.filter("doc_id = rep_id")
+    assert reps.count() == 2
+    assert DD.ngram_jaccard_pairs(DD.shingles(reps, n=3), threshold=0.5).count() == 0
+
+
 def test_simhash_neardup_drops_matches_pair_semantics(spark):
     """simhash_neardup_drops == {doc_b of every simhash_hamming_pairs
     pair} on a mixed corpus (exact-dup classes + near classes + isolates)."""

@@ -612,18 +612,11 @@ def test_leakage_safe_split_cluster_consistent(spark, texts):
     lands wholly inside one split (no train/test contamination channel),
     and singleton docs get exactly the per-doc hash split — so adopting
     the safe split changes nothing for docs without near-dups."""
-    from gfe_db_spark.operators.dedup import ngram_jaccard_pairs, shingles
+    from gfe_db_spark.operators.dedup import neardup_components
     from gfe_db_spark.operators.text import deterministic_split
-    from gfe_db_spark.plans.graph_algos import connected_components
 
     docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
-    pairs = ngram_jaccard_pairs(shingles(docs, n=3), threshold=0.5)
-    nodes = docs.select(F.col("doc_id").alias("node"))
-    cc = connected_components(nodes, pairs.select("doc_a", "doc_b"), "doc_a", "doc_b")
-    assigned = deterministic_split(
-        cc.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")),
-        id_col="cluster_id",
-    )
+    assigned = deterministic_split(neardup_components(docs), id_col="cluster_id")
     per_cluster = assigned.groupBy("cluster_id").agg(
         F.count_distinct("split").alias("n_splits"),
         F.count(F.lit(1)).alias("n_docs"),
@@ -641,6 +634,43 @@ def test_leakage_safe_split_cluster_consistent(spark, texts):
         .count()
     )
     assert disagree == 0, "singleton split differs from per-doc hash split"
+
+
+@given(
+    texts=st.lists(
+        st.lists(word_st, min_size=3, max_size=8).map(" ".join),
+        min_size=2,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_neardup_components_gate_preserves_clusters(spark, texts):
+    """The exact-digest gate is a pure optimization: components computed
+    over digest-class representatives and fanned back out equal the
+    components of the ungated doc-level pair graph, for ANY corpus
+    (hypothesis drives duplicate-heavy ones — the word alphabet is tiny,
+    so identical texts are common). This is the equivalence argument in
+    neardup_components' docstring, executed."""
+    from gfe_db_spark.operators.dedup import (
+        neardup_components,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+    from gfe_db_spark.plans.graph_algos import connected_components
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    gated = {
+        (r.doc_id, r.cluster_id) for r in neardup_components(docs).collect()
+    }
+    pairs = ngram_jaccard_pairs(shingles(docs, n=3), threshold=0.5)
+    cc = connected_components(
+        docs.select(F.col("doc_id").alias("node")),
+        pairs.select("doc_a", "doc_b"),
+        "doc_a",
+        "doc_b",
+    )
+    ungated = {(r.node, r.component) for r in cc.collect()}
+    assert gated == ungated
 
 
 @given(
