@@ -11,42 +11,56 @@ plain parquet with the same trick every log-structured table format uses
 
 Layout::
 
-    <root>/_manifests/00000001.json     immutable, atomically renamed in
-    <root>/gen-00000001/__bucket=i/...  immutable once a manifest refers to it
+    <root>/_manifests/00000001.json           immutable, atomically renamed in
+    <root>/gen-00000001-3f2a9c1d/__bucket=i/  immutable once a manifest refers to it
 
 A manifest is a tiny JSON document ``{"generation": N, "n_buckets": B,
-"buckets": {"0": "gen-00000007", ...}}`` mapping every bucket of the
-hash-bucketed table (same ``pmod(xxhash64(keys), B)`` bucketing as
+"buckets": {"0": "gen-00000007-ab12cd34", ...}}`` mapping every bucket of
+the hash-bucketed table (same ``pmod(xxhash64(keys), B)`` bucketing as
 `plans/merge.py`) to the generation directory that owns its current data.
 The CURRENT table state is the highest-numbered manifest.
 
 Commit protocol (`tx_upsert`, `tx_compact`):
 
 1. resolve the current manifest M_n (one file-listing, no data read);
-2. write the commit's output partitions into a FRESH directory
-   ``gen-{n+1}`` — only the touched buckets are written, untouched buckets
-   keep pointing at their old generation, so a commit stays O(batch);
+2. write the commit's output partitions into a FRESH, UNIQUELY-NAMED
+   directory ``gen-{n+1}-{uuid}`` — the uuid suffix means two writers
+   racing from the same M_n never touch each other's data files; only the
+   touched buckets are written, untouched buckets keep pointing at their
+   old generation, so a commit stays O(batch);
 3. write the new manifest to a temp name, then RENAME it to
-   ``_manifests/{n+1}.json``. Rename-to-a-fresh-name is atomic on every
-   Hadoop filesystem (no rename-overwrite needed), so a reader listing the
-   manifest dir sees either n or n+1, never a torn state. If the rename
-   fails because ``{n+1}.json`` exists, another writer won the commit —
-   the loser raises `TxConflict` (optimistic concurrency, Delta-style)
-   and its orphan generation dir is garbage-collected by `tx_recover`.
+   ``_manifests/{n+1}.json``. Rename-to-a-fresh-name is atomic on HDFS
+   and HDFS-like filesystems (rename fails if the destination exists), so
+   a reader listing the manifest dir sees either n or n+1, never a torn
+   state, and exactly one racing writer can publish {n+1}. The loser
+   raises `TxConflict` (optimistic concurrency, Delta-style) and deletes
+   ITS OWN generation dir on the way out — the winner's published data is
+   never touched.
+
+   Caveat (documented, not hidden): on a raw local filesystem POSIX
+   ``rename(2)`` overwrites an existing destination, so the exists-check
+   before the rename is best-effort rather than atomic there. True
+   multi-writer optimistic concurrency therefore requires an HDFS-like
+   filesystem (HDFS, most object-store committers); on local FS the
+   engine's ST6 single-writer discipline (streaming/incremental.py) is
+   the operative guarantee and conflict detection is best-effort.
 
 Readers (`tx_read`) resolve buckets → generation dirs through one
 manifest read, then scan only immutable directories: a snapshot. Commits
 and compactions running concurrently never mutate those files; old
-generations disappear only via `tx_vacuum`, which the operator runs with
-a grace period longer than the longest reader (the same contract as
-Delta's VACUUM). Crash anywhere before step 3 leaves the table exactly at
-M_n; `tx_recover` deletes generation dirs newer than the current manifest
-and stray temp manifests.
+generations disappear only via `tx_vacuum`/`tx_recover`, which GC ONLY
+directories no manifest references — and, because an in-flight writer's
+not-yet-published generation is also unreferenced, only after a grace
+period (`grace_seconds`) longer than the longest conceivable data write.
+Crash anywhere before step 3 leaves the table exactly at M_n; the crashed
+commit's orphan dir ages past the grace period and is collected by the
+next `tx_recover`.
 """
 
 from __future__ import annotations
 
 import json
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -66,6 +80,12 @@ from gfe_db_spark.plans.merge import (
 _MANIFEST_DIR = "_manifests"
 _GEN_PREFIX = "gen-"
 
+#: default GC grace for unreferenced generation dirs (seconds). A dir that
+#: no manifest references is either a crashed/conflicted commit (dead) or
+#: an in-flight writer's staging area (alive); age is the only local
+#: signal that distinguishes them, so GC waits this long before deleting.
+DEFAULT_GRACE_SECONDS = 900.0
+
 
 class TxConflict(RuntimeError):
     """Another writer committed the same generation number first."""
@@ -75,8 +95,20 @@ def _manifest_dir(root: str) -> str:
     return root.rstrip("/") + "/" + _MANIFEST_DIR
 
 
-def _gen_path(root: str, n: int) -> str:
-    return f"{root.rstrip('/')}/{_GEN_PREFIX}{n:08d}"
+def _new_gen_name(n: int) -> str:
+    """Uniquely-named generation dir for commit attempt `n`: the number
+    prefix keeps listings ordered/debuggable, the uuid suffix guarantees
+    two writers racing from the same manifest never share a directory."""
+    return f"{_GEN_PREFIX}{n:08d}-{uuid.uuid4().hex[:8]}"
+
+
+def _parse_gen(name: str) -> int | None:
+    """Generation number from a dir name; accepts both the current
+    ``gen-00000002-ab12cd34`` form and the legacy ``gen-00000002`` form."""
+    if not name.startswith(_GEN_PREFIX):
+        return None
+    digits = name[len(_GEN_PREFIX):].split("-", 1)[0]
+    return int(digits) if digits.isdigit() else None
 
 
 def _list_names(spark: SparkSession, path: str) -> list[str]:
@@ -85,6 +117,12 @@ def _list_names(spark: SparkSession, path: str) -> list[str]:
     if not fs.exists(hpath):
         return []
     return [s.getPath().getName() for s in fs.listStatus(hpath)]
+
+
+def _fs_mtime(spark: SparkSession, path: str) -> float:
+    """Modification time of `path` in epoch seconds (Hadoop FS API)."""
+    fs, hpath = hadoop_fs(spark, path)
+    return fs.getFileStatus(hpath).getModificationTime() / 1000.0
 
 
 def current_manifest_number(spark: SparkSession, root: str) -> int | None:
@@ -98,8 +136,13 @@ def current_manifest_number(spark: SparkSession, root: str) -> int | None:
     return best
 
 
-def read_manifest(spark: SparkSession, root: str) -> dict | None:
-    n = current_manifest_number(spark, root)
+def read_manifest(
+    spark: SparkSession, root: str, generation: int | None = None
+) -> dict | None:
+    """The table's manifest — latest, or pinned to `generation` (a reader
+    holding a graph-level snapshot resolves every table at its pinned
+    generation; see plans/load.upsert_graph layout='tx')."""
+    n = current_manifest_number(spark, root) if generation is None else generation
     if n is None:
         return None
     m = json.loads(fs_read_text(spark, f"{_manifest_dir(root)}/{n:08d}.json"))
@@ -107,22 +150,53 @@ def read_manifest(spark: SparkSession, root: str) -> dict | None:
     return m
 
 
-def _commit_manifest(spark: SparkSession, root: str, manifest: dict) -> None:
-    """Atomically publish `manifest` as generation `manifest['generation']`:
-    write to a temp name, rename to the final numbered name. The rename
-    target must not exist — if it does, a concurrent writer won."""
-    n = manifest["generation"]
-    mdir = _manifest_dir(root)
+def latest_numbered_json(spark: SparkSession, mdir: str) -> tuple[int | None, dict | None]:
+    """Highest ``{n:08d}.json`` document under `mdir` (generic form of the
+    manifest-pointer resolve, reused by the graph-level manifest)."""
+    best = None
+    for name in _list_names(spark, mdir):
+        if name.endswith(".json") and name[:-5].isdigit():
+            n = int(name[:-5])
+            best = n if best is None or n > best else best
+    if best is None:
+        return None, None
+    return best, json.loads(fs_read_text(spark, f"{mdir}/{best:08d}.json"))
+
+
+def publish_numbered_json(spark: SparkSession, mdir: str, n: int, doc: dict) -> None:
+    """Atomically publish `doc` as ``{mdir}/{n:08d}.json`` (temp write +
+    rename-to-fresh-name, same protocol and TxConflict semantics as the
+    table manifest commit)."""
     final = f"{mdir}/{n:08d}.json"
     tmp = f"{mdir}/.tmp-{uuid.uuid4().hex}.json"
-    fs_write_text(spark, tmp, json.dumps(manifest, sort_keys=True))
-    fs, _ = hadoop_fs(spark, root)
+    fs_write_text(spark, tmp, json.dumps(doc, sort_keys=True))
+    fs, _ = hadoop_fs(spark, mdir)
     HPath = spark._jvm.org.apache.hadoop.fs.Path
     if fs.exists(HPath(final)) or not fs.rename(HPath(tmp), HPath(final)):
         fs.delete(HPath(tmp), False)
-        raise TxConflict(
-            f"manifest {n} for {root} already committed by another writer"
-        )
+        raise TxConflict(f"manifest {n} under {mdir} already committed")
+
+
+def _referenced_gen_names(spark: SparkSession, root: str) -> set[str]:
+    """Union of generation-dir names referenced by ANY existing manifest."""
+    live: set[str] = set()
+    mdir = _manifest_dir(root)
+    for name in _list_names(spark, mdir):
+        if name.endswith(".json") and name[:-5].isdigit():
+            m = json.loads(fs_read_text(spark, f"{mdir}/{name[:-5]}.json"))
+            live.update(m["buckets"].values())
+    return live
+
+
+def _commit_manifest(spark: SparkSession, root: str, manifest: dict) -> None:
+    """Atomically publish `manifest` as generation `manifest['generation']`:
+    write to a temp name, rename to the final numbered name. On an
+    HDFS-like filesystem rename fails if the destination exists, so
+    exactly one racing writer publishes a given number; on raw local FS
+    the preceding exists-check is best-effort (see module docstring)."""
+    publish_numbered_json(
+        spark, _manifest_dir(root), manifest["generation"], manifest
+    )
 
 
 def tx_read(
@@ -130,17 +204,19 @@ def tx_read(
     root: str,
     buckets: list[int] | None = None,
     drop_bucket: bool = True,
+    generation: int | None = None,
 ) -> DataFrame:
     """Snapshot read: resolve bucket → generation through the CURRENT
-    manifest once, then scan only immutable generation dirs. Restricting
-    `buckets` prunes at path level — unrequested buckets are never listed,
-    let alone read (the txtable form of partition pruning).
+    manifest (or the pinned `generation`'s) once, then scan only immutable
+    generation dirs. Restricting `buckets` prunes at path level —
+    unrequested buckets are never listed, let alone read (the txtable form
+    of partition pruning).
 
     The plan is a union of one parquet scan per distinct generation (each
     with its own basePath so ``__bucket`` survives as a partition column).
     The leg count is bounded by min(n_buckets, generations since the last
     compaction) — `tx_compact` folds it back to 1."""
-    m = read_manifest(spark, root)
+    m = read_manifest(spark, root, generation=generation)
     if m is None:
         raise FileNotFoundError(f"no committed manifest under {root}")
     by_gen: dict[str, list[int]] = {}
@@ -174,22 +250,21 @@ def _snapshot_schema(spark: SparkSession, root: str, m: dict):
     return spark.read.option("basePath", base).parquet(f"{base}/__bucket={int(b_str)}").schema
 
 
-def tx_upsert(
+def _prepare_upsert(
     batch: DataFrame,
     root: str,
     keys: list[str],
     on_match: str = "update",
     n_buckets: int = DEFAULT_BUCKETS,
     merge_fn=None,
-) -> list[int]:
-    """MERGE `batch` into the manifest-pointer table at `root`; returns the
-    touched bucket list. Same merge semantics and O(batch + touched
-    partitions) cost as `plans/merge.partitioned_upsert` — but the commit
-    is a fresh generation dir + an atomic manifest rename, so concurrent
-    readers always see a complete before- or after-state, never the
-    half-swapped partition mix of an in-place dynamic overwrite."""
+) -> tuple[dict, str, list[int]]:
+    """Stage a MERGE commit WITHOUT publishing it: write the merged
+    touched buckets into a fresh uniquely-named generation dir and return
+    ``(manifest, gen_dir_path, touched_buckets)``. Nothing another writer
+    or reader does can observe or disturb the staged data — publication
+    is the separate `_publish` step. Split out so tests can interleave
+    two genuinely concurrent writers around the publish point."""
     spark = batch.sparkSession
-    tx_recover(spark, root)
     batch = batch.withColumn("__bucket", bucket_expr(keys, n_buckets))
     if merge_fn is None:
         batch = batch.dropDuplicates(keys)
@@ -215,8 +290,8 @@ def tx_upsert(
             existing = tx_read(spark, root, buckets=touched, drop_bucket=False)
             merged = apply_merge_rule(existing, batch, keys, on_match, merge_fn)
             new_buckets = dict(m["buckets"])
-        gen_dir = _gen_path(root, next_n)
-        gen_name = f"{_GEN_PREFIX}{next_n:08d}"
+        gen_name = _new_gen_name(next_n)
+        gen_dir = f"{root.rstrip('/')}/{gen_name}"
         # cluster by bucket so each partition dir gets ~1 file per commit
         # (same small-file discipline as merge._write_bucketed)
         merged.repartition(F.col("__bucket")).write.partitionBy("__bucket").mode(
@@ -224,14 +299,48 @@ def tx_upsert(
         ).parquet(gen_dir)
         for b in touched:
             new_buckets[str(b)] = gen_name
-        _commit_manifest(
-            spark,
-            root,
-            {"generation": next_n, "n_buckets": n_buckets, "buckets": new_buckets},
-        )
-        return touched
+        manifest = {
+            "generation": next_n,
+            "n_buckets": n_buckets,
+            "buckets": new_buckets,
+        }
+        return manifest, gen_dir, touched
     finally:
         batch.unpersist()
+
+
+def _publish(spark: SparkSession, root: str, manifest: dict, gen_dir: str) -> None:
+    """Publish a staged commit. On `TxConflict` the loser deletes ITS OWN
+    uniquely-named generation dir (never the winner's) and re-raises."""
+    try:
+        _commit_manifest(spark, root, manifest)
+    except TxConflict:
+        fs_delete(spark, gen_dir)
+        raise
+
+
+def tx_upsert(
+    batch: DataFrame,
+    root: str,
+    keys: list[str],
+    on_match: str = "update",
+    n_buckets: int = DEFAULT_BUCKETS,
+    merge_fn=None,
+) -> list[int]:
+    """MERGE `batch` into the manifest-pointer table at `root`; returns the
+    touched bucket list. Same merge semantics and O(batch + touched
+    partitions) cost as `plans/merge.partitioned_upsert` — but the commit
+    is a fresh uniquely-named generation dir + an atomic manifest rename,
+    so concurrent readers always see a complete before- or after-state,
+    never the half-swapped partition mix of an in-place dynamic overwrite,
+    and a conflicting writer cleans up only its own staging dir."""
+    spark = batch.sparkSession
+    tx_recover(spark, root)
+    manifest, gen_dir, touched = _prepare_upsert(
+        batch, root, keys, on_match=on_match, n_buckets=n_buckets, merge_fn=merge_fn
+    )
+    _publish(spark, root, manifest, gen_dir)
+    return touched
 
 
 def tx_compact(spark: SparkSession, root: str) -> int:
@@ -247,71 +356,90 @@ def tx_compact(spark: SparkSession, root: str) -> int:
         raise FileNotFoundError(f"no committed manifest under {root}")
     next_n = m["generation"] + 1
     full = tx_read(spark, root, drop_bucket=False)
+    gen_name = _new_gen_name(next_n)
+    gen_dir = f"{root.rstrip('/')}/{gen_name}"
     full.repartition(F.col("__bucket")).write.partitionBy("__bucket").mode(
         "overwrite"
-    ).parquet(_gen_path(root, next_n))
-    gen_name = f"{_GEN_PREFIX}{next_n:08d}"
+    ).parquet(gen_dir)
     buckets = {b: gen_name for b in m["buckets"]}
-    _commit_manifest(
+    _publish(
         spark,
         root,
         {"generation": next_n, "n_buckets": m["n_buckets"], "buckets": buckets},
+        gen_dir,
     )
     return next_n
 
 
-def tx_recover(spark: SparkSession, root: str) -> list[str]:
-    """Garbage-collect a crashed or conflicted commit: delete generation
-    dirs numbered ABOVE the current manifest (written but never published)
-    and stray temp manifests. Never touches published state; safe to run
-    at every commit start. Returns the deleted paths."""
-    cur = current_manifest_number(spark, root)
+def tx_recover(
+    spark: SparkSession, root: str, grace_seconds: float = DEFAULT_GRACE_SECONDS
+) -> list[str]:
+    """Garbage-collect dead commits: delete generation dirs that NO
+    manifest references AND whose modification time is older than
+    `grace_seconds`, plus stray temp manifests past the same age. The
+    unreferenced-check means a published generation is never touched; the
+    age check means another writer's in-flight (written-but-not-yet-
+    published) staging dir is never touched either — so this IS safe to
+    run at every commit start, even with concurrent writers. Returns the
+    deleted paths."""
+    now = time.time()
+    referenced = _referenced_gen_names(spark, root)
     removed: list[str] = []
     for name in _list_names(spark, root):
-        if name.startswith(_GEN_PREFIX) and name[len(_GEN_PREFIX):].isdigit():
-            if cur is None or int(name[len(_GEN_PREFIX):]) > cur:
-                path = f"{root.rstrip('/')}/{name}"
-                fs_delete(spark, path)
-                removed.append(path)
-    for name in _list_names(spark, _manifest_dir(root)):
-        if name.startswith(".tmp-"):
-            path = f"{_manifest_dir(root)}/{name}"
+        if _parse_gen(name) is None or name in referenced:
+            continue
+        path = f"{root.rstrip('/')}/{name}"
+        if now - _fs_mtime(spark, path) >= grace_seconds:
             fs_delete(spark, path)
             removed.append(path)
+    mdir = _manifest_dir(root)
+    for name in _list_names(spark, mdir):
+        if name.startswith(".tmp-"):
+            path = f"{mdir}/{name}"
+            if now - _fs_mtime(spark, path) >= grace_seconds:
+                fs_delete(spark, path)
+                removed.append(path)
     return removed
 
 
 def tx_vacuum(
-    spark: SparkSession, root: str, keep_manifests: int = 2
+    spark: SparkSession,
+    root: str,
+    keep_manifests: int = 2,
+    grace_seconds: float = DEFAULT_GRACE_SECONDS,
 ) -> list[str]:
-    """Delete generation dirs no manifest in the retained window references
-    and manifests older than the last `keep_manifests`. The retained
-    window is the reader grace period: a reader that resolved any of the
-    last `keep_manifests` snapshots still finds every file it resolved.
+    """Delete generation dirs no retained manifest references and
+    manifests older than the last `keep_manifests`. The retained window
+    is the reader grace period: a reader that resolved any of the last
+    `keep_manifests` snapshots still finds every file it resolved.
+
+    Two classes of dead dirs, two rules:
+    - referenced only by manifests being pruned → provably superseded
+      published data: deleted immediately;
+    - referenced by NO manifest at all → crashed/conflicted commit OR an
+      in-flight writer's staging dir: deleted only past `grace_seconds`
+      (same rule as `tx_recover`).
     Returns the deleted paths."""
     cur = current_manifest_number(spark, root)
     if cur is None:
         return []
     keep_from = cur - max(keep_manifests - 1, 0)
     live: set[str] = set()
+    superseded: set[str] = set()
     mdir = _manifest_dir(root)
-    kept_manifests: list[int] = []
     for name in _list_names(spark, mdir):
         if name.endswith(".json") and name[:-5].isdigit():
             n = int(name[:-5])
-            if n >= keep_from:
-                kept_manifests.append(n)
-                m = json.loads(fs_read_text(spark, f"{mdir}/{n:08d}.json"))
-                live.update(m["buckets"].values())
+            m = json.loads(fs_read_text(spark, f"{mdir}/{name[:-5]}.json"))
+            (live if n >= keep_from else superseded).update(m["buckets"].values())
+    superseded -= live
+    now = time.time()
     removed: list[str] = []
     for name in _list_names(spark, root):
-        if (
-            name.startswith(_GEN_PREFIX)
-            and name[len(_GEN_PREFIX):].isdigit()
-            and name not in live
-            and int(name[len(_GEN_PREFIX):]) <= cur
-        ):
-            path = f"{root.rstrip('/')}/{name}"
+        if _parse_gen(name) is None or name in live:
+            continue
+        path = f"{root.rstrip('/')}/{name}"
+        if name in superseded or now - _fs_mtime(spark, path) >= grace_seconds:
             fs_delete(spark, path)
             removed.append(path)
     for name in _list_names(spark, mdir):

@@ -57,12 +57,13 @@ def test_tx_commit_is_o_batch(spark, tmp_path):
     one = spark.createDataFrame([(3, 7)], "k long, val long")
     touched = TX.tx_upsert(one, root, ["k"], n_buckets=8)
     assert len(touched) == 1
-    gen2 = TX._gen_path(root, 2)
-    names = [n for n in TX._list_names(spark, gen2) if n.startswith("__bucket=")]
-    assert names == [f"__bucket={touched[0]}"]
     m = TX.read_manifest(spark, root)
     gens = set(m["buckets"].values())
-    assert gens == {"gen-00000001", "gen-00000002"}
+    assert {TX._parse_gen(g) for g in gens} == {1, 2}
+    (gen2_name,) = [g for g in gens if TX._parse_gen(g) == 2]
+    gen2 = f"{root}/{gen2_name}"
+    names = [n for n in TX._list_names(spark, gen2) if n.startswith("__bucket=")]
+    assert names == [f"__bucket={touched[0]}"]
     rows = {r.k: r.val for r in TX.tx_read(spark, root).collect()}
     assert rows[3] == 7 and len(rows) == 64
 
@@ -146,7 +147,8 @@ def test_tx_reader_isolated_during_compaction(spark, tmp_path):
         t.join()
     assert not errors
     m = TX.read_manifest(spark, root)
-    assert set(m["buckets"].values()) == {"gen-00000004"}
+    gens = set(m["buckets"].values())
+    assert len(gens) == 1 and TX._parse_gen(next(iter(gens))) == 4
     # pre-compaction generations survive until an explicit vacuum
     assert TX.current_manifest_number(spark, root) == 4
     assert TX.tx_read(spark, root).count() == n
@@ -154,19 +156,57 @@ def test_tx_reader_isolated_during_compaction(spark, tmp_path):
 
 def test_tx_recover_cleans_orphan_generation(spark, tmp_path):
     """Crash between the generation write and the manifest rename leaves
-    an orphan gen dir; recover deletes it and the table stays at the last
-    published snapshot."""
+    an orphan (unreferenced) gen dir. Recover deletes it ONLY past the
+    grace period — within grace it is indistinguishable from an in-flight
+    writer's staging dir and must survive."""
     root = str(tmp_path / "t")
     TX.tx_upsert(_mk(spark, 20, 1), root, ["k"], n_buckets=4)
-    # simulate the crash: write gen-2 but never publish manifest 2
+    # simulate the crash: write a gen-2 staging dir but never publish
+    orphan = f"{root}/{TX._new_gen_name(2)}"
     _mk(spark, 20, 2).withColumn("__bucket", F.lit(0)).write.partitionBy(
         "__bucket"
-    ).parquet(TX._gen_path(root, 2))
+    ).parquet(orphan)
     assert {r.val for r in TX.tx_read(spark, root).collect()} == {1}
-    removed = TX.tx_recover(spark, root)
-    assert removed == [TX._gen_path(root, 2)]
+    # within the grace period the dir could be another writer's in-flight
+    # commit: recover must leave it alone
+    assert TX.tx_recover(spark, root) == []
+    assert TX.fs_exists(spark, orphan)
+    # past the grace period it is provably dead: collected
+    removed = TX.tx_recover(spark, root, grace_seconds=0)
+    assert removed == [orphan]
+    assert not TX.fs_exists(spark, orphan)
     # the next commit reuses generation number 2 cleanly
     TX.tx_upsert(_mk(spark, 20, 3), root, ["k"], n_buckets=4)
+    assert {r.val for r in TX.tx_read(spark, root).collect()} == {3}
+
+
+def test_tx_two_concurrent_writers(spark, tmp_path):
+    """Two writers racing from the same manifest: each stages into its OWN
+    uniquely-named generation dir, the winner publishes, the loser's
+    staged data SURVIVES the winner's whole commit (including the
+    recover pass at commit start) and is deleted only by the loser's own
+    TxConflict cleanup — never the winner's data (the round-5 verdict's
+    shared-gen-dir clobber hazard)."""
+    root = str(tmp_path / "t")
+    TX.tx_upsert(_mk(spark, 40, 0), root, ["k"], n_buckets=4)
+    # writer A stages (data fully written, not yet published)
+    man_a, dir_a, _ = TX._prepare_upsert(_mk(spark, 40, 1), root, ["k"], n_buckets=4)
+    assert TX.fs_exists(spark, dir_a)
+    # writer B runs a COMPLETE commit for the same generation number —
+    # its commit-start recover must not collect A's in-flight staging dir
+    TX.tx_upsert(_mk(spark, 40, 2), root, ["k"], n_buckets=4)
+    assert TX.current_manifest_number(spark, root) == 2
+    assert TX.fs_exists(spark, dir_a), "winner's recover deleted loser's in-flight data"
+    # loser publishes: clean TxConflict, loser's dir self-collected,
+    # winner's published snapshot untouched
+    with pytest.raises(TX.TxConflict):
+        TX._publish(spark, root, man_a, dir_a)
+    assert not TX.fs_exists(spark, dir_a)
+    assert {r.val for r in TX.tx_read(spark, root).collect()} == {2}
+    m = TX.read_manifest(spark, root)
+    assert all(TX._parse_gen(g) in (1, 2) for g in m["buckets"].values())
+    # table remains fully usable afterwards
+    TX.tx_upsert(_mk(spark, 40, 3), root, ["k"], n_buckets=4)
     assert {r.val for r in TX.tx_read(spark, root).collect()} == {3}
 
 
@@ -192,9 +232,10 @@ def test_tx_vacuum_retention(spark, tmp_path):
         TX.tx_upsert(_mk(spark, 40, v), root, ["k"], n_buckets=4)
     removed = TX.tx_vacuum(spark, root, keep_manifests=2)
     # manifests 3,4 retained -> gens 3,4 live; gens 1,2 + manifests 1,2 go
-    names = set(TX._list_names(spark, root))
-    assert "gen-00000001" not in names and "gen-00000002" not in names
-    assert "gen-00000003" in names and "gen-00000004" in names
+    # (gens 1,2 were referenced by the pruned manifests => provably
+    # superseded published data, deleted with no grace period needed)
+    left = {TX._parse_gen(n) for n in TX._list_names(spark, root) if TX._parse_gen(n)}
+    assert left == {3, 4}
     mnames = set(TX._list_names(spark, TX._manifest_dir(root)))
     assert mnames == {"00000003.json", "00000004.json"}
     assert len(removed) == 4
