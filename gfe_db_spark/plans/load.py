@@ -60,13 +60,36 @@ class GraphTables:
 
     @staticmethod
     def load(spark: SparkSession, path: str) -> "GraphTables":
-        from gfe_db_spark.plans.merge import read_bucketed
+        """Load the accumulated graph. Layout is auto-detected: a
+        `_graph_manifests` child marks the reader-isolated two-level
+        manifest layout (`upsert_graph(layout="tx")`) — ONE graph-manifest
+        read pins every table to the generation the same load committed,
+        so the snapshot is consistent ACROSS tables, not just within each
+        (a reader polling during a release load sees the whole graph
+        before the load or the whole graph after it, the isolation the
+        reference gets from Neo4j transactions, ref load.cyp:9). Without
+        it, the in-place bucketed layout (plans/merge.py) is read live."""
+        from gfe_db_spark.plans.merge import fs_exists, read_bucketed
+        from gfe_db_spark.plans.txtable import latest_numbered_json, tx_read
 
-        kwargs = {
-            f.name: read_bucketed(spark, os.path.join(path, f.name))
-            for f in fields(GraphTables)
-        }
-        return GraphTables(**kwargs)
+        _n, gdoc = latest_numbered_json(spark, _graph_manifest_dir(path))
+        if gdoc is not None:
+            return GraphTables(**{
+                f.name: tx_read(
+                    spark,
+                    os.path.join(path, f.name),
+                    generation=gdoc["tables"][f.name],
+                )
+                for f in fields(GraphTables)
+            })
+
+        def load_one(name: str) -> DataFrame:
+            tpath = os.path.join(path, name)
+            if fs_exists(spark, os.path.join(tpath, "_manifests")):
+                return tx_read(spark, tpath)
+            return read_bucketed(spark, tpath)
+
+        return GraphTables(**{f.name: load_one(f.name) for f in fields(GraphTables)})
 
 
 def _dedup_first(df: DataFrame, keys: list[str], order: list) -> DataFrame:
@@ -222,14 +245,48 @@ MERGE_RULES: dict[str, tuple[list[str], str]] = {
 }
 
 
-def upsert_graph(new: GraphTables, graph_path: str, n_buckets: int = 16) -> dict[str, list[int]]:
+def _graph_manifest_dir(graph_path: str) -> str:
+    return os.path.join(graph_path, "_graph_manifests")
+
+
+def upsert_graph(
+    new: GraphTables,
+    graph_path: str,
+    n_buckets: int = 16,
+    layout: str = "inplace",
+) -> dict[str, list[int]]:
     """Commit one release's graph tables into the on-disk accumulated graph
-    via the partition-pruned MERGE substrate (plans/merge.py): each table
-    is hash-bucketed on its merge key and only the buckets this release
-    touches are read and rewritten — commit cost is O(release), not
-    O(accumulated graph). Semantics per table = merge_graphs (same rules,
-    disk-backed). Returns touched buckets per table."""
+    via the partition-pruned MERGE substrate: each table is hash-bucketed
+    on its merge key and only the buckets this release touches are read
+    and rewritten — commit cost is O(release), not O(accumulated graph).
+    Semantics per table = merge_graphs (same rules, disk-backed). Returns
+    touched buckets per table.
+
+    `layout` picks the commit protocol, same merge semantics either way:
+    - ``"inplace"`` (default): `plans/merge.partitioned_upsert` — dynamic
+      partition overwrite of the live dirs; cheapest, but a reader
+      scanning DURING the commit can see a half-swapped partition mix.
+    - ``"tx"``: `plans/txtable.tx_upsert` — each table is a
+      manifest-pointer table; a commit lands in a fresh generation dir
+      published by an atomic manifest rename. On top, ONE graph-level
+      manifest (``_graph_manifests/N.json``) is published AFTER all 11
+      table commits, pinning each table to the generation this load
+      produced — `GraphTables.load` resolves through it, so a polling
+      reader sees the whole graph before the load or the whole graph
+      after it, never release N's nodes with release N-1's edges (the
+      cross-table atomicity the reference gets from Neo4j transactions,
+      ref load.cyp:9 `apoc.periodic.iterate`)."""
     from gfe_db_spark.plans.merge import partitioned_upsert
+    from gfe_db_spark.plans.txtable import (
+        current_manifest_number,
+        latest_numbered_json,
+        publish_numbered_json,
+        tx_upsert,
+    )
+
+    if layout not in ("inplace", "tx"):
+        raise ValueError(f"unknown graph layout {layout!r}")
+    do_upsert = tx_upsert if layout == "tx" else partitioned_upsert
 
     def releases_union(existing: DataFrame, batch: DataFrame) -> DataFrame:
         # __bucket = f(src, dst), so grouping by it alongside the keys is
@@ -249,10 +306,10 @@ def upsert_graph(new: GraphTables, graph_path: str, n_buckets: int = 16) -> dict
         keys, rule = MERGE_RULES[name]
         path = os.path.join(graph_path, name)
         if rule == "releases_union":
-            return name, partitioned_upsert(
+            return name, do_upsert(
                 df, path, keys, n_buckets=n_buckets, merge_fn=releases_union
             )
-        return name, partitioned_upsert(df, path, keys, on_match=rule, n_buckets=n_buckets)
+        return name, do_upsert(df, path, keys, on_match=rule, n_buckets=n_buckets)
 
     # the 11 table MERGEs are independent — run them as concurrent driver
     # jobs so the cluster pipelines them instead of paying 11 sequential
@@ -261,7 +318,23 @@ def upsert_graph(new: GraphTables, graph_path: str, n_buckets: int = 16) -> dict
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=8) as pool:
-        return dict(pool.map(commit_one, new.items()))
+        touched = dict(pool.map(commit_one, new.items()))
+
+    if layout == "tx":
+        # cross-table atomic publish: pin every table at the generation
+        # this load just committed; readers resolve the graph through
+        # this single pointer (see GraphTables.load)
+        spark = new.nodes_gfe.sparkSession
+        gens = {
+            name: current_manifest_number(spark, os.path.join(graph_path, name))
+            for name, _df in new.items()
+        }
+        gmdir = _graph_manifest_dir(graph_path)
+        n, _doc = latest_numbered_json(spark, gmdir)
+        publish_numbered_json(
+            spark, gmdir, (n or 0) + 1, {"generation": (n or 0) + 1, "tables": gens}
+        )
+    return touched
 
 
 def merge_graphs(old: GraphTables, new: GraphTables) -> GraphTables:

@@ -167,6 +167,8 @@ def run_incremental(
     state_path: str,
     registry_path: str,
     graph_path: str,
+    layout: str = "inplace",
+    n_buckets: int = 16,
     **build_kwargs,
 ) -> PipelineResult:
     """The whole orchestrator: detect → guard → (build → load → commit)*.
@@ -174,7 +176,14 @@ def run_incremental(
     Loads are serialized (ST6 MaxConcurrency=1 for loads) because the graph
     merge and the accession registry are stateful; builds inside one release
     are fully partition-parallel. Replaying a committed release is a no-op
-    (ST3: MERGE idempotence + watermark skip)."""
+    (ST3: MERGE idempotence + watermark skip).
+
+    `layout="tx"` commits each graph table through the reader-isolated
+    manifest-pointer protocol (plans/txtable.py): a reader polling the
+    graph DURING a release load always sees one complete before/after
+    snapshot — the isolation the reference gets from Neo4j transactions
+    (ref load.cyp:9). Default "inplace" keeps the cheaper
+    dynamic-overwrite commit for single-reader deployments."""
     state = ReleaseState.load(state_path)
     new = detect_new_releases(available_releases, state)
 
@@ -207,7 +216,12 @@ def run_incremental(
         # buckets this release touches (plans/merge.py), not the whole
         # accumulated graph. Commit order = data first, then state
         # (crash-safe: a replayed release re-MERGEs idempotently, ST3).
-        upsert_graph(load_release(spark, tables, release), graph_path)
+        upsert_graph(
+            load_release(spark, tables, release),
+            graph_path,
+            n_buckets=n_buckets,
+            layout=layout,
+        )
         graph = GraphTables.load(spark, graph_path)
         post = validation_snapshot(graph)
         if not load_invariants_ok(pre, post):

@@ -139,17 +139,27 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
 
 
 def foreach_batch_upsert(
-    stream_df: DataFrame, target_path: str, keys: list[str], n_buckets: int = 32
+    stream_df: DataFrame,
+    target_path: str,
+    keys: list[str],
+    n_buckets: int = 32,
+    layout: str = "inplace",
 ):
     """ST3: exactly-once-ish idempotent sink — per micro-batch MERGE into a
-    key-bucketed parquet target (plans/merge.partitioned_upsert): only the
-    partitions whose buckets the batch touches are read and rewritten, so
-    sink cost is O(batch), not O(table). Delta MERGE INTO would replace
-    this body unchanged on a Delta-enabled cluster."""
+    key-bucketed parquet target: only the partitions whose buckets the
+    batch touches are read and rewritten, so sink cost is O(batch), not
+    O(table). `layout="tx"` routes each micro-batch commit through the
+    reader-isolated manifest-pointer protocol (plans/txtable.tx_upsert):
+    concurrent readers of the sink table always resolve one complete
+    snapshot, never a half-swapped partition mix. Delta MERGE INTO would
+    replace this body unchanged on a Delta-enabled cluster."""
     from gfe_db_spark.plans.merge import partitioned_upsert
+    from gfe_db_spark.plans.txtable import tx_upsert
+
+    do_upsert = tx_upsert if layout == "tx" else partitioned_upsert
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
-        partitioned_upsert(batch_df, target_path, keys, on_match="update", n_buckets=n_buckets)
+        do_upsert(batch_df, target_path, keys, on_match="update", n_buckets=n_buckets)
 
     return stream_df.writeStream.foreachBatch(upsert).outputMode("update")
 
