@@ -258,10 +258,15 @@ def neardup_components(
     representative (min id per md5(text) class, via a digest-keyed window)
     before any shingle work, and components computed over representatives
     broadcast back to all members through the class mapping. Semantics are
-    unchanged — exact duplicates have Jaccard 1 ≥ any threshold, so the
-    member graph is exactly the quotient blow-up of the representative
-    graph, and the component min over members equals the component min
-    over representatives (each rep IS its class min). What changes is
+    unchanged — exact duplicates with ≥ n tokens have Jaccard 1 ≥ any
+    threshold, so the member graph is exactly the quotient blow-up of the
+    representative graph, and the component min over members equals the
+    component min over representatives (each rep IS its class min). Docs
+    the Jaccard graph cannot connect — NULL text, or fewer than n tokens
+    (zero shingles ⇒ never pair, each its own component) — are EXCLUDED
+    from the gate and kept as singleton classes: collapsing them would
+    merge docs the ungated graph keeps apart (the round-5 advice
+    finding). What changes is
     cost: a corpus with k copies of a text contributes ONE row to the
     shingle self-join instead of k — without the gate, k copies put k²
     rows in every shared-shingle bucket and the pair groupBy goes
@@ -275,9 +280,17 @@ def neardup_components(
 
     from gfe_db_spark.plans.graph_algos import connected_components
 
+    gate_eligible = F.col("text").isNotNull() & (
+        F.size(F.split(F.col("text"), "\\s+")) >= n
+    )
     cls = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-    ).withColumn("rep_id", F.min("doc_id").over(W.partitionBy(F.md5(F.col("text")))))
+    ).withColumn(
+        "rep_id",
+        F.when(
+            gate_eligible, F.min("doc_id").over(W.partitionBy(F.md5(F.col("text"))))
+        ).otherwise(F.col("doc_id")),
+    )
     reps = cls.filter(F.col("doc_id") == F.col("rep_id"))
     pairs = ngram_jaccard_pairs(
         shingles(reps, n=n), threshold=threshold, max_bucket_size=max_bucket_size
@@ -426,26 +439,34 @@ def simhash_hamming_pairs(
     # Expand signature-class pairs back to doc pairs. Each unordered doc
     # pair is produced exactly once (a class pair maps 1:1 to an unordered
     # sig pair; within-class pairs have equal sigs, cross-class unequal),
-    # so no final distinct() is needed — cheaper than the pre-gate plan,
-    # which emitted each pair once per agreeing block.
+    # so no final distinct() is needed. Both legs derive from ONE grouped
+    # member list per class — a single shuffle of the member rows, by sig
+    # — replacing the r5 plan's two full member-table joins plus a member
+    # self-join (the round-5 verdict's avoidable-exchange question): the
+    # within leg is pure generator expansion (explode×2, no join at all)
+    # and the cross joins carry one array row per class, not one row per
+    # member.
+    cls_members = members.groupBy("sig").agg(F.collect_list("doc_id").alias("ids"))
     cross = (
-        rep_pairs.join(members.select(F.col("doc_id").alias("_xa"), F.col("sig").alias("sig_a")), "sig_a")
-        .join(members.select(F.col("doc_id").alias("_xb"), F.col("sig").alias("sig_b")), "sig_b")
+        rep_pairs.join(
+            cls_members.withColumnsRenamed({"sig": "sig_a", "ids": "ids_a"}), "sig_a"
+        )
+        .join(
+            cls_members.withColumnsRenamed({"sig": "sig_b", "ids": "ids_b"}), "sig_b"
+        )
+        .select("hamming", F.explode("ids_a").alias("_xa"), "ids_b")
+        .select("hamming", "_xa", F.explode("ids_b").alias("_xb"))
         .select(
             F.least("_xa", "_xb").alias("doc_a"),
             F.greatest("_xa", "_xb").alias("doc_b"),
             "hamming",
         )
     )
-    m, n = members.alias("m"), members.alias("n")
     within = (
-        m.join(n, "sig")
-        .filter(F.col("m.doc_id") < F.col("n.doc_id"))
-        .select(
-            F.col("m.doc_id").alias("doc_a"),
-            F.col("n.doc_id").alias("doc_b"),
-            F.lit(0).cast("int").alias("hamming"),
-        )
+        cls_members.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(0).cast("int").alias("hamming"))
     )
     return cross.unionByName(within)
 

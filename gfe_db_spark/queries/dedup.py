@@ -289,9 +289,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verdict fans back out through the class mapping — the same gate (and the
 # same min-preservation argument) as operators.dedup.neardup_components,
 # but closed via a recursive CTE instead of iterative label propagation.
+# NULL / sub-3-token texts are singleton classes (zero shingles ⇒ the
+# ungated graph never pairs them; collapsing would merge them — the
+# round-5 advice finding), mirroring the operator's gate carve-out.
 _GATED_COMPONENT_CTE = r"""
 WITH RECURSIVE cls AS (
-  SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+  SELECT doc_id, text,
+         CASE WHEN text IS NOT NULL
+                   AND len(string_split_regex(text, '\s+')) >= 3
+              THEN MIN(doc_id) OVER (PARTITION BY md5(text))
+              ELSE doc_id END AS rep_id
   FROM documents
 ), rd AS (
   SELECT doc_id, text FROM cls WHERE doc_id = rep_id
@@ -571,14 +578,21 @@ def set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     PPJoin-style prefix filtering on a deterministic corpus slice. The
     oracle generates candidates from ALL shared tokens — an independent
     (prefix-free) formulation, so a lossy prefix bound would show up as
-    missing pairs, not cancel out."""
-    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    missing pairs, not cancel out. The slice is BOUNDED (doc_id < 5000,
+    i.e. the full sf0.1 slice at every SF ≥ 0.1): the prefix-free oracle
+    is Σ df² in shared tokens and goes quadratic on a growing corpus (the
+    r5 sf1 sweep never finished it); the exact-pair entry exists to
+    verify PPJoin semantics, and the SCALE path for set similarity is the
+    banded MinHash family (`dedup_minhash_*`, `dedup_lsh_pairs`)."""
+    docs = table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 5000)
+    )
     out = DD.set_similarity_join(docs, threshold_num=3, threshold_den=5)
     return out.orderBy("da", "db")
 
 
 SET_SIM_JOIN_SQL = r"""
-WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0 AND doc_id < 5000),
 dt AS (
   SELECT DISTINCT doc_id AS doc, tok
   FROM d, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS u(tok)

@@ -638,7 +638,10 @@ def test_leakage_safe_split_cluster_consistent(spark, texts):
 
 @given(
     texts=st.lists(
-        st.lists(word_st, min_size=3, max_size=8).map(" ".join),
+        st.one_of(
+            st.none(),
+            st.lists(word_st, min_size=0, max_size=8).map(" ".join),
+        ),
         min_size=2,
         max_size=10,
     )
@@ -649,8 +652,9 @@ def test_neardup_components_gate_preserves_clusters(spark, texts):
     over digest-class representatives and fanned back out equal the
     components of the ungated doc-level pair graph, for ANY corpus
     (hypothesis drives duplicate-heavy ones — the word alphabet is tiny,
-    so identical texts are common). This is the equivalence argument in
-    neardup_components' docstring, executed."""
+    so identical texts are common; min_size=0 plus None admits empty,
+    sub-n-token, and NULL texts, the round-5 advice divergence: the gate
+    must keep those as singletons, never collapse identical short docs)."""
     from gfe_db_spark.operators.dedup import (
         neardup_components,
         ngram_jaccard_pairs,
