@@ -210,9 +210,14 @@ ANN_LSH_SQL = _lsh_bucket_sql()
 
 def ann_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide approximate k-NN join: top-3 bucket-mate neighbors per
-    vector (sign-LSH, 6 planes, 1-bit multi-probe)."""
+    vector (sign-LSH, 8 planes, 1-bit multi-probe). Plane count is the
+    candidate-cost dial: pairs ≈ N·(probes)·(N/2^planes), so planes must
+    grow with log₂(N) to hold per-vector candidate cost flat — at the r5
+    sweep's sf1 (20k vectors) the 6-plane setting put ~300 mates in every
+    bucket and the entry took 1009 s; 8 planes bounds it ~4× tighter. A
+    100-TB deployment sizes planes so 2^planes ≈ N/target_bucket."""
     emb = table(spark, sf_dir, "embeddings")
-    return SIM.ann_topk_join(emb, k=3, n_planes=6, probe_bits=1).orderBy("vec_id", "rank")
+    return SIM.ann_topk_join(emb, k=3, n_planes=8, probe_bits=1).orderBy("vec_id", "rank")
 
 
 def _ann_topk_sql(k: int = 3, n_planes: int = 6, probe_bits: int = 1) -> str:
@@ -240,7 +245,7 @@ ORDER BY vec_id, rank
 """
 
 
-ANN_TOPK_SQL = _ann_topk_sql()
+ANN_TOPK_SQL = _ann_topk_sql(n_planes=8)
 
 
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -283,21 +288,35 @@ ORDER BY vec_id
 """
 
 
-def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup: cluster embeddings with the
-    deterministic DataFrame k-means (ivf_train), then mark near-duplicates
-    ONLY within each cluster — every vector whose cosine to a lower-id
-    cluster-mate reaches the threshold is pruned. The expensive pairwise
-    step is an equi-join on centroid_id, so its cost is Σ|cluster|², never
-    N² (the SemDeDup scaling argument: k grows with the corpus, clusters
-    stay bounded). Oracle: the same unrolled-Lloyd CTE chain as
-    knn_ivf_trained, then the identical within-cluster pair scan in SQL."""
-    from gfe_db_spark.operators.dedup import cosine
+#: hard pair-cost bound for SemDeDup: only the `MAX_CLUSTER_SIZE`
+#: lowest-id members of a cluster act as the reference (a) side, so a
+#: cluster of size s costs s·min(s, cap) cosine pairs instead of s² —
+#: linear in corpus size for fixed cap (the sf1 sweep's 282 s wall was
+#: this query's Σ|cluster|² with 20 k vectors over k=4 clusters). Clusters
+#: at or under the cap are pruned EXACTLY as before; above it, a vector is
+#: pruned iff it matches one of the cap-sized head (a recall/cost trade —
+#: in the mass-duplication case that makes a cluster hot, the head is
+#: dominated by the duplicates themselves, so tail dups still prune). The
+#: oracle applies the identical head rule, so parity holds even when the
+#: cap binds.
+MAX_CLUSTER_SIZE = 1024
 
-    emb = table(spark, sf_dir, "embeddings")
-    cents = SIM.ivf_train(emb, k=4, iters=2)
-    assigned = SIM.ivf_assign(emb, cents)
-    a = assigned.select(
+
+def cluster_head_pairs(
+    assigned: DataFrame, max_cluster_size: int | None = MAX_CLUSTER_SIZE
+) -> DataFrame:
+    """Capped within-cluster candidate pairs (centroid_id, id_a, va,
+    id_b, vb): the a-side is the cluster's `max_cluster_size`-member head
+    (row_number by vec_id), so a cluster of size s yields ≤ s·cap pairs.
+    Exposed so the planted hot-cluster test can count pairs directly."""
+    from pyspark.sql.window import Window as W
+
+    a = assigned.withColumn(
+        "__rk", F.row_number().over(W.partitionBy("centroid_id").orderBy("vec_id"))
+    )
+    if max_cluster_size is not None:
+        a = a.filter(F.col("__rk") <= max_cluster_size)
+    a = a.select(
         "centroid_id",
         F.col("vec_id").alias("id_a"),
         F.col("embedding").cast("array<double>").alias("va"),
@@ -307,9 +326,27 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id_b"),
         F.col("embedding").cast("array<double>").alias("vb"),
     )
+    return a.join(b, "centroid_id").filter(F.col("id_a") < F.col("id_b"))
+
+
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster embeddings with the
+    deterministic DataFrame k-means (ivf_train), then mark near-duplicates
+    ONLY within each cluster — every vector whose cosine to a lower-id
+    cluster-mate (restricted to the cluster's `MAX_CLUSTER_SIZE`-member
+    head) reaches the threshold is pruned. The expensive pairwise step is
+    an equi-join on centroid_id, so its cost is Σ|cluster|·cap, never N²
+    (the SemDeDup scaling argument: k grows with the corpus, clusters stay
+    bounded — and the cap holds the line when they don't). Oracle: the
+    same unrolled-Lloyd CTE chain as knn_ivf_trained, then the identical
+    capped within-cluster pair scan in SQL."""
+    from gfe_db_spark.operators.dedup import cosine
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = SIM.ivf_train(emb, k=4, iters=2)
+    assigned = SIM.ivf_assign(emb, cents)
     pruned = (
-        a.join(b, "centroid_id")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cluster_head_pairs(assigned)
         .filter(F.round(cosine(F.col("va"), F.col("vb")), 9) >= 0.44)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
@@ -346,11 +383,18 @@ WITH c0 AS (
            ) AS rn
     FROM embeddings e CROSS JOIN c2 c
   ) WHERE rn = 1
+), heads AS (
+  SELECT vec_id, embedding, centroid_id,
+         row_number() OVER (PARTITION BY centroid_id ORDER BY vec_id) AS rk
+  FROM assigned
 ), pruned AS (
   SELECT DISTINCT b.vec_id
-  FROM assigned a JOIN assigned b
+  FROM heads a JOIN assigned b
     ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+  WHERE a.rk <= """
+    + str(MAX_CLUSTER_SIZE)
+    + """
+    AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])), 9) >= 0.44
 )
 SELECT s.vec_id, s.centroid_id, (p.vec_id IS NOT NULL) AS pruned

@@ -1553,3 +1553,71 @@ def test_association_rules_hand_computed_lift(spark, tmp_path):
     r = got[0]
     assert (r.part_a, r.part_b, r.n_ab) == (10, 20, 3)
     assert (r.support, r.confidence, r.lift) == (0.75, 0.75, 1.0)
+
+
+def test_entity_match_hot_block_pair_cost_is_capped(spark):
+    """Planted degenerate blocking key (every row in ONE block): the
+    candidate-pair count must be bounded by n·cap, not n² — the round-5
+    verdict's first-casualty-at-100× guard for entity_match_blocking.
+    At or under the cap the head×all scheme generates EXACTLY the full
+    a<b pair set, so the cap is invisible on well-blocked data."""
+    from gfe_db_spark.queries.warehouse import blocked_match_pairs
+
+    n, cap = 50, 8
+    rows = [(i, f"name-{i:04d}", "hot") for i in range(n)]
+    df = spark.createDataFrame(rows, "k long, name string, block string")
+    capped = blocked_match_pairs(df, max_dist=10**6, max_block_size=cap)
+    # head ids 0..cap-1; pairs (a, b) with a in head, a < b
+    expect = sum(n - 1 - a for a in range(cap))
+    assert capped.count() == expect
+    assert expect <= n * cap
+    # cap >= block size → identical to the uncapped full pair set
+    full = blocked_match_pairs(df, max_dist=10**6, max_block_size=None)
+    assert full.count() == n * (n - 1) // 2
+    wide = blocked_match_pairs(df, max_dist=10**6, max_block_size=n)
+    assert wide.count() == n * (n - 1) // 2
+
+
+def test_semdedup_hot_cluster_pair_cost_is_capped(spark):
+    """Planted hot cluster (every vector assigned to ONE centroid): the
+    within-cluster candidate count must be bounded by n·cap, not n² —
+    the round-5 verdict's guard for semdedup_prune (the sf1 sweep's 282 s
+    wall). Mass-duplication recall: identical vectors occupy the head,
+    so every tail duplicate still pairs with a head duplicate."""
+    from gfe_db_spark.queries.similarity import cluster_head_pairs
+
+    n, cap = 60, 8
+    rows = [(i, 0, [1.0, 0.0, float(i)]) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, centroid_id int, embedding array<double>"
+    )
+    capped = cluster_head_pairs(df, max_cluster_size=cap)
+    expect = sum(n - 1 - a for a in range(cap))
+    assert capped.count() == expect
+    assert expect <= n * cap
+    assert cluster_head_pairs(df, max_cluster_size=None).count() == n * (n - 1) // 2
+    # duplicates-dominate-the-head recall property: 10 identical vectors
+    # scattered over the id range; with cap=8 the head holds several of
+    # them, so every later copy still finds an exact match in the head
+    dup_ids = [0, 3, 6, 12, 20, 30, 40, 50, 55, 59]
+    # one-hot basis: non-dups are mutually orthogonal (cosine 0), dups all
+    # share the last axis (cosine 1) — no accidental near-parallels
+    def one_hot(j):
+        return [1.0 if p == j else 0.0 for p in range(n + 1)]
+
+    rows2 = [(i, 0, one_hot(n) if i in dup_ids else one_hot(i)) for i in range(n)]
+    df2 = spark.createDataFrame(
+        rows2, "vec_id long, centroid_id int, embedding array<double>"
+    )
+    from pyspark.sql import functions as SF
+
+    from gfe_db_spark.operators.dedup import cosine
+
+    hits = (
+        cluster_head_pairs(df2, max_cluster_size=cap)
+        .filter(SF.round(cosine(SF.col("va"), SF.col("vb")), 9) >= 0.99)
+        .select("id_b")
+        .distinct()
+        .collect()
+    )
+    assert {r.id_b for r in hits} == set(dup_ids) - {0}
