@@ -230,20 +230,29 @@ def run_cypher(graph: GraphTables, query: str) -> DataFrame:
         if not nm:
             raise ValueError(f"expected a node at …{pattern[pos:]!r}")
 
-    # normalize into find()'s typed form
+    # normalize into find()'s typed form. A user arrow that CONTRADICTS
+    # the schema's stored direction for the resolved edge type (e.g.
+    # `(:GFE)<-[]-(:Feature)` when the store holds GFE→Feature) is valid
+    # Cypher that simply matches nothing — compile the hop in the stored
+    # direction for a correct schema, then empty the result (the round-5
+    # advice fix: previously the wrong-direction hop mis-joined or threw).
     hops = []
+    contradicted = False
     for i, (etype, reversed_) in enumerate(edges):
         lvar, llab, _ = nodes[i]
         rvar, rlab, _ = nodes[i + 1]
         if etype is None:
-            etype, inferred_rev = _infer_edge_type(llab, rlab)
-            reversed_ = inferred_rev if reversed_ is None else reversed_
-        elif reversed_ is None:  # typed but undirected: stored direction
+            etype, stored_rev = _infer_edge_type(llab, rlab)
+        else:
             _t, src, _dst, _k = _EDGE_TABLE[etype]
-            reversed_ = src != llab
-        arrow = ("<-", "-") if reversed_ else ("-", "->")
+            stored_rev = src != llab
+        if reversed_ is not None and reversed_ != stored_rev:
+            contradicted = True
+        arrow = ("<-", "-") if stored_rev else ("-", "->")
         hops.append(f"({lvar}:{llab}){arrow[0]}[:{etype}]{arrow[1]}({rvar}:{rlab})")
     out = find(graph, "".join(hops))
+    if contradicted:
+        out = out.filter(F.lit(False))
 
     for var, _label, props in nodes:
         for key, val in props.items():

@@ -32,87 +32,28 @@ class QuerySpec:
 # earned driver-green rows in CORRECTNESS_r01.json (generic SQL forms and
 # the classic TPC-H suite).
 PRIORITY: tuple[str, ...] = (
-    # ---- Round-5 window: positions 1-39 are exactly the 39 registry
-    # entries that have never received a driver CORRECTNESS row (the
-    # round-3 additions that overflowed the ~50-slot window, plus the two
-    # late-r4 entries imgt_stream_scan / domain_cap_sample). All 39 are
-    # green in the judge's full sf0.01 oracle sweep and the pytest parity
-    # mirror; this rotation gives each a driver row of record, after
-    # which every one of the 185 registry entries has at least one
-    # driver-green CORRECTNESS row.
-    # streaming DataSource watcher (executed checkpoint restart)
-    "imgt_stream_scan",
-    # sampling / splits family
-    "domain_cap_sample",
-    "stratified_sample",
-    "fixed_k_per_group_sample",
+    # ---- Round-6 window, positions 1-~50. After the r5 rotation every
+    # registry entry has at least one driver-green row, so this window is
+    # (a) the round-6 additions and plan-changed entries first — each
+    # needs a fresh row of record on the NEW plan — then (b) the entries
+    # whose last driver row is oldest (r1-only), re-checked.
+    # (a) new this round: the reference docs' literal Cypher text through
+    # run_cypher (verdict item 5)
+    "cypher_front_end",
+    # (a) plan-changed this round: simhash expansion re-derived from one
+    # grouped class exchange (verdict item 6); semdedup + entity-match
+    # gained hard pair-cost caps mirrored in the oracles (item 4); the
+    # component-family digest gate now keeps null/short docs as
+    # singletons (advice item 2); txtable commits via uniquely-named
+    # generation dirs + graph-level manifest (items 2-3)
+    "dedup_simhash_hamming",
+    "semdedup_prune",
+    "entity_match_blocking",
+    "dedup_clusters",
+    "dedup_keep_list",
     "leakage_safe_split",
-    # decontamination + packing + composed pipeline proof
-    "benchmark_contamination",
-    "bloom_decontaminate",
-    "pack_sequences",
-    "corpus_prep_pipeline_v2",
-    # executed streaming dedup
-    "stream_dedup",
-    # sketch / accuracy-contract family
-    "sketch_distinct_accuracy",
-    "sketch_quantile_accuracy",
-    "sketch_heavy_hitters",
-    "join_cardinality_estimate",
-    "random_projection_distortion",
-    # robust stats + profiling
-    "outlier_mad_values",
-    "histogram_quantity",
-    "table_content_checksum",
-    "dq_constraint_suite",
-    "fk_integrity_check",
-    # rolling / time-series family
-    "rolling_distinct_users_7d",
-    "rolling_distinct_users_7d_approx",
-    "timeseries_gapfill_locf",
-    "ewma_user_value",
-    "order_backlog_daily",
-    # relational analytics
-    "nation_revenue_share",
-    "reorder_interval_stats",
-    "revenue_pareto_deciles",
-    "division_all_regions",
-    "copurchase_pairs",
-    "unpivot_measures",
-    "scd2_customer_history",
-    "attribution_last_touch",
-    "quality_decile_stats",
-    "keep_latest_per_user",
-    "a_grouping_sets",
-    # text LM scoring
-    "text_lm_score",
-    # skew handling
-    "skew_salted_join",
-    "skew_stats_hot_keys",
-    # ---- new round-5 entries: need their first driver row.
     "txtable_upsert",
-    # A6/A8 re-check of record alongside the round-5 deep-history fixture
-    # (test_deep_release_history runs the same explode+distinct shape over
-    # a 10-release accumulation)
-    "a8_explode_distinct_count",
-    # ---- remaining positions up to ~50: oldest driver rows on record
-    # (r1-only, never re-checked since) — one per core family, refreshed.
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "w2_topk_per_group",
-    "w6_dense_rank_accession",
-    "a1_dedup_distinct",
-    "j1_broadcast_lookup",
-    "f1_processability_filter",
-    "so1_except",
-    "c_scalar_suite",
-    "asof_last_purchase",
-    # ---- everything below sits past the driver's ~50-entry window this
-    # round; every entry regardless of position is checked by the full
-    # sf0.01 oracle sweep in the pytest parity mirror each run. Ordered
-    # roughly by how recently each last earned a driver row (most recent
-    # last): first the remaining r1-only rows, then r2, then r4.
+    # (b) oldest rows on record (r1-only, never re-checked since r1):
     "q2_min_price_part",
     "q4_order_priority",
     "q5_local_supplier_volume",
@@ -157,11 +98,64 @@ PRIORITY: tuple[str, ...] = (
     "q20_quantity_threshold_suppliers",
     "graph_bfs_hops",
     "gfe_naming",
+    # ---- everything below sits past the driver's ~50-entry window this
+    # round; every entry regardless of position is checked by the full
+    # sf0.01 oracle sweep in the pytest parity mirror each run. Ordered
+    # roughly by how recently each last earned a driver row (most recent
+    # last): r2 rows, then the r4/r5 windows.
+    "imgt_stream_scan",
+    "domain_cap_sample",
+    "stratified_sample",
+    "fixed_k_per_group_sample",
+    "benchmark_contamination",
+    "bloom_decontaminate",
+    "pack_sequences",
+    "corpus_prep_pipeline_v2",
+    "stream_dedup",
+    "sketch_distinct_accuracy",
+    "sketch_quantile_accuracy",
+    "sketch_heavy_hitters",
+    "join_cardinality_estimate",
+    "random_projection_distortion",
+    "outlier_mad_values",
+    "histogram_quantity",
+    "table_content_checksum",
+    "dq_constraint_suite",
+    "fk_integrity_check",
+    "rolling_distinct_users_7d",
+    "rolling_distinct_users_7d_approx",
+    "timeseries_gapfill_locf",
+    "ewma_user_value",
+    "order_backlog_daily",
+    "nation_revenue_share",
+    "reorder_interval_stats",
+    "revenue_pareto_deciles",
+    "division_all_regions",
+    "copurchase_pairs",
+    "unpivot_measures",
+    "scd2_customer_history",
+    "attribution_last_touch",
+    "quality_decile_stats",
+    "keep_latest_per_user",
+    "a_grouping_sets",
+    "text_lm_score",
+    "skew_salted_join",
+    "skew_stats_hot_keys",
+    "a8_explode_distinct_count",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "w2_topk_per_group",
+    "w6_dense_rank_accession",
+    "a1_dedup_distinct",
+    "j1_broadcast_lookup",
+    "f1_processability_filter",
+    "so1_except",
+    "c_scalar_suite",
+    "asof_last_purchase",
     "dedup_incremental",
     "set_similarity_join",
     "dedup_exact_substrings",
-    "semdedup_prune",
-    "dedup_simhash_hamming",
     "text_boilerplate_strip",
     "regression_moments_by_flag",
     "mode_per_group",
@@ -198,7 +192,6 @@ PRIORITY: tuple[str, ...] = (
     "scd2_point_in_time_join",
     "cdc_apply_changelog",
     "incremental_agg_merge",
-    "entity_match_blocking",
     "table_profile",
     "q12_priority_class",
     "q21_waiting_suppliers",

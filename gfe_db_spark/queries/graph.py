@@ -129,6 +129,41 @@ def gfe_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("hla_name", "term", "rank")
 
 
+def cypher_front_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's documented query surface in its NATIVE syntax,
+    hash-checked: the docs' literal Cypher text (ref
+    docs/source/reference.rst:36 — `WHO` label alias, anonymous nodes,
+    `{name:…}` property filter, untyped undirected `-[]-` edges, RETURN …
+    ORDER BY) pointed at a fixture allele, compiled by `run_cypher`
+    (plans/motif.py) into the motif join chain over the loaded graph.
+    The full chain under test: EMBL parse → build → accession → graph
+    load → Cypher parse → label-alias resolution → edge-type inference →
+    join compilation. The oracle states the fixture allele's expected
+    feature expansion independently from the inlined fixture rows."""
+    from gfe_db_spark.plans.load import load_release
+    from gfe_db_spark.plans.motif import run_cypher
+
+    built = _fixture_build(spark)
+    g = load_release(spark, built, "3550")
+    doc_text = (
+        "MATCH (:WHO {name:'HLA-A*01:01:01:01'})-[]-(:GFE)-[]-(f:Feature) "
+        "RETURN f.term, f.rank ORDER BY f.term, f.rank"
+    )
+    return run_cypher(g, doc_text).select(
+        F.col("f_term").alias("term"), F.col("f_rank").cast("int").alias("rank")
+    )
+
+
+def _cypher_front_end_sql() -> str:
+    return f"""
+WITH {_GFE_FIXTURE_FEATS_SQL.strip()}
+SELECT term, CAST(rank AS INT) AS rank
+FROM feats
+WHERE hla_name = 'HLA-A*01:01:01:01'
+ORDER BY term, rank
+"""
+
+
 def gfe_naming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C16/W6 hash-checked: GFE name construction on the deterministic
     mini-release — EMBL parse → feature explode → accession assignment
@@ -429,6 +464,11 @@ QUERIES: dict[str, QuerySpec] = {
         gfe_naming,
         _gfe_naming_sql(),
         "C16/W6 accession assignment + GFE naming, hash-checked",
+    ),
+    "cypher_front_end": QuerySpec(
+        cypher_front_end,
+        _cypher_front_end_sql(),
+        "reference docs' literal Cypher query via run_cypher, hash-checked",
     ),
     "alignment_join": QuerySpec(
         alignment_join, ALIGNMENT_JOIN_SQL, "J1 alignment broadcast join + build table"
