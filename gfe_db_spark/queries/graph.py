@@ -83,7 +83,14 @@ SELECT degree, COUNT(*) AS n_nodes FROM degrees GROUP BY degree ORDER BY degree
 def _fixture_build(spark: SparkSession, with_alignments: bool = False):
     """Shared scaffold for the fixture-backed queries: write the
     deterministic mini-release (plus MSF alignments when asked) into a
-    fresh tempdir and run the real parse → accession → build pipeline."""
+    per-variant scratch dir and run the real parse → accession → build
+    pipeline. The scratch dir is FIXED and wiped on entry (not mkdtemp):
+    repeated driver/judge sweeps replace it instead of accumulating
+    copies; it must outlive this function because the returned build
+    tables are lazy over its files — the next invocation is the cleanup
+    point (same contract as warehouse.txtable_upsert's scratch root)."""
+    import os
+    import shutil
     import tempfile
 
     from gfe_db_spark.plans.accession import AccessionRegistry
@@ -91,7 +98,11 @@ def _fixture_build(spark: SparkSession, with_alignments: bool = False):
     from gfe_db_spark.sources.imgt import read_imgt_dat
     from gfe_db_spark.testing_fixtures import write_msf, write_release_dat
 
-    tmp = tempfile.mkdtemp(prefix="gfe_fx_")
+    tmp = tempfile.gettempdir() + (
+        "/gfe_fx_aligned" if with_alignments else "/gfe_fx_plain"
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
     dat = write_release_dat(tmp, "3550")
     aligns = None
     if with_alignments:
