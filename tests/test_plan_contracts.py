@@ -224,6 +224,7 @@ def test_python_eval_only_where_justified(spark, specs):
         "gfe_end_to_end",      # EMBL parse mapInPandas + seq-hash
         "alignment_join",      # same pipeline
         "gfe_naming",          # same pipeline (accession/naming slice)
+        "cypher_front_end",    # same pipeline (fixture build behind run_cypher)
         "dedup_simhash",       # 64-bit packing pandas UDF
         "dedup_simhash_hamming",  # consumes the same SimHash pandas UDF
         "corpus_prep_pipeline_v3",  # its dedup stage is SimHash-based
