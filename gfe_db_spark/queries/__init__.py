@@ -53,6 +53,9 @@ PRIORITY: tuple[str, ...] = (
     "dedup_keep_list",
     "leakage_safe_split",
     "txtable_upsert",
+    # (a) rows-only no more: first-ever HASH row for the e2e pipeline
+    # (its oracle replays the empty-registry numbering like gfe_naming's)
+    "gfe_end_to_end",
     # (b) oldest rows on record (r1-only, never re-checked since r1):
     "q2_min_price_part",
     "q4_order_priority",

@@ -120,9 +120,14 @@ def _fixture_build(spark: SparkSession, with_alignments: bool = False):
 
 def gfe_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The GFE domain pipeline end-to-end on the deterministic mini-release
-    (rows-only: EMBL parse → build → accession registry → graph load →
-    motif query). Returns the per-allele feature listing for every loaded
-    allele — the reference's documented query surface."""
+    (EMBL parse → build → accession registry → graph load → motif query).
+    Returns the per-allele feature listing for every loaded allele — the
+    reference's documented query surface. Hash-checked since r6: the
+    registry commit is stateful, but from an EMPTY registry on the fixed
+    fixture its numbering is exactly dense_rank-by-sequence per (locus,
+    term, rank) — the same replay `gfe_naming`'s oracle performs — so the
+    whole chain's output is SQL-derivable from the inlined fixture rows
+    (previously the one rows-only registry entry, r5 verdict missing #3)."""
     from gfe_db_spark.plans.load import load_release
     from gfe_db_spark.plans.motif import find
 
@@ -163,6 +168,33 @@ def cypher_front_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_cypher(g, doc_text).select(
         F.col("f_term").alias("term"), F.col("f_rank").cast("int").alias("rank")
     )
+
+
+def _gfe_end_to_end_sql() -> str:
+    # The e2e listing = every fixture feature row with its replayed
+    # accession, joined to its allele's replayed GFE name (same
+    # empty-registry dense_rank + position-ordered concat as
+    # _gfe_naming_sql — the two oracles share the numbering argument).
+    return f"""
+WITH {_GFE_FIXTURE_FEATS_SQL.strip()},
+acc AS (
+  SELECT *, dense_rank() OVER (PARTITION BY locus, term, rank ORDER BY sequence)
+         AS accession
+  FROM feats
+),
+per_allele AS (
+  SELECT hla_name, locus,
+         string_agg(CAST(accession AS VARCHAR), '-' ORDER BY pos) AS accs
+  FROM acc GROUP BY hla_name, locus
+)
+SELECT a.hla_name,
+       p.locus || 'w' || p.accs AS gfe_name,
+       a.term,
+       CAST(a.rank AS INT) AS rank,
+       CAST(a.accession AS VARCHAR) AS accession
+FROM acc a JOIN per_allele p ON a.hla_name = p.hla_name
+ORDER BY a.hla_name, a.term, a.rank
+"""
 
 
 def _cypher_front_end_sql() -> str:
@@ -470,7 +502,11 @@ QUERIES: dict[str, QuerySpec] = {
     "graph_degree_distribution": QuerySpec(
         graph_degree_distribution, GRAPH_DEGREE_SQL, "degree histogram"
     ),
-    "gfe_end_to_end": QuerySpec(gfe_end_to_end, None, "GFE pipeline e2e (rows-only)"),
+    "gfe_end_to_end": QuerySpec(
+        gfe_end_to_end,
+        _gfe_end_to_end_sql(),
+        "GFE pipeline e2e, hash-checked (r6: was the one rows-only entry)",
+    ),
     "gfe_naming": QuerySpec(
         gfe_naming,
         _gfe_naming_sql(),
