@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Resumable full-registry oracle-parity sweep at any scale factor.
+
+Runs every registered query (gfe_db_spark.queries.all_queries) against
+its DuckDB oracle on the parquet tables under --sf-dir, recording
+per-entry ok/seconds into --out (JSON; existing entries are skipped, so
+an interrupted sweep resumes where it left off). This is the harness the
+committed PARITY_sf1.md tables come from.
+
+Usage:
+    python tools/sweep_parity.py --sf-dir /root/testdata/sf0.1 \
+        --out parity_sf01.json [--names a,b,c] [--budget-s 3600]
+
+Seconds are end-to-end per entry: the Spark plan + collect AND the
+DuckDB oracle + compare, so slow rows are often oracle-dominated (the
+oracle is deliberately formulation-independent single-process SQL).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--names", help="comma-separated subset; re-runs even if recorded")
+    ap.add_argument("--budget-s", type=float, default=float("inf"))
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    args = ap.parse_args()
+
+    out = json.load(open(args.out)) if os.path.exists(args.out) else {}
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .config("spark.sql.shuffle.partitions", args.cpus)
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from gfe_db_spark.queries import all_queries
+    from gfe_db_spark.testing import compare, duckdb_connection
+
+    con = duckdb_connection(args.sf_dir)
+    specs = all_queries()
+    if args.names:
+        queue = [n for n in args.names.split(",") if n in specs]
+    else:
+        queue = [n for n, s in specs.items() if s.sql is not None and n not in out]
+    print(f"pending={len(queue)}", flush=True)
+    t_start = time.perf_counter()
+    for name in queue:
+        if time.perf_counter() - t_start > args.budget_s:
+            print("BUDGET reached", flush=True)
+            return 3
+        spec = specs[name]
+        t0 = time.perf_counter()
+        try:
+            r = compare(name, spec.fn(spark, args.sf_dir), con.execute(spec.sql).fetchdf())
+            rec = {"ok": bool(r.ok), "sec": round(time.perf_counter() - t0, 1),
+                   "detail": None if r.ok else str(r)}
+        except Exception as e:  # recorded, sweep continues
+            rec = {"ok": False, "sec": round(time.perf_counter() - t0, 1),
+                   "detail": f"ERR {type(e).__name__}: {e}"}
+            traceback.print_exc(file=sys.stderr)
+        out[name] = rec
+        print(f"{name}\t{'OK' if rec['ok'] else 'FAIL'}\t{rec['sec']}s", flush=True)
+        json.dump(out, open(args.out, "w"), indent=1)
+    n_ok = sum(1 for v in out.values() if v["ok"])
+    print(f"DONE {len(out)} recorded, {n_ok} ok", flush=True)
+    return 0 if n_ok == len(out) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
