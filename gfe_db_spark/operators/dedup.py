@@ -434,19 +434,21 @@ def simhash_hamming_pairs(
     the expansion entirely.
     """
     _validate_banding(max_hamming, n_blocks)
-    members, classes = _simhash_classes(sig, id_col, sig_col)
-    rep_pairs = _banded_class_pairs(classes, max_hamming, n_blocks)
+    _members, classes = _simhash_classes(sig, id_col, sig_col)
+    rep_pairs = _banded_class_pairs(
+        classes.select("sig", "rep"), max_hamming, n_blocks
+    )
     # Expand signature-class pairs back to doc pairs. Each unordered doc
     # pair is produced exactly once (a class pair maps 1:1 to an unordered
     # sig pair; within-class pairs have equal sigs, cross-class unequal),
-    # so no final distinct() is needed. Both legs derive from ONE grouped
-    # member list per class — a single shuffle of the member rows, by sig
-    # — replacing the r5 plan's two full member-table joins plus a member
-    # self-join (the round-5 verdict's avoidable-exchange question): the
-    # within leg is pure generator expansion (explode×2, no join at all)
-    # and the cross joins carry one array row per class, not one row per
-    # member.
-    cls_members = members.groupBy("sig").agg(F.collect_list("doc_id").alias("ids"))
+    # so no final distinct() is needed. Both legs derive from the class
+    # table's grouped member list — the member rows are shuffled ONCE (by
+    # sig, inside _simhash_classes), replacing the r5 plan's two full
+    # member-table joins plus a member self-join (the round-5 verdict's
+    # avoidable-exchange question): the within leg is pure generator
+    # expansion (explode×2, no join at all) and the cross joins carry one
+    # array row per class, not one row per member.
+    cls_members = classes.select("sig", "ids")
     cross = (
         rep_pairs.join(
             cls_members.withColumnsRenamed({"sig": "sig_a", "ids": "ids_a"}), "sig_a"
@@ -494,7 +496,12 @@ def _simhash_classes(
     members = sig.filter(F.col(sig_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sig")
     )
-    classes = members.groupBy("sig").agg(F.min("doc_id").alias("rep"))
+    # rep AND the member list from ONE keyed aggregation — consumers that
+    # only band on (sig, rep) project `ids` away before any explode, and
+    # the pair expansion reads `ids` without a second member shuffle
+    classes = members.groupBy("sig").agg(
+        F.min("doc_id").alias("rep"), F.collect_list("doc_id").alias("ids")
+    )
     return members, classes
 
 
@@ -560,14 +567,14 @@ def simhash_neardup_drops(
     This is the form pipelines should consume (`corpus_prep_pipeline_v3`
     does); the pair-expanding form exists for pair-set consumers and
     oracle parity."""
-    members, classes = _simhash_classes(sig, id_col, sig_col)
-    non_reps = (
-        members.join(classes, "sig")
-        .filter(F.col("doc_id") != F.col("rep"))
-        .select("doc_id")
+    _members, classes = _simhash_classes(sig, id_col, sig_col)
+    # non-reps straight from the grouped member list: every id in a
+    # class except its rep (the class min) — no members-side join at all
+    non_reps = classes.select(
+        F.explode(F.filter(F.col("ids"), lambda d: d != F.col("rep"))).alias("doc_id")
     )
     dropped_reps = (
-        _banded_class_pairs(classes, max_hamming, n_blocks)
+        _banded_class_pairs(classes.select("sig", "rep"), max_hamming, n_blocks)
         .select(F.col("rep_b").alias("doc_id"))
         .distinct()
     )
