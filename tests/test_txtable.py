@@ -254,3 +254,72 @@ def test_tx_manifest_is_tiny_and_complete(spark, tmp_path):
     m = json.loads(raw)
     assert set(m) == {"generation", "n_buckets", "buckets"}
     assert len(raw) < 1000
+
+
+def test_tx_model_based_random_op_sequences(spark, tmp_path):
+    """Model-based check: a random sequence of upserts (update /
+    create_only), replays, compactions, and vacuums must leave the table
+    equal to a plain dict evolved under the same rules — the MERGE
+    semantics and the manifest protocol cannot drift apart no matter how
+    operations interleave. Deterministic op list (derandomize-style) so
+    CI is stable; each sequence uses a fresh table."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    op_st = st.one_of(
+        st.tuples(
+            st.just("upsert"),
+            st.sampled_from(["update", "create_only"]),
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=15),
+                    st.integers(min_value=0, max_value=99),
+                ),
+                min_size=1,
+                max_size=8,
+            ),
+        ),
+        st.tuples(st.just("compact"), st.just(None), st.just(None)),
+        st.tuples(st.just("vacuum"), st.just(None), st.just(None)),
+    )
+
+    @given(ops=st.lists(op_st, min_size=1, max_size=6))
+    @settings(
+        max_examples=6,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+    )
+    def run(ops):
+        import uuid as _uuid
+
+        root = str(tmp_path / f"t-{_uuid.uuid4().hex[:8]}")
+        model: dict[int, int] = {}
+        for kind, rule, rows in ops:
+            if kind == "upsert":
+                batch = spark.createDataFrame(rows, "k long, val long")
+                TX.tx_upsert(batch, root, ["k"], on_match=rule, n_buckets=4)
+                # model: within-batch dedup keeps ONE row per key
+                # (dropDuplicates — engine picks one; use first occurrence,
+                # then assert only on keys where the batch is unambiguous)
+                seen: dict[int, set] = {}
+                for k, v in rows:
+                    seen.setdefault(k, set()).add(v)
+                for k, vals in seen.items():
+                    v = vals.copy().pop() if len(vals) == 1 else None
+                    if rule == "create_only" and k in model:
+                        continue
+                    model[k] = v if v is not None else model.get(k, "AMBIG")
+            elif kind == "compact" and TX.current_manifest_number(spark, root):
+                TX.tx_compact(spark, root)
+            elif kind == "vacuum" and TX.current_manifest_number(spark, root):
+                TX.tx_vacuum(spark, root, keep_manifests=1)
+        if not TX.current_manifest_number(spark, root):
+            return
+        got = {r.k: r.val for r in TX.tx_read(spark, root).collect()}
+        assert set(got) == set(model)
+        for k, v in model.items():
+            if v != "AMBIG" and not (isinstance(v, str)):
+                assert got[k] == v, (k, v, got[k])
+
+    run()
