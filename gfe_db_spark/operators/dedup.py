@@ -498,7 +498,13 @@ def _simhash_classes(
     )
     # rep AND the member list from ONE keyed aggregation — consumers that
     # only band on (sig, rep) project `ids` away before any explode, and
-    # the pair expansion reads `ids` without a second member shuffle
+    # the pair expansion reads `ids` without a second member shuffle.
+    # Only the PAIR-EXPANDING consumer may read `ids`: a k-member class
+    # is one k-element array row, acceptable where the output is already
+    # quadratic in k (the pair set); the linear drop-list path must NOT
+    # depend on it (a mass-duplicated class would put the whole
+    # membership in a single aggregation buffer) — it streams through the
+    # members join instead.
     classes = members.groupBy("sig").agg(
         F.min("doc_id").alias("rep"), F.collect_list("doc_id").alias("ids")
     )
@@ -567,11 +573,17 @@ def simhash_neardup_drops(
     This is the form pipelines should consume (`corpus_prep_pipeline_v3`
     does); the pair-expanding form exists for pair-set consumers and
     oracle parity."""
-    _members, classes = _simhash_classes(sig, id_col, sig_col)
-    # non-reps straight from the grouped member list: every id in a
-    # class except its rep (the class min) — no members-side join at all
-    non_reps = classes.select(
-        F.explode(F.filter(F.col("ids"), lambda d: d != F.col("rep"))).alias("doc_id")
+    members, classes = _simhash_classes(sig, id_col, sig_col)
+    # STREAMING non-rep derivation (members ⨝ class reps, row at a time):
+    # this is the linear path and must stay linear in memory too — it
+    # deliberately does NOT read the grouped `ids` array, which for a
+    # mass-duplicated class would materialize the whole membership in one
+    # row (the pair-expanding form may, since its output is quadratic in
+    # class size anyway)
+    non_reps = (
+        members.join(classes.select("sig", "rep"), "sig")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select("doc_id")
     )
     dropped_reps = (
         _banded_class_pairs(classes.select("sig", "rep"), max_hamming, n_blocks)

@@ -286,6 +286,33 @@ def upsert_graph(
 
     if layout not in ("inplace", "tx"):
         raise ValueError(f"unknown graph layout {layout!r}")
+    # layout-switch guard: committing with the WRONG layout against an
+    # existing graph silently loses data (tx sees an empty table and
+    # publishes a graph manifest hiding the bucketed dirs; inplace writes
+    # dirs the manifest-resolving reader never consults). Detect the
+    # other layout's artifacts and refuse.
+    from gfe_db_spark.plans.merge import fs_exists
+
+    spark = new.nodes_gfe.sparkSession
+    has_graph_manifest = fs_exists(spark, _graph_manifest_dir(graph_path))
+    probe = os.path.join(graph_path, "nodes_gfe")
+    if layout == "inplace" and has_graph_manifest:
+        raise ValueError(
+            f"graph at {graph_path} uses the tx (manifest-pointer) layout; "
+            "pass layout='tx' — an in-place commit would be invisible to "
+            "manifest-resolving readers"
+        )
+    if (
+        layout == "tx"
+        and not has_graph_manifest
+        and fs_exists(spark, probe)
+        and not fs_exists(spark, os.path.join(probe, "_manifests"))
+    ):
+        raise ValueError(
+            f"graph at {graph_path} uses the in-place bucketed layout; "
+            "pass layout='inplace' — a tx commit would start from an empty "
+            "table and hide the accumulated data"
+        )
     do_upsert = tx_upsert if layout == "tx" else partitioned_upsert
 
     def releases_union(existing: DataFrame, batch: DataFrame) -> DataFrame:

@@ -221,9 +221,12 @@ def run_cypher(graph: GraphTables, query: str) -> DataFrame:
         larrow, etype, rarrow = em.groups()
         if larrow == "<-" and rarrow == "->":
             raise ValueError(f"edge has two arrowheads: {pattern!r}")
-        reversed_ = None if etype is None and larrow == "-" and rarrow == "-" else (
-            larrow == "<-"
-        )
+        # reversed_ is None ⇔ the user asserted NO direction (both plain
+        # '-'), typed or not — Cypher's undirected edge matches either
+        # orientation, so only an actual arrowhead can contradict the
+        # stored direction (typed-undirected `-[:T]-` previously read as
+        # an asserted forward arrow and falsely emptied one spelling)
+        reversed_ = None if larrow == "-" and rarrow == "-" else (larrow == "<-")
         edges.append((etype, reversed_))
         pos = em.end()
         nm = _CY_NODE.match(pattern, pos)

@@ -119,10 +119,35 @@ def _list_names(spark: SparkSession, path: str) -> list[str]:
     return [s.getPath().getName() for s in fs.listStatus(hpath)]
 
 
-def _fs_mtime(spark: SparkSession, path: str) -> float:
-    """Modification time of `path` in epoch seconds (Hadoop FS API)."""
+def _fs_mtime_deep(spark: SparkSession, path: str, depth: int = 2) -> float | None:
+    """Freshest modification time under `path` (epoch seconds), scanning
+    `depth` levels down. Two properties the GC needs:
+
+    - A directory's own mtime only refreshes when a DIRECT child changes;
+      during a long parquet write activity happens under `_temporary/…`,
+      so a dir-only mtime can look stale while a writer is mid-flight.
+      New task-attempt dirs appear under ``_temporary/<jobid>/`` as tasks
+      launch, so a depth-2 scan sees fresh activity and the grace check
+      correctly treats the dir as alive.
+    - Returns None if the path vanishes mid-check (another writer's
+      self-cleanup after TxConflict) — callers skip deletion; the old
+      raise aborted an innocent commit on this TOCTOU race.
+    """
     fs, hpath = hadoop_fs(spark, path)
-    return fs.getFileStatus(hpath).getModificationTime() / 1000.0
+    try:
+        best = fs.getFileStatus(hpath).getModificationTime()
+        frontier = [hpath]
+        for _ in range(depth):
+            nxt = []
+            for p in frontier:
+                for s in fs.listStatus(p):
+                    best = max(best, s.getModificationTime())
+                    if s.isDirectory():
+                        nxt.append(s.getPath())
+            frontier = nxt
+        return best / 1000.0
+    except Exception:  # FileNotFound etc.: path is being removed — skip
+        return None
 
 
 def current_manifest_number(spark: SparkSession, root: str) -> int | None:
@@ -178,7 +203,11 @@ def publish_numbered_json(spark: SparkSession, mdir: str, n: int, doc: dict) -> 
 
 
 def _referenced_gen_names(spark: SparkSession, root: str) -> set[str]:
-    """Union of generation-dir names referenced by ANY existing manifest."""
+    """Union of generation-dir names referenced by ANY existing manifest.
+    Cost is one small JSON read per EXISTING manifest — `tx_vacuum`'s
+    manifest pruning is what bounds it (retention window + commits since
+    the last vacuum), so a long-running tx table should vacuum on the
+    same cadence it compacts."""
     live: set[str] = set()
     mdir = _manifest_dir(root)
     for name in _list_names(spark, mdir):
@@ -389,14 +418,16 @@ def tx_recover(
         if _parse_gen(name) is None or name in referenced:
             continue
         path = f"{root.rstrip('/')}/{name}"
-        if now - _fs_mtime(spark, path) >= grace_seconds:
+        mt = _fs_mtime_deep(spark, path)
+        if mt is not None and now - mt >= grace_seconds:
             fs_delete(spark, path)
             removed.append(path)
     mdir = _manifest_dir(root)
     for name in _list_names(spark, mdir):
         if name.startswith(".tmp-"):
             path = f"{mdir}/{name}"
-            if now - _fs_mtime(spark, path) >= grace_seconds:
+            mt = _fs_mtime_deep(spark, path, depth=0)
+            if mt is not None and now - mt >= grace_seconds:
                 fs_delete(spark, path)
                 removed.append(path)
     return removed
@@ -439,7 +470,12 @@ def tx_vacuum(
         if _parse_gen(name) is None or name in live:
             continue
         path = f"{root.rstrip('/')}/{name}"
-        if name in superseded or now - _fs_mtime(spark, path) >= grace_seconds:
+        if name in superseded:
+            fs_delete(spark, path)
+            removed.append(path)
+            continue
+        mt = _fs_mtime_deep(spark, path)
+        if mt is not None and now - mt >= grace_seconds:
             fs_delete(spark, path)
             removed.append(path)
     for name in _list_names(spark, mdir):

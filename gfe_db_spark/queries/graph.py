@@ -98,11 +98,14 @@ def _fixture_build(spark: SparkSession, with_alignments: bool = False):
     from gfe_db_spark.sources.imgt import read_imgt_dat
     from gfe_db_spark.testing_fixtures import write_msf, write_release_dat
 
-    tmp = tempfile.gettempdir() + (
-        "/gfe_fx_aligned" if with_alignments else "/gfe_fx_plain"
-    )
+    # pid-suffixed so concurrent processes (driver sweep + pytest parity
+    # mirror) never wipe each other's fixture mid-scan; within a process
+    # the wipe-on-entry bounds accumulation, and callers consume each
+    # invocation's result before the next (harnesses are sequential)
+    variant = "aligned" if with_alignments else "plain"
+    tmp = f"{tempfile.gettempdir()}/gfe_fx_{variant}_{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp)
+    os.makedirs(tmp, exist_ok=True)
     dat = write_release_dat(tmp, "3550")
     aligns = None
     if with_alignments:

@@ -549,7 +549,10 @@ def txtable_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replace the table instead of accumulating mkdtemp copies (the result
     # DataFrame is lazy, so the dir must outlive this function — the next
     # invocation, not a finally block, is the cleanup point)
-    scratch = tempfile.gettempdir() + "/gfe_txtable_demo"
+    import os
+
+    # pid-suffixed: concurrent processes never wipe each other's table
+    scratch = f"{tempfile.gettempdir()}/gfe_txtable_demo_{os.getpid()}"
     shutil.rmtree(scratch, ignore_errors=True)
     root = scratch + "/events_tx"
     TX.tx_upsert(ev, root, ["event_id"], n_buckets=8)

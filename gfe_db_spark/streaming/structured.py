@@ -156,6 +156,8 @@ def foreach_batch_upsert(
     from gfe_db_spark.plans.merge import partitioned_upsert
     from gfe_db_spark.plans.txtable import tx_upsert
 
+    if layout not in ("inplace", "tx"):  # a typo must not silently drop
+        raise ValueError(f"unknown sink layout {layout!r}")  # isolation
     do_upsert = tx_upsert if layout == "tx" else partitioned_upsert
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:

@@ -510,6 +510,13 @@ def test_doc_literal_cypher_query(spark, tmp_path):
     # while the schema-consistent arrow still matches
     assert run_cypher(g, "MATCH (:GFE)-[]->(f:Feature) RETURN f.term").count() > 0
 
+    # typed-UNDIRECTED edges are orientation-symmetric (r6 review fix:
+    # `-[:T]-` previously parsed as an asserted forward arrow, so one
+    # spelling falsely hit the contradiction path and returned empty)
+    n_fwd = run_cypher(g, "MATCH (:GFE)-[:HAS_FEATURE]-(f:Feature) RETURN f.term").count()
+    n_rev = run_cypher(g, "MATCH (f:Feature)-[:HAS_FEATURE]-(:GFE) RETURN f.term").count()
+    assert n_fwd == n_rev and n_fwd > 0
+
 
 def test_tx_layout_reader_isolated_during_release_load(spark, tmp_path_factory):
     """Round-5 verdict item 3: with `layout="tx"`, a reader polling the
@@ -651,3 +658,40 @@ def test_reference_depth_47_release_history(spark, tmp_path_factory):
     # replay of the full 47-release history is a no-op
     res = run_incremental(spark, tmp, releases, state, reg, graph_path, n_buckets=4)
     assert res.processed == [] and res.rejected == []
+
+
+def test_graph_layout_switch_is_refused(spark, tmp_path_factory):
+    """Committing with the WRONG layout against an existing graph is a
+    silent-data-loss hazard (tx sees an empty table and publishes a
+    manifest hiding the bucketed dirs; inplace writes dirs the
+    manifest-resolving reader never consults) — upsert_graph must refuse
+    both directions (r6 review fix)."""
+    import pytest as _pytest
+
+    from gfe_db_spark.plans.load import load_release, upsert_graph
+    from gfe_db_spark.plans.accession import AccessionRegistry
+    from gfe_db_spark.plans.build import build_release
+    from gfe_db_spark.sources.imgt import read_imgt_dat
+    from tests import gfe_fixtures as fx
+
+    tmp = tmp_path_factory.mktemp("layoutguard")
+    built = build_release(
+        spark,
+        read_imgt_dat(spark, fx.write_release_dat(str(tmp), "3550")),
+        "3550",
+        AccessionRegistry(spark, str(tmp / "reg")),
+    )
+    g = load_release(spark, built, "3550")
+
+    inplace_path = str(tmp / "g_inplace")
+    upsert_graph(g, inplace_path, layout="inplace")
+    with _pytest.raises(ValueError, match="in-place bucketed layout"):
+        upsert_graph(g, inplace_path, layout="tx")
+
+    tx_path = str(tmp / "g_tx")
+    upsert_graph(g, tx_path, layout="tx")
+    with _pytest.raises(ValueError, match="tx .manifest-pointer. layout"):
+        upsert_graph(g, tx_path, layout="inplace")
+    # correct layouts still replay fine on both
+    upsert_graph(g, inplace_path, layout="inplace")
+    upsert_graph(g, tx_path, layout="tx")

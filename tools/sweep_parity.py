@@ -74,7 +74,12 @@ def main() -> int:
             traceback.print_exc(file=sys.stderr)
         out[name] = rec
         print(f"{name}\t{'OK' if rec['ok'] else 'FAIL'}\t{rec['sec']}s", flush=True)
-        json.dump(out, open(args.out, "w"), indent=1)
+        # atomic checkpoint: a crash mid-dump must not destroy the resume
+        # file this tool exists to preserve
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(out, f, indent=1)
+        os.replace(tmp, args.out)
     n_ok = sum(1 for v in out.values() if v["ok"])
     print(f"DONE {len(out)} recorded, {n_ok} ok", flush=True)
     return 0 if n_ok == len(out) else 1
