@@ -253,7 +253,7 @@ def upsert_graph(
     new: GraphTables,
     graph_path: str,
     n_buckets: int = 16,
-    layout: str = "inplace",
+    layout: str = "tx",
 ) -> dict[str, list[int]]:
     """Commit one release's graph tables into the on-disk accumulated graph
     via the partition-pruned MERGE substrate: each table is hash-bucketed
@@ -263,10 +263,11 @@ def upsert_graph(
     touched buckets per table.
 
     `layout` picks the commit protocol, same merge semantics either way:
-    - ``"inplace"`` (default): `plans/merge.partitioned_upsert` — dynamic
+    - ``"inplace"``: `plans/merge.partitioned_upsert` — dynamic
       partition overwrite of the live dirs; cheapest, but a reader
-      scanning DURING the commit can see a half-swapped partition mix.
-    - ``"tx"``: `plans/txtable.tx_upsert` — each table is a
+      scanning DURING the commit can see a half-swapped partition mix —
+      the documented opt-out for strictly single-reader deployments.
+    - ``"tx"`` (default since r7): `plans/txtable.tx_upsert` — each table is a
       manifest-pointer table; a commit lands in a fresh generation dir
       published by an atomic manifest rename. On top, ONE graph-level
       manifest (``_graph_manifests/N.json``) is published AFTER all 11
@@ -296,7 +297,16 @@ def upsert_graph(
     spark = new.nodes_gfe.sparkSession
     has_graph_manifest = fs_exists(spark, _graph_manifest_dir(graph_path))
     probe = os.path.join(graph_path, "nodes_gfe")
-    if layout == "inplace" and has_graph_manifest:
+    # the inplace direction probes the per-table _manifests dir TOO (not
+    # just the graph manifest): a tx load that crashed after some table
+    # commits but before the first graph-manifest publish leaves
+    # _manifests dirs with no _graph_manifests — an inplace commit then
+    # would write bucketed dirs that tx-resolving readers (load_one
+    # detects _manifests) never consult, the exact silent loss this
+    # guard exists to prevent
+    if layout == "inplace" and (
+        has_graph_manifest or fs_exists(spark, os.path.join(probe, "_manifests"))
+    ):
         raise ValueError(
             f"graph at {graph_path} uses the tx (manifest-pointer) layout; "
             "pass layout='tx' — an in-place commit would be invisible to "
@@ -362,6 +372,72 @@ def upsert_graph(
             spark, gmdir, (n or 0) + 1, {"generation": (n or 0) + 1, "tables": gens}
         )
     return touched
+
+
+def vacuum_graph(
+    spark: SparkSession,
+    graph_path: str,
+    keep_graph_manifests: int = 2,
+    keep_manifests: int = 2,
+    grace_seconds: float | None = None,
+) -> list[str]:
+    """Graph-aware vacuum for a tx-layout graph: the ONLY safe way to
+    reclaim space under member tables, because the graph manifest pins
+    each table to a FIXED generation — a per-table `tx_vacuum` with no
+    pins can prune the very manifest a retained graph manifest still
+    references (two compactions, or keep_manifests=1, suffice), breaking
+    `GraphTables.load` until the next load republishes.
+
+    Three steps, each with the same retention contract (a reader that
+    resolved any of the last `keep_graph_manifests` graph snapshots still
+    finds every file it resolved):
+    1. prune graph manifests to the newest `keep_graph_manifests`;
+    2. for each member table, vacuum with the generations pinned by the
+       RETAINED graph manifests unioned into its keep set;
+    3. return every deleted path."""
+    from gfe_db_spark.plans.txtable import (
+        DEFAULT_GRACE_SECONDS,
+        _list_names,
+        fs_delete,
+        fs_read_text,
+        tx_vacuum,
+    )
+    import json
+
+    if grace_seconds is None:
+        grace_seconds = DEFAULT_GRACE_SECONDS
+    gmdir = _graph_manifest_dir(graph_path)
+    nums = sorted(
+        int(n[:-5])
+        for n in _list_names(spark, gmdir)
+        if n.endswith(".json") and n[:-5].isdigit()
+    )
+    if not nums:
+        raise FileNotFoundError(f"no graph manifests under {graph_path}")
+    retained = nums[-max(keep_graph_manifests, 1):]
+    removed: list[str] = []
+    for n in nums:
+        if n not in retained:
+            path = f"{gmdir}/{n:08d}.json"
+            fs_delete(spark, path)
+            removed.append(path)
+    # union of per-table generations pinned by the retained graph snapshots
+    pins: dict[str, set[int]] = {}
+    for n in retained:
+        doc = json.loads(fs_read_text(spark, f"{gmdir}/{n:08d}.json"))
+        for tname, gen in doc["tables"].items():
+            pins.setdefault(tname, set()).add(gen)
+    for f in fields(GraphTables):
+        removed.extend(
+            tx_vacuum(
+                spark,
+                os.path.join(graph_path, f.name),
+                keep_manifests=keep_manifests,
+                grace_seconds=grace_seconds,
+                pin_generations=pins.get(f.name, set()),
+            )
+        )
+    return removed
 
 
 def merge_graphs(old: GraphTables, new: GraphTables) -> GraphTables:

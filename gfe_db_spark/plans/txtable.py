@@ -49,12 +49,20 @@ Readers (`tx_read`) resolve buckets → generation dirs through one
 manifest read, then scan only immutable directories: a snapshot. Commits
 and compactions running concurrently never mutate those files; old
 generations disappear only via `tx_vacuum`/`tx_recover`, which GC ONLY
-directories no manifest references — and, because an in-flight writer's
-not-yet-published generation is also unreferenced, only after a grace
-period (`grace_seconds`) longer than the longest conceivable data write.
-Crash anywhere before step 3 leaves the table exactly at M_n; the crashed
-commit's orphan dir ages past the grace period and is collected by the
-next `tx_recover`.
+directories no manifest references AND whose parsed generation number is
+at or below the current manifest generation. That number rule is what
+makes GC safe with concurrent writers, deterministically rather than by
+timing: an unreferenced dir numbered ABOVE the current manifest is an
+in-flight writer's staging area by construction (nothing else creates
+numbers the manifest hasn't reached) and is never touched; an
+unreferenced dir numbered AT or BELOW current belongs to a commit whose
+generation number some other writer already published, so its own
+`_publish` must fail with `TxConflict` — deleting its data can never be
+observed through a manifest. A crashed commit's orphan dir therefore
+becomes collectable exactly when a later commit passes its number
+(nothing leaks: the table keeps moving, or an operator runs one commit).
+The `grace_seconds` age check is kept as defense-in-depth below/at the
+current generation (clock skew, legacy dirs), not as the safety argument.
 """
 
 from __future__ import annotations
@@ -80,10 +88,15 @@ from gfe_db_spark.plans.merge import (
 _MANIFEST_DIR = "_manifests"
 _GEN_PREFIX = "gen-"
 
-#: default GC grace for unreferenced generation dirs (seconds). A dir that
-#: no manifest references is either a crashed/conflicted commit (dead) or
-#: an in-flight writer's staging area (alive); age is the only local
-#: signal that distinguishes them, so GC waits this long before deleting.
+#: default GC grace for unreferenced generation dirs numbered AT or BELOW
+#: the current manifest generation (seconds). The generation-number rule
+#: (module docstring) is the correctness argument — such a dir's writer
+#: can no longer publish, so deleting it is always safe; the grace period
+#: is belt-and-braces for clock skew and legacy layouts. Dirs numbered
+#: ABOVE the current generation are in-flight by construction and are
+#: never deleted regardless of age — so unlike an mtime heuristic, a
+#: single long-running task writing one multi-GB file cannot be
+#: misjudged as dead.
 DEFAULT_GRACE_SECONDS = 900.0
 
 
@@ -202,6 +215,12 @@ def publish_numbered_json(spark: SparkSession, mdir: str, n: int, doc: dict) -> 
         raise TxConflict(f"manifest {n} under {mdir} already committed")
 
 
+def _gen_names_of(m: dict) -> set[str]:
+    """Generation-dir names a manifest references — bucket-map form
+    (`tx_upsert` tables) or segment-list form (`txlog_append` logs)."""
+    return set(m.get("buckets", {}).values()) | set(m.get("segments", []))
+
+
 def _referenced_gen_names(spark: SparkSession, root: str) -> set[str]:
     """Union of generation-dir names referenced by ANY existing manifest.
     Cost is one small JSON read per EXISTING manifest — `tx_vacuum`'s
@@ -213,7 +232,7 @@ def _referenced_gen_names(spark: SparkSession, root: str) -> set[str]:
     for name in _list_names(spark, mdir):
         if name.endswith(".json") and name[:-5].isdigit():
             m = json.loads(fs_read_text(spark, f"{mdir}/{name[:-5]}.json"))
-            live.update(m["buckets"].values())
+            live.update(_gen_names_of(m))
     return live
 
 
@@ -355,6 +374,7 @@ def tx_upsert(
     on_match: str = "update",
     n_buckets: int = DEFAULT_BUCKETS,
     merge_fn=None,
+    grace_seconds: float = DEFAULT_GRACE_SECONDS,
 ) -> list[int]:
     """MERGE `batch` into the manifest-pointer table at `root`; returns the
     touched bucket list. Same merge semantics and O(batch + touched
@@ -362,9 +382,11 @@ def tx_upsert(
     is a fresh uniquely-named generation dir + an atomic manifest rename,
     so concurrent readers always see a complete before- or after-state,
     never the half-swapped partition mix of an in-place dynamic overwrite,
-    and a conflicting writer cleans up only its own staging dir."""
+    and a conflicting writer cleans up only its own staging dir.
+    `grace_seconds` tunes the commit-start GC's defense-in-depth age
+    check (see `tx_recover` — correctness does not depend on it)."""
     spark = batch.sparkSession
-    tx_recover(spark, root)
+    tx_recover(spark, root, grace_seconds=grace_seconds)
     manifest, gen_dir, touched = _prepare_upsert(
         batch, root, keys, on_match=on_match, n_buckets=n_buckets, merge_fn=merge_fn
     )
@@ -372,14 +394,16 @@ def tx_upsert(
     return touched
 
 
-def tx_compact(spark: SparkSession, root: str) -> int:
+def tx_compact(
+    spark: SparkSession, root: str, grace_seconds: float = DEFAULT_GRACE_SECONDS
+) -> int:
     """Fold every bucket into one fresh generation (the OPTIMIZE /
     small-file compaction for manifest tables) and atomically repoint the
     manifest. Unlike `plans/compaction.compact_small_files`, there is NO
     window where the table is missing or mixed: readers resolve through
     the manifest, and the old generations stay on disk untouched until
     `tx_vacuum`. Returns the new generation number."""
-    tx_recover(spark, root)
+    tx_recover(spark, root, grace_seconds=grace_seconds)
     m = read_manifest(spark, root)
     if m is None:
         raise FileNotFoundError(f"no committed manifest under {root}")
@@ -404,18 +428,32 @@ def tx_recover(
     spark: SparkSession, root: str, grace_seconds: float = DEFAULT_GRACE_SECONDS
 ) -> list[str]:
     """Garbage-collect dead commits: delete generation dirs that NO
-    manifest references AND whose modification time is older than
-    `grace_seconds`, plus stray temp manifests past the same age. The
-    unreferenced-check means a published generation is never touched; the
-    age check means another writer's in-flight (written-but-not-yet-
-    published) staging dir is never touched either — so this IS safe to
-    run at every commit start, even with concurrent writers. Returns the
-    deleted paths."""
+    manifest references, are numbered AT or BELOW the current manifest
+    generation, and are older than `grace_seconds`; plus stray temp
+    manifests past the same age. Safe to run at every commit start, even
+    with concurrent writers, and the safety is deterministic, not a
+    timing heuristic:
+
+    - a dir numbered ABOVE the current generation is an in-flight
+      writer's staging area by construction — never deleted, no matter
+      how stale its mtime looks (a single long task writing one large
+      file refreshes nothing at shallow depths; the old mtime-only rule
+      could misjudge it);
+    - a dir numbered at/below current is unreferenced only because some
+      OTHER writer already published that generation number, so its
+      writer's `_publish` must raise `TxConflict` — the deleted data can
+      never become reachable through a manifest. The grace period on top
+      is defense-in-depth, not the argument.
+
+    A crashed commit's orphan dir is collected as soon as any later
+    commit passes its number. Returns the deleted paths."""
     now = time.time()
+    cur = current_manifest_number(spark, root) or 0
     referenced = _referenced_gen_names(spark, root)
     removed: list[str] = []
     for name in _list_names(spark, root):
-        if _parse_gen(name) is None or name in referenced:
+        g = _parse_gen(name)
+        if g is None or name in referenced or g > cur:
             continue
         path = f"{root.rstrip('/')}/{name}"
         mt = _fs_mtime_deep(spark, path)
@@ -438,23 +476,36 @@ def tx_vacuum(
     root: str,
     keep_manifests: int = 2,
     grace_seconds: float = DEFAULT_GRACE_SECONDS,
+    pin_generations=None,
 ) -> list[str]:
     """Delete generation dirs no retained manifest references and
     manifests older than the last `keep_manifests`. The retained window
     is the reader grace period: a reader that resolved any of the last
     `keep_manifests` snapshots still finds every file it resolved.
 
-    Two classes of dead dirs, two rules:
+    `pin_generations` — extra manifest NUMBERS that must stay retained
+    regardless of the window. A table that is a member of a graph-level
+    manifest (plans/load.upsert_graph layout='tx') is pinned to a fixed
+    generation per graph snapshot; vacuuming a member table directly with
+    no pins can prune the very manifest the graph manifest still
+    references (e.g. after two compactions), breaking `GraphTables.load`
+    until the next load republishes. Use `plans/load.vacuum_graph`, which
+    computes the pins, for graph member tables.
+
+    Three classes of dead dirs, three rules:
     - referenced only by manifests being pruned → provably superseded
       published data: deleted immediately;
-    - referenced by NO manifest at all → crashed/conflicted commit OR an
-      in-flight writer's staging dir: deleted only past `grace_seconds`
-      (same rule as `tx_recover`).
+    - referenced by NO manifest and numbered ABOVE the current manifest
+      generation → an in-flight writer's staging dir by construction:
+      never deleted (same rule as `tx_recover`);
+    - referenced by NO manifest and numbered at/below current → its
+      writer can only get `TxConflict`: deleted past `grace_seconds`.
     Returns the deleted paths."""
     cur = current_manifest_number(spark, root)
     if cur is None:
         return []
     keep_from = cur - max(keep_manifests - 1, 0)
+    pins = set(pin_generations or ())
     live: set[str] = set()
     superseded: set[str] = set()
     mdir = _manifest_dir(root)
@@ -462,25 +513,127 @@ def tx_vacuum(
         if name.endswith(".json") and name[:-5].isdigit():
             n = int(name[:-5])
             m = json.loads(fs_read_text(spark, f"{mdir}/{name[:-5]}.json"))
-            (live if n >= keep_from else superseded).update(m["buckets"].values())
+            (live if n >= keep_from or n in pins else superseded).update(
+                _gen_names_of(m)
+            )
     superseded -= live
     now = time.time()
     removed: list[str] = []
     for name in _list_names(spark, root):
-        if _parse_gen(name) is None or name in live:
+        g = _parse_gen(name)
+        if g is None or name in live:
             continue
         path = f"{root.rstrip('/')}/{name}"
         if name in superseded:
             fs_delete(spark, path)
             removed.append(path)
             continue
+        if g > cur:  # in-flight writer's staging dir: never touched
+            continue
         mt = _fs_mtime_deep(spark, path)
         if mt is not None and now - mt >= grace_seconds:
             fs_delete(spark, path)
             removed.append(path)
     for name in _list_names(spark, mdir):
-        if name.endswith(".json") and name[:-5].isdigit() and int(name[:-5]) < keep_from:
-            path = f"{mdir}/{name}"
-            fs_delete(spark, path)
-            removed.append(path)
+        if name.endswith(".json") and name[:-5].isdigit():
+            n = int(name[:-5])
+            if n < keep_from and n not in pins:
+                path = f"{mdir}/{name}"
+                fs_delete(spark, path)
+                removed.append(path)
     return removed
+
+
+# --- append-only segment log -------------------------------------------
+# The second manifest-pointer shape: a LOG of immutable segments instead
+# of a bucket map. `tx_upsert` is a MERGE — it re-reads and rewrites every
+# touched bucket, so a table whose commits are pure appends (the accession
+# registry: new vocabulary only, never updates) would pay O(table) per
+# commit under it. The log form keeps the append O(batch): a commit writes
+# ONE fresh segment dir and publishes a manifest listing the previous
+# segments plus the new one. Readers union the listed segments — a
+# snapshot, same isolation argument as the bucket form. Compaction folds
+# all segments into one; `tx_recover`/`tx_vacuum` work unchanged on both
+# forms (`_gen_names_of` understands both manifest shapes), including the
+# generation-number GC rule.
+
+
+def txlog_read(spark: SparkSession, root: str) -> DataFrame | None:
+    """Snapshot read of a segment log: one manifest read, then a single
+    multi-path parquet scan over immutable segment dirs (None for a
+    missing/empty log)."""
+    m = read_manifest(spark, root)
+    if m is None or not m["segments"]:
+        return None
+    return spark.read.parquet(*[f"{root.rstrip('/')}/{s}" for s in m["segments"]])
+
+
+def txlog_append(
+    df: DataFrame,
+    root: str,
+    n_files: int = 1,
+    grace_seconds: float = DEFAULT_GRACE_SECONDS,
+) -> int:
+    """Append `df` as one fresh immutable segment and atomically publish a
+    manifest referencing previous segments + the new one. O(batch): no
+    existing data is read or rewritten. Returns the new generation.
+    Concurrency contract = `tx_upsert`'s: optimistic publish, loser
+    self-cleans its own segment and raises `TxConflict`."""
+    spark = df.sparkSession
+    tx_recover(spark, root, grace_seconds=grace_seconds)
+    m = read_manifest(spark, root)
+    next_n = 1 if m is None else m["generation"] + 1
+    gen_name = _new_gen_name(next_n)
+    gen_dir = f"{root.rstrip('/')}/{gen_name}"
+    df.repartition(n_files).write.mode("overwrite").parquet(gen_dir)
+    segments = ([] if m is None else list(m["segments"])) + [gen_name]
+    _publish(spark, root, {"generation": next_n, "segments": segments}, gen_dir)
+    return next_n
+
+
+def txlog_compact(
+    spark: SparkSession,
+    root: str,
+    n_files: int = 4,
+    grace_seconds: float = DEFAULT_GRACE_SECONDS,
+) -> int:
+    """Fold every segment into one (reader-isolated: the manifest repoints
+    atomically; old segments stay until vacuum). Returns the new
+    generation."""
+    m = read_manifest(spark, root)
+    if m is None:
+        raise FileNotFoundError(f"no committed manifest under {root}")
+    full = txlog_read(spark, root)
+    next_n = m["generation"] + 1
+    gen_name = _new_gen_name(next_n)
+    gen_dir = f"{root.rstrip('/')}/{gen_name}"
+    full.repartition(n_files).write.mode("overwrite").parquet(gen_dir)
+    _publish(spark, root, {"generation": next_n, "segments": [gen_name]}, gen_dir)
+    return next_n
+
+
+def txlog_segment_count(spark: SparkSession, root: str) -> int:
+    """Number of live segments (0 for a missing log) — the compaction
+    trigger for log owners."""
+    m = read_manifest(spark, root)
+    return 0 if m is None else len(m["segments"])
+
+
+def read_table(spark: SparkSession, root: str) -> DataFrame:
+    """Layout-detecting read: manifest-pointer tables (a `_manifests`
+    child) resolve through `tx_read`/`txlog_read`; anything else is the
+    in-place bucketed layout (`plans/merge.read_bucketed`). The one call
+    sinks' consumers need now that `layout="tx"` is the default — a plain
+    ``spark.read.parquet(root)`` on a tx table would union EVERY retained
+    generation."""
+    from gfe_db_spark.plans.merge import read_bucketed
+
+    if fs_exists(spark, _manifest_dir(root)):
+        m = read_manifest(spark, root)
+        if m is not None and "segments" in m:
+            out = txlog_read(spark, root)
+            if out is None:
+                raise FileNotFoundError(f"empty segment log at {root}")
+            return out
+        return tx_read(spark, root)
+    return read_bucketed(spark, root)

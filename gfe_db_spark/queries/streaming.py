@@ -201,6 +201,7 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cents so the check is float-order-proof.)"""
     import tempfile
 
+    from gfe_db_spark.plans.txtable import read_table
     from gfe_db_spark.streaming.structured import foreach_batch_upsert, read_event_stream
 
     target = tempfile.mkdtemp(prefix="gfe_sink_") + "/events_upserted"
@@ -212,7 +213,7 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
         q.stop()
     return (
-        spark.read.parquet(target)
+        read_table(spark, target)  # layout-aware: the sink is tx by default
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -167,7 +167,7 @@ def run_incremental(
     state_path: str,
     registry_path: str,
     graph_path: str,
-    layout: str = "inplace",
+    layout: str = "tx",
     n_buckets: int = 16,
     **build_kwargs,
 ) -> PipelineResult:
@@ -178,12 +178,14 @@ def run_incremental(
     are fully partition-parallel. Replaying a committed release is a no-op
     (ST3: MERGE idempotence + watermark skip).
 
-    `layout="tx"` commits each graph table through the reader-isolated
-    manifest-pointer protocol (plans/txtable.py): a reader polling the
-    graph DURING a release load always sees one complete before/after
-    snapshot — the isolation the reference gets from Neo4j transactions
-    (ref load.cyp:9). Default "inplace" keeps the cheaper
-    dynamic-overwrite commit for single-reader deployments."""
+    `layout="tx"` (the default since r7) commits each graph table through
+    the reader-isolated manifest-pointer protocol (plans/txtable.py): a
+    reader polling the graph DURING a release load always sees one
+    complete before/after snapshot — the isolation the reference gets
+    from Neo4j transactions (ref load.cyp:9). `layout="inplace"` is the
+    documented opt-out: the cheaper dynamic-overwrite commit for strictly
+    single-reader deployments (its swap window is visible to a concurrent
+    reader)."""
     state = ReleaseState.load(state_path)
     new = detect_new_releases(available_releases, state)
 

@@ -143,16 +143,19 @@ def foreach_batch_upsert(
     target_path: str,
     keys: list[str],
     n_buckets: int = 32,
-    layout: str = "inplace",
+    layout: str = "tx",
 ):
     """ST3: exactly-once-ish idempotent sink — per micro-batch MERGE into a
     key-bucketed parquet target: only the partitions whose buckets the
     batch touches are read and rewritten, so sink cost is O(batch), not
-    O(table). `layout="tx"` routes each micro-batch commit through the
-    reader-isolated manifest-pointer protocol (plans/txtable.tx_upsert):
-    concurrent readers of the sink table always resolve one complete
-    snapshot, never a half-swapped partition mix. Delta MERGE INTO would
-    replace this body unchanged on a Delta-enabled cluster."""
+    O(table). `layout="tx"` (the default since r7) routes each micro-batch
+    commit through the reader-isolated manifest-pointer protocol
+    (plans/txtable.tx_upsert): concurrent readers of the sink table always
+    resolve one complete snapshot, never a half-swapped partition mix.
+    `layout="inplace"` is the documented opt-out (dynamic partition
+    overwrite; cheaper, but a concurrent reader can see the swap window).
+    Delta MERGE INTO would replace this body unchanged on a Delta-enabled
+    cluster."""
     from gfe_db_spark.plans.merge import partitioned_upsert
     from gfe_db_spark.plans.txtable import tx_upsert
 

@@ -86,7 +86,11 @@ def test_cli_snapshot_roundtrip(spark, tmp_path, capsys):
     assert "v0001" in capsys.readouterr().out
     restored = tmp_path / "graph2"
     assert main(["snapshot", "restore", "--root", root, "--graph", str(restored)]) == 0
-    a = spark.read.parquet(str(graph / "nodes_gfe"))
+    # the live graph is tx-layout by default since r7 (snapshot exports
+    # stay plain parquet) — read it layout-aware
+    from gfe_db_spark.plans.txtable import read_table
+
+    a = read_table(spark, str(graph / "nodes_gfe"))
     b = spark.read.parquet(str(restored / "nodes_gfe"))
     assert a.count() == b.count() > 0
 

@@ -643,11 +643,29 @@ def test_reference_depth_47_release_history(spark, tmp_path_factory):
             gfe_of_first = edges[0].src
         assert edges[0].src == gfe_of_first  # accession/naming never drifts
 
-    # registry compaction at depth: 47 commits x compact_files parts would
-    # be ~188 files without compaction; the bound is max_files (16) plus
-    # one commit's worth (4) at most
-    parts = [f for f in _os.listdir(reg) if f.endswith(".parquet")]
-    assert 0 < len(parts) <= 20, parts
+    # registry structure at depth under the tx segment log (r7): after 47
+    # append commits the LIVE snapshot must stay O(compact_files), not
+    # O(commits) — segments fold at max_files (16) and the post-compaction
+    # vacuum bounds manifests, so nothing on disk grows with history.
+    from gfe_db_spark.plans import txtable as TX
+
+    m = TX.read_manifest(spark, reg)
+    assert m is not None and 0 < len(m["segments"]) <= 17, m
+    n_files = sum(
+        1
+        for seg in m["segments"]
+        for f in _os.listdir(_os.path.join(reg, seg))
+        if f.endswith(".parquet")
+    )
+    # ≤ max_files append segments x 1 file + one compacted segment x
+    # compact_files — 47 un-compacted commits would be ≥47
+    assert 0 < n_files <= 20, n_files
+    manifests = [
+        f for f in _os.listdir(_os.path.join(reg, "_manifests")) if f.endswith(".json")
+    ]
+    assert len(manifests) <= 19, manifests  # 2 retained + appends since vacuum
+    gens = [d for d in _os.listdir(reg) if d.startswith("gen-")]
+    assert len(gens) <= 36, gens  # live + retained-manifest pins, not O(commits)
 
     g = res.graph
     hist = {
@@ -695,3 +713,241 @@ def test_graph_layout_switch_is_refused(spark, tmp_path_factory):
     # correct layouts still replay fine on both
     upsert_graph(g, inplace_path, layout="inplace")
     upsert_graph(g, tx_path, layout="tx")
+
+    # crash-window gap (r7 advice): a tx load that died after SOME table
+    # commits but before the FIRST graph-manifest publish leaves
+    # per-table _manifests with no _graph_manifests. An inplace commit
+    # must STILL be refused — it would write bucketed dirs that
+    # tx-resolving readers never consult.
+    import shutil as _shutil
+
+    crash_path = str(tmp / "g_crash")
+    upsert_graph(g, crash_path, layout="tx")
+    _shutil.rmtree(f"{crash_path}/_graph_manifests")
+    with _pytest.raises(ValueError, match="tx .manifest-pointer. layout"):
+        upsert_graph(g, crash_path, layout="inplace")
+    # the tx direction recovers the crashed load by republishing
+    upsert_graph(g, crash_path, layout="tx")
+
+
+def test_vacuum_graph_respects_graph_manifest_pins(spark, tmp_path_factory):
+    """r7 advice (medium): the graph manifest pins each member table to a
+    FIXED generation, so a per-table tx_vacuum with no pins can prune the
+    manifest the graph manifest still references (two compactions + a
+    1-manifest retention suffice) — GraphTables.load then fails until the
+    next load republishes. vacuum_graph must (a) keep every generation a
+    retained graph manifest pins, (b) prune graph manifests with the same
+    retention contract, and (c) leave the graph loadable throughout."""
+    import pytest as _pytest
+
+    from gfe_db_spark.plans import txtable as TX
+    from gfe_db_spark.plans.accession import AccessionRegistry
+    from gfe_db_spark.plans.build import build_release
+    from gfe_db_spark.plans.load import (
+        GraphTables,
+        load_release,
+        upsert_graph,
+        vacuum_graph,
+    )
+    from gfe_db_spark.sources.imgt import read_imgt_dat
+    from tests import gfe_fixtures as fx
+
+    tmp = tmp_path_factory.mktemp("gvacuum")
+    built = build_release(
+        spark,
+        read_imgt_dat(spark, fx.write_release_dat(str(tmp), "3550")),
+        "3550",
+        AccessionRegistry(spark, str(tmp / "reg")),
+    )
+    g = load_release(spark, built, "3550")
+    graph_path = str(tmp / "graph")
+    upsert_graph(g, graph_path, layout="tx")  # graph manifest 1
+
+    # two compactions of a member table advance ITS generation while the
+    # graph manifest still pins the load's generation
+    member = f"{graph_path}/nodes_gfe"
+    TX.tx_compact(spark, member)
+    TX.tx_compact(spark, member)
+
+    # the hazard, demonstrated: a pin-less per-table vacuum with a
+    # 1-manifest window deletes the pinned manifest -> load breaks
+    probe = str(tmp / "probe")
+    upsert_graph(g, probe, layout="tx")
+    TX.tx_compact(spark, f"{probe}/nodes_gfe")
+    TX.tx_compact(spark, f"{probe}/nodes_gfe")
+    TX.tx_vacuum(spark, f"{probe}/nodes_gfe", keep_manifests=1)
+    with _pytest.raises(Exception):
+        GraphTables.load(spark, probe).nodes_gfe.count()
+
+    # the fix: graph-aware vacuum with the same 1-manifest table window
+    # keeps the pinned generation AND its manifest
+    n_before = GraphTables.load(spark, graph_path).nodes_gfe.count()
+    removed = vacuum_graph(
+        spark, graph_path, keep_graph_manifests=1, keep_manifests=1, grace_seconds=0
+    )
+    assert GraphTables.load(spark, graph_path).nodes_gfe.count() == n_before
+    # the two compaction generations not pinned by the graph manifest and
+    # outside the table window were reclaimed
+    assert any("nodes_gfe" in p for p in removed)
+
+    # graph manifests prune under the same contract: commit a second load
+    # (graph manifest 2), vacuum keeping 1 -> manifest 1's file is gone,
+    # the graph still loads at manifest 2
+    upsert_graph(g, graph_path, layout="tx")
+    removed = vacuum_graph(
+        spark, graph_path, keep_graph_manifests=1, keep_manifests=2, grace_seconds=0
+    )
+    gm = [p for p in removed if "_graph_manifests" in p]
+    assert len(gm) == 1 and gm[0].endswith("00000001.json")
+    assert GraphTables.load(spark, graph_path).nodes_gfe.count() == n_before
+
+
+def test_registry_tx_reader_isolated_during_append_and_compaction(
+    spark, tmp_path_factory
+):
+    """r7 verdict item 1 (done-criterion): the accession registry on the
+    manifest-pointer segment log — a reader polling DURING appends and a
+    forced compaction sees only complete snapshots: total row count is
+    always one of the committed sizes (multiples of the batch size), the
+    per-context numbering is dense 1..n at every poll, and no poll ever
+    errors on a half-swapped directory (the legacy layout's documented
+    hazard)."""
+    import threading
+
+    from gfe_db_spark.plans.accession import AccessionRegistry
+
+    path = str(tmp_path_factory.mktemp("regtx") / "registry")
+    # low threshold so the polling window provably spans compactions
+    reg = AccessionRegistry(spark, path, max_files=3, compact_files=2)
+    reg.assign(
+        spark.createDataFrame(
+            [("HLA-A", "exon", 1, "SEED")],
+            "locus string, term string, rank int, sequence string",
+        ),
+        "3300",
+    )
+
+    errors: list[Exception] = []
+    done = threading.Event()
+
+    def writer():
+        try:
+            for batch in range(8):  # crosses the compaction threshold twice
+                feats = spark.createDataFrame(
+                    [("HLA-A", "exon", 1, f"B{batch}_{i}") for i in range(3)],
+                    "locus string, term string, rank int, sequence string",
+                )
+                reg.assign(feats, release=str(3310 + 10 * batch))
+        except Exception as e:
+            errors.append(e)
+        finally:
+            done.set()
+
+    reader = AccessionRegistry(spark, path)
+    t = threading.Thread(target=writer)
+    t.start()
+    polls = 0
+    try:
+        while not done.is_set() or polls == 0:
+            rows = reader.load().collect()
+            n = len(rows)
+            assert n >= 1 and (n - 1) % 3 == 0, f"torn registry count {n}"
+            accs = sorted(r.accession for r in rows)
+            assert accs == list(range(1, n + 1)), "non-dense numbering mid-poll"
+            polls += 1
+    finally:
+        t.join()
+    assert not errors, errors
+    assert polls >= 1
+    final = reader.load()
+    assert final.count() == 25
+    # compaction actually happened: segment count folded below the commits
+    from gfe_db_spark.plans import txtable as TX
+
+    assert TX.txlog_segment_count(spark, path) <= 4
+
+
+def test_registry_layout_guard_refuses_mismatch(spark, tmp_path_factory):
+    """Committing against an existing registry with the WRONG layout must
+    raise (mirror of the graph layout-switch guard): a tx commit on a
+    legacy flat dir would hide the accumulated mapping behind an empty
+    manifest; an inplace append on a tx registry would write parts no
+    manifest-resolving reader consults."""
+    import pytest as _pytest
+
+    from gfe_db_spark.plans.accession import AccessionRegistry
+
+    feats = spark.createDataFrame(
+        [("HLA-A", "exon", 1, "S1")],
+        "locus string, term string, rank int, sequence string",
+    )
+    base = tmp_path_factory.mktemp("regguard")
+
+    legacy = str(base / "legacy")
+    AccessionRegistry(spark, legacy, layout="inplace").assign(feats, "3550")
+    with _pytest.raises(ValueError, match="uses the 'inplace' layout"):
+        AccessionRegistry(spark, legacy).load()
+
+    txreg = str(base / "txreg")
+    AccessionRegistry(spark, txreg).assign(feats, "3550")
+    with _pytest.raises(ValueError, match="uses the 'tx' layout"):
+        AccessionRegistry(spark, txreg, layout="inplace").load()
+    # correct layouts keep working
+    assert AccessionRegistry(spark, legacy, layout="inplace").load().count() == 1
+    assert AccessionRegistry(spark, txreg).load().count() == 1
+
+
+def test_reference_literal_validation_queries(spark, tmp_path):
+    """r7 verdict item 3: the THREE validation query texts the reference
+    actually executes (ref execute_validation_queries/app.py:45,73-77,79)
+    run VERBATIM through run_cypher — count() aggregation with Cypher's
+    implicit GROUP BY, relationship variables with property access
+    (r.releases / r.release), WITH + apoc.coll.toSet/toIntegerList,
+    UNWIND, DISTINCT, and unlabeled anonymous nodes — and agree with the
+    DataFrame twins (plans/queries.py A7-A9) row for row."""
+    from gfe_db_spark.plans.accession import AccessionRegistry
+    from gfe_db_spark.plans.build import build_release
+    from gfe_db_spark.plans.load import load_release
+    from gfe_db_spark.plans.motif import run_cypher
+    from gfe_db_spark.sources.imgt import read_imgt_dat
+    from tests import gfe_fixtures as fx
+
+    dat = fx.write_release_dat(str(tmp_path), "3550")
+    built = build_release(
+        spark, read_imgt_dat(spark, dat), "3550",
+        AccessionRegistry(spark, str(tmp_path / "reg")),
+    )
+    g = load_release(spark, built, "3550")
+
+    # (1) node counts — the literal f-string text, app.py:45
+    twin = {r["node"]: r["count"] for r in node_counts(g).collect()}
+    for node in ["GFE", "IPD_Accession", "IPD_Allele", "Sequence", "Feature", "Submitter"]:
+        out = run_cypher(g, f"MATCH (n:{node}) RETURN count(n) as count;")
+        assert out.columns == ["count"]
+        assert out.collect()[0]["count"] == twin[node], node
+
+    # (2) HAS_IPD_ALLELE releases histogram — the literal text, app.py:73-77
+    has_ipd_allele_release_counts_cql = (
+        "MATCH (:GFE)-[r:HAS_IPD_ALLELE]->(:IPD_Allele)\n"
+        "WITH r, apoc.coll.toSet(r.releases) as releases\n"
+        "UNWIND toIntegerList(releases) as release_version\n"
+        "RETURN DISTINCT release_version, count(release_version) as count\n"
+        "ORDER BY release_version;"
+    )
+    got = [tuple(r) for r in run_cypher(g, has_ipd_allele_release_counts_cql).collect()]
+    want = [tuple(r) for r in has_ipd_allele_release_counts(g).collect()]
+    assert got == want and got == [(3550, 4)]
+
+    # (3) HAS_IPD_ACCESSION release counts — the literal text, app.py:79
+    ipd_accession_release_counts_cql = (
+        "MATCH ()-[r:HAS_IPD_ACCESSION]->() RETURN DISTINCT "
+        "r.release as release_version, count(r.release) as count;"
+    )
+    got3 = {
+        (r.release_version, r["count"])
+        for r in run_cypher(g, ipd_accession_release_counts_cql).collect()
+    }
+    want3 = {
+        (r.release, r["count"]) for r in ipd_accession_release_counts(g).collect()
+    }
+    assert got3 == want3 and got3 == {("3.55.0", 4)}

@@ -215,7 +215,10 @@ def test_registry_compaction_preserves_contents(spark, tmp_path_factory):
     from gfe_db_spark.plans.accession import AccessionRegistry
 
     path = str(tmp_path_factory.mktemp("reg") / "registry")
-    reg = AccessionRegistry(spark, path, max_files=5, compact_files=2)
+    # pinned to the legacy flat-dir layout: this test asserts its
+    # top-level part-file bound; the tx layout's structural bounds are
+    # asserted in test_gfe_pipeline.test_registry_tx_* instead
+    reg = AccessionRegistry(spark, path, max_files=5, compact_files=2, layout="inplace")
     assigned = {}
     for batch in range(10):
         feats = spark.createDataFrame(
@@ -250,7 +253,9 @@ def test_registry_compaction_recovers_without_success_marker(spark, tmp_path_fac
     from gfe_db_spark.plans.accession import AccessionRegistry
 
     path = str(tmp_path_factory.mktemp("reg") / "registry")
-    reg = AccessionRegistry(spark, path)
+    # legacy layout: the .compacting-marker recovery protocol under test
+    # exists only there (the tx layout needs no swap recovery)
+    reg = AccessionRegistry(spark, path, layout="inplace")
     feats = spark.createDataFrame(
         [("HLA-A", "exon", 1, f"S{i}") for i in range(4)],
         "locus string, term string, rank int, sequence string",

@@ -146,6 +146,7 @@ def test_stateful_user_totals_accumulates_across_batches(spark, tmp_path):
 
 
 def test_foreach_batch_upsert(spark, tmp_path):
+    from gfe_db_spark.plans.txtable import read_table
     from gfe_db_spark.streaming.structured import foreach_batch_upsert
 
     target = str(tmp_path / "events_upserted")
@@ -154,7 +155,7 @@ def test_foreach_batch_upsert(spark, tmp_path):
     q = writer.start()
     q.processAllAvailable()
     q.stop()
-    n1 = spark.read.parquet(target).count()
+    n1 = read_table(spark, target).count()  # sink is tx-layout by default
     assert n1 == 1000
     # replaying the same input is idempotent (ST3)
     events2 = read_event_stream(spark, f"{SF_SMOKE}/events.parquet")
@@ -162,7 +163,7 @@ def test_foreach_batch_upsert(spark, tmp_path):
     q2 = writer2.start()
     q2.processAllAvailable()
     q2.stop()
-    assert spark.read.parquet(target).count() == n1
+    assert read_table(spark, target).count() == n1
 
 
 def test_partitioned_upsert_rewrites_only_touched_buckets(spark, tmp_path):

@@ -156,9 +156,11 @@ def test_tx_reader_isolated_during_compaction(spark, tmp_path):
 
 def test_tx_recover_cleans_orphan_generation(spark, tmp_path):
     """Crash between the generation write and the manifest rename leaves
-    an orphan (unreferenced) gen dir. Recover deletes it ONLY past the
-    grace period — within grace it is indistinguishable from an in-flight
-    writer's staging dir and must survive."""
+    an orphan (unreferenced) gen dir numbered ABOVE the current manifest.
+    The generation-number rule: such a dir is in-flight by construction
+    and recover never touches it, at ANY age — it becomes collectable
+    exactly when a later commit passes its number (at which point its
+    writer could only get TxConflict, so deletion is provably safe)."""
     root = str(tmp_path / "t")
     TX.tx_upsert(_mk(spark, 20, 1), root, ["k"], n_buckets=4)
     # simulate the crash: write a gen-2 staging dir but never publish
@@ -167,17 +169,49 @@ def test_tx_recover_cleans_orphan_generation(spark, tmp_path):
         "__bucket"
     ).parquet(orphan)
     assert {r.val for r in TX.tx_read(spark, root).collect()} == {1}
-    # within the grace period the dir could be another writer's in-flight
-    # commit: recover must leave it alone
-    assert TX.tx_recover(spark, root) == []
+    # numbered above current (2 > 1): indistinguishable from a live
+    # writer's staging dir — survives recover even with zero grace
+    assert TX.tx_recover(spark, root, grace_seconds=0) == []
     assert TX.fs_exists(spark, orphan)
-    # past the grace period it is provably dead: collected
+    # a later commit publishes generation 2: the orphan's number is now
+    # taken, its (hypothetical) writer can only TxConflict — collectable.
+    # The commit's own recover pass runs BEFORE the publish (current
+    # still 1 at that point), so the orphan survives into the commit...
+    TX.tx_upsert(_mk(spark, 20, 3), root, ["k"], n_buckets=4)
+    assert {r.val for r in TX.tx_read(spark, root).collect()} == {3}
+    assert TX.fs_exists(spark, orphan)
+    # ...and the NEXT recover (current now 2 ≥ orphan's 2) collects it
     removed = TX.tx_recover(spark, root, grace_seconds=0)
     assert removed == [orphan]
     assert not TX.fs_exists(spark, orphan)
-    # the next commit reuses generation number 2 cleanly
-    TX.tx_upsert(_mk(spark, 20, 3), root, ["k"], n_buckets=4)
     assert {r.val for r in TX.tx_read(spark, root).collect()} == {3}
+
+
+def test_tx_recover_never_collects_slow_in_flight_writer(spark, tmp_path):
+    """The round-6 verdict's GC edge case, closed: a writer staging
+    generation n+1 whose single long task refreshes no directory mtime
+    (simulated with grace_seconds=0 — infinitely stale) must SURVIVE a
+    concurrent writer's commit-start recover, then publish successfully.
+    Under the old mtime-only rule this dir was deleted and the victim's
+    later publish succeeded anyway, publishing a manifest referencing
+    deleted data."""
+    root = str(tmp_path / "t")
+    TX.tx_upsert(_mk(spark, 30, 0), root, ["k"], n_buckets=4)
+    # slow writer: fully staged at gen 2, not yet published, mtime
+    # arbitrarily stale (grace 0 treats ANY age as past-grace)
+    man, gen_dir, _ = TX._prepare_upsert(_mk(spark, 30, 1), root, ["k"], n_buckets=4)
+    assert TX.tx_recover(spark, root, grace_seconds=0) == []
+    assert TX.fs_exists(spark, gen_dir), "GC collected a live writer's staging dir"
+    # vacuum must honor the same rule
+    assert all(
+        p != gen_dir
+        for p in TX.tx_vacuum(spark, root, keep_manifests=1, grace_seconds=0)
+    )
+    assert TX.fs_exists(spark, gen_dir)
+    # the slow writer finishes: publish succeeds and the data it
+    # references is intact
+    TX._publish(spark, root, man, gen_dir)
+    assert {r.val for r in TX.tx_read(spark, root).collect()} == {1}
 
 
 def test_tx_two_concurrent_writers(spark, tmp_path):
@@ -309,7 +343,12 @@ def test_tx_model_based_random_op_sequences(spark, tmp_path):
                     v = vals.copy().pop() if len(vals) == 1 else None
                     if rule == "create_only" and k in model:
                         continue
-                    model[k] = v if v is not None else model.get(k, "AMBIG")
+                    # ambiguous batch (duplicate key, differing values):
+                    # dropDuplicates may install EITHER value, so the key
+                    # is excluded from the value assertion UNCONDITIONALLY
+                    # — keeping the prior value here would assert the old
+                    # value against a legitimately-updated row
+                    model[k] = v if v is not None else "AMBIG"
             elif kind == "compact" and TX.current_manifest_number(spark, root):
                 TX.tx_compact(spark, root)
             elif kind == "vacuum" and TX.current_manifest_number(spark, root):
