@@ -32,31 +32,77 @@ class QuerySpec:
 # earned driver-green rows in CORRECTNESS_r01.json (generic SQL forms and
 # the classic TPC-H suite).
 PRIORITY: tuple[str, ...] = (
-    # ---- Round-6 window, positions 1-~50. After the r5 rotation every
-    # registry entry has at least one driver-green row, so this window is
-    # (a) the round-6 additions and plan-changed entries first — each
-    # needs a fresh row of record on the NEW plan — then (b) the entries
-    # whose last driver row is oldest (r1-only), re-checked.
-    # (a) new this round: the reference docs' literal Cypher text through
-    # run_cypher (verdict item 5)
+    # ---- Round-7 window, positions 1-~51 (driver checks a ~50-entry
+    # prefix; everything regardless of position is checked by the full
+    # sf0.01 oracle sweep in the pytest parity mirror each run).
+    # (a) NEW this round: the reference's three literal validation query
+    # texts running verbatim through run_cypher (r6 verdict item 3)
+    "cypher_validation_node_counts",
+    "cypher_validation_release_histogram",
+    "cypher_validation_accession_counts",
+    # (b) state/plan-changed this round: the accession registry now
+    # commits through the manifest-pointer segment log and layout="tx"
+    # is the default on the graph and streaming-sink commit paths, so
+    # every entry exercising the registry or a sink needs a fresh row
+    # of record on the new protocol (r6 verdict item 1)
+    "gfe_end_to_end",
+    "gfe_naming",
+    "w6_dense_rank_accession",
+    "alignment_join",
     "cypher_front_end",
-    # (a) plan-changed this round: simhash expansion re-derived from one
-    # grouped class exchange (verdict item 6); semdedup + entity-match
-    # gained hard pair-cost caps mirrored in the oracles (item 4); the
-    # component-family digest gate now keeps null/short docs as
-    # singletons (advice item 2); txtable commits via uniquely-named
-    # generation dirs + graph-level manifest (items 2-3)
+    "txtable_upsert",
+    "stream_upsert_sink",
+    # (c) stalest driver rows: r1-only leftovers, then the full
+    # r2-window cohort (no driver row since round 2)
+    "asof_last_purchase",
+    "c_scalar_suite",
+    "ann_lsh_buckets",
+    "ann_topk_join",
+    "corpus_prep_pipeline",
+    "corpus_sample",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_lsh_pairs",
+    "dedup_minhash_est",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embedding_quantize",
+    "event_funnel",
+    "graph_3hop_motif",
+    "graph_degree_distribution",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "graph_undirected_2hop",
+    "imgt_datasource_scan",
+    "knn_brute_force",
+    "knn_ivf",
+    "multimodal_dedup",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_metadata",
+    "multimodal_real_decode",
+    "q20_quantity_threshold_suppliers",
+    "sessionize",
+    "skew_salted_count_distinct",
+    "text_bigram_lm",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_scores",
+    "text_redact_pii",
+    "text_split_assign",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    "text_vocab_top",
+    "tumbling_window",
+    # ---- past the window: prior ordering preserved (most recently
+    # driver-checked last)
     "dedup_simhash_hamming",
     "semdedup_prune",
     "entity_match_blocking",
     "dedup_clusters",
     "dedup_keep_list",
     "leakage_safe_split",
-    "txtable_upsert",
-    # (a) rows-only no more: first-ever HASH row for the e2e pipeline
-    # (its oracle replays the empty-registry numbering like gfe_naming's)
-    "gfe_end_to_end",
-    # (b) oldest rows on record (r1-only, never re-checked since r1):
     "q2_min_price_part",
     "q4_order_priority",
     "q5_local_supplier_volume",
@@ -98,14 +144,7 @@ PRIORITY: tuple[str, ...] = (
     "q9_profit_by_nation_year",
     "q11_important_balance",
     "q16_supplier_count_distribution",
-    "q20_quantity_threshold_suppliers",
     "graph_bfs_hops",
-    "gfe_naming",
-    # ---- everything below sits past the driver's ~50-entry window this
-    # round; every entry regardless of position is checked by the full
-    # sf0.01 oracle sweep in the pytest parity mirror each run. Ordered
-    # roughly by how recently each last earned a driver row (most recent
-    # last): r2 rows, then the r4/r5 windows.
     "imgt_stream_scan",
     "domain_cap_sample",
     "stratified_sample",
@@ -149,13 +188,10 @@ PRIORITY: tuple[str, ...] = (
     "q3_shipping_priority",
     "q6_forecast_revenue",
     "w2_topk_per_group",
-    "w6_dense_rank_accession",
     "a1_dedup_distinct",
     "j1_broadcast_lookup",
     "f1_processability_filter",
     "so1_except",
-    "c_scalar_suite",
-    "asof_last_purchase",
     "dedup_incremental",
     "set_similarity_join",
     "dedup_exact_substrings",
@@ -184,9 +220,7 @@ PRIORITY: tuple[str, ...] = (
     "bpe_vocab_stats",
     "bpe_encode_corpus",
     "multimodal_phash_dedup",
-    "multimodal_real_decode",
     "stream_user_totals",
-    "stream_upsert_sink",
     "stream_stream_join",
     "stream_cdc_apply",
     "retention_cohorts",

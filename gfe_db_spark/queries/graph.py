@@ -173,6 +173,102 @@ def cypher_front_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cypher_validation_node_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FIRST literal validation query text, run verbatim
+    per label through run_cypher (ref execute_validation_queries/app.py:45
+    — ``f'MATCH (n:{node}) RETURN count(n) as count;'`` over the six-label
+    loop at app.py:66-72): count() aggregation + node-only patterns in
+    native syntax against the fixture graph. The oracle recomputes each
+    label's node count from the inlined fixture rows (GFE/Sequence/
+    IPD_Allele/IPD_Accession are 1:1 with alleles in this release;
+    Feature dedups on its 4-col identity; Submitter is the singleton)."""
+    from gfe_db_spark.plans.load import load_release
+    from gfe_db_spark.plans.motif import run_cypher
+
+    built = _fixture_build(spark)
+    g = load_release(spark, built, "3550")
+    parts = []
+    for node in ["GFE", "IPD_Accession", "IPD_Allele", "Sequence", "Feature", "Submitter"]:
+        df = run_cypher(g, f"MATCH (n:{node}) RETURN count(n) as count;")
+        parts.append(df.select(F.lit(node).alias("node"), F.col("count")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("node")
+
+
+def _cypher_validation_node_counts_sql() -> str:
+    return f"""
+WITH {_GFE_FIXTURE_FEATS_SQL.strip()}
+SELECT 'Feature' AS node,
+       CAST(COUNT(*) AS BIGINT) AS count
+  FROM (SELECT DISTINCT locus, term, rank, sequence FROM feats)
+UNION ALL SELECT 'GFE', COUNT(DISTINCT hla_name) FROM feats
+UNION ALL SELECT 'IPD_Accession', COUNT(DISTINCT hla_name) FROM feats
+UNION ALL SELECT 'IPD_Allele', COUNT(DISTINCT hla_name) FROM feats
+UNION ALL SELECT 'Sequence', COUNT(DISTINCT hla_name) FROM feats
+UNION ALL SELECT 'Submitter', CAST(1 AS BIGINT)
+ORDER BY node
+"""
+
+
+def cypher_validation_release_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's SECOND literal validation query text, verbatim (ref
+    execute_validation_queries/app.py:73-77): relationship variable with
+    property access, WITH + apoc.coll.toSet, UNWIND toIntegerList, RETURN
+    DISTINCT + count() with implicit grouping, ORDER BY — compiled by
+    run_cypher over the fixture graph. One release loaded ⇒ one histogram
+    bucket: (3550, n_alleles)."""
+    from gfe_db_spark.plans.load import load_release
+    from gfe_db_spark.plans.motif import run_cypher
+
+    built = _fixture_build(spark)
+    g = load_release(spark, built, "3550")
+    cql = (
+        "MATCH (:GFE)-[r:HAS_IPD_ALLELE]->(:IPD_Allele)\n"
+        "WITH r, apoc.coll.toSet(r.releases) as releases\n"
+        "UNWIND toIntegerList(releases) as release_version\n"
+        "RETURN DISTINCT release_version, count(release_version) as count\n"
+        "ORDER BY release_version;"
+    )
+    return run_cypher(g, cql)
+
+
+def _cypher_validation_release_histogram_sql() -> str:
+    return f"""
+WITH {_GFE_FIXTURE_FEATS_SQL.strip()}
+SELECT CAST(3550 AS INT) AS release_version,
+       COUNT(DISTINCT hla_name) AS count
+FROM feats
+"""
+
+
+def cypher_validation_accession_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's THIRD literal validation query text, verbatim (ref
+    execute_validation_queries/app.py:79): UNLABELED anonymous nodes
+    (labels inferred from the typed edge), relationship property
+    projection with AS aliases, RETURN DISTINCT + count()."""
+    from gfe_db_spark.plans.load import load_release
+    from gfe_db_spark.plans.motif import run_cypher
+
+    built = _fixture_build(spark)
+    g = load_release(spark, built, "3550")
+    cql = (
+        "MATCH ()-[r:HAS_IPD_ACCESSION]->() RETURN DISTINCT "
+        "r.release as release_version, count(r.release) as count;"
+    )
+    return run_cypher(g, cql)
+
+
+def _cypher_validation_accession_counts_sql() -> str:
+    return f"""
+WITH {_GFE_FIXTURE_FEATS_SQL.strip()}
+SELECT '3.55.0' AS release_version,
+       COUNT(DISTINCT hla_name) AS count
+FROM feats
+"""
+
+
 def _gfe_end_to_end_sql() -> str:
     # The e2e listing = every fixture feature row with its replayed
     # accession, joined to its allele's replayed GFE name (same
@@ -519,6 +615,21 @@ QUERIES: dict[str, QuerySpec] = {
         cypher_front_end,
         _cypher_front_end_sql(),
         "reference docs' literal Cypher query via run_cypher, hash-checked",
+    ),
+    "cypher_validation_node_counts": QuerySpec(
+        cypher_validation_node_counts,
+        _cypher_validation_node_counts_sql(),
+        "ref validation query 1 (app.py:45) verbatim via run_cypher: count() per label",
+    ),
+    "cypher_validation_release_histogram": QuerySpec(
+        cypher_validation_release_histogram,
+        _cypher_validation_release_histogram_sql(),
+        "ref validation query 2 (app.py:73-77) verbatim: WITH/UNWIND/DISTINCT/count",
+    ),
+    "cypher_validation_accession_counts": QuerySpec(
+        cypher_validation_accession_counts,
+        _cypher_validation_accession_counts_sql(),
+        "ref validation query 3 (app.py:79) verbatim: unlabeled nodes + rel props",
     ),
     "alignment_join": QuerySpec(
         alignment_join, ALIGNMENT_JOIN_SQL, "J1 alignment broadcast join + build table"

@@ -11,9 +11,14 @@ Usage:
     python tools/sweep_parity.py --sf-dir /root/testdata/sf0.1 \
         --out parity_sf01.json [--names a,b,c] [--budget-s 3600]
 
-Seconds are end-to-end per entry: the Spark plan + collect AND the
-DuckDB oracle + compare, so slow rows are often oracle-dominated (the
-oracle is deliberately formulation-independent single-process SQL).
+Each record carries the time SPLIT (r7 verdict item 4), so engine walls
+are attributable without re-measurement:
+  - spark_s   — Spark plan build + execute + collect (the ENGINE wall);
+  - oracle_s  — DuckDB oracle execute + fetch (single-process referee);
+  - compare_s — normalization + value comparison (pandas, single-process);
+  - sec       — end-to-end (the sum, kept for continuity with old sweeps).
+Slow rows are often oracle-dominated (the oracle is deliberately
+formulation-independent single-process SQL); judge the engine on spark_s.
 """
 from __future__ import annotations
 
@@ -63,17 +68,37 @@ def main() -> int:
             print("BUDGET reached", flush=True)
             return 3
         spec = specs[name]
+
+        class _Collected:  # compare() calls .toPandas(); hand it the
+            def __init__(self, pdf):  # already-collected frame so the
+                self._pdf = pdf  # Spark wall is timed separately
+
+            def toPandas(self):
+                return self._pdf
+
         t0 = time.perf_counter()
         try:
-            r = compare(name, spec.fn(spark, args.sf_dir), con.execute(spec.sql).fetchdf())
-            rec = {"ok": bool(r.ok), "sec": round(time.perf_counter() - t0, 1),
+            spark_pdf = spec.fn(spark, args.sf_dir).toPandas()
+            t1 = time.perf_counter()
+            oracle_pdf = con.execute(spec.sql).fetchdf()
+            t2 = time.perf_counter()
+            r = compare(name, _Collected(spark_pdf), oracle_pdf)
+            t3 = time.perf_counter()
+            rec = {"ok": bool(r.ok), "sec": round(t3 - t0, 1),
+                   "spark_s": round(t1 - t0, 1), "oracle_s": round(t2 - t1, 1),
+                   "compare_s": round(t3 - t2, 1),
                    "detail": None if r.ok else str(r)}
         except Exception as e:  # recorded, sweep continues
             rec = {"ok": False, "sec": round(time.perf_counter() - t0, 1),
                    "detail": f"ERR {type(e).__name__}: {e}"}
             traceback.print_exc(file=sys.stderr)
         out[name] = rec
-        print(f"{name}\t{'OK' if rec['ok'] else 'FAIL'}\t{rec['sec']}s", flush=True)
+        split = (
+            f"\tspark={rec.get('spark_s')}s oracle={rec.get('oracle_s')}s"
+            if "spark_s" in rec
+            else ""
+        )
+        print(f"{name}\t{'OK' if rec['ok'] else 'FAIL'}\t{rec['sec']}s{split}", flush=True)
         # atomic checkpoint: a crash mid-dump must not destroy the resume
         # file this tool exists to preserve
         tmp = args.out + ".tmp"
