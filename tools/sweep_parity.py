@@ -39,6 +39,19 @@ def main() -> int:
     ap.add_argument("--names", help="comma-separated subset; re-runs even if recorded")
     ap.add_argument("--budget-s", type=float, default=float("inf"))
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument(
+        "--driver-memory",
+        default="48g",
+        help="local-mode JVM heap; the sf1 pair-heavy entries OOM the 1g "
+        "default (every prior committed sweep ran at 48g)",
+    )
+    ap.add_argument(
+        "--spark-only",
+        action="store_true",
+        help="skip the DuckDB oracle: record rows + spark_s with ok=null "
+        "('spark-only' label) — the sf10 spot-sweep mode for entries whose "
+        "single-process referee, not the engine, is the bottleneck",
+    )
     args = ap.parse_args()
 
     out = json.load(open(args.out)) if os.path.exists(args.out) else {}
@@ -48,6 +61,7 @@ def main() -> int:
     spark = (
         SparkSession.builder.master(f"local[{args.cpus}]")
         .config("spark.sql.shuffle.partitions", args.cpus)
+        .config("spark.driver.memory", args.driver_memory)
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -80,6 +94,17 @@ def main() -> int:
         try:
             spark_pdf = spec.fn(spark, args.sf_dir).toPandas()
             t1 = time.perf_counter()
+            if args.spark_only:
+                rec = {"ok": None, "sec": round(t1 - t0, 1),
+                       "spark_s": round(t1 - t0, 1), "rows": len(spark_pdf),
+                       "detail": "spark-only (no oracle run)"}
+                out[name] = rec
+                print(f"{name}\tSPARK-ONLY\t{rec['sec']}s rows={rec['rows']}", flush=True)
+                tmp = args.out + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(out, f, indent=1)
+                os.replace(tmp, args.out)
+                continue
             oracle_pdf = con.execute(spec.sql).fetchdf()
             t2 = time.perf_counter()
             r = compare(name, _Collected(spark_pdf), oracle_pdf)
