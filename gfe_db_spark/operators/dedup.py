@@ -605,6 +605,15 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+# Measured dead end (r7), recorded so it isn't retried: unrolling _dot
+# into a 64-term GetArrayItem expression chain is 3-4x SLOWER than the
+# zip_with→aggregate HOF — the giant expression tree falls out of
+# whole-stage codegen (hugeMethodLimit) into interpreted eval with two
+# array-bounds checks per term. The effective pair-path optimizations are
+# hoisting norms per VECTOR (one dot per pair instead of three) and
+# broadcasting the capped head side (see cluster_head_pairs).
+
+
 def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 

@@ -521,6 +521,12 @@ def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 4) -> DataFram
     """Document fingerprint: minimum digest over k-word rolling windows
     (winnowing-style selection with w = document). Identical up-to-window
     reorderings collide — by design for near-dup bucketing."""
+    # ~T md5 calls per doc — spread a compact input first or the whole
+    # fan-out runs on the input's few scan splits (r7 sf1 split: 50 s
+    # wall on a one-file corpus with 31 idle cores)
+    from gfe_db_spark.operators import spread_small_input
+
+    docs = spread_small_input(docs)
     toks = tokenize(F.col(text_col))
     n_w = F.size(toks) - F.lit(k - 1)
     windows = F.transform(

@@ -303,15 +303,27 @@ MAX_CLUSTER_SIZE = 1024
 
 
 def cluster_head_pairs(
-    assigned: DataFrame, max_cluster_size: int | None = MAX_CLUSTER_SIZE
+    assigned: DataFrame,
+    max_cluster_size: int | None = MAX_CLUSTER_SIZE,
+    dim: int = 64,
 ) -> DataFrame:
-    """Capped within-cluster candidate pairs (centroid_id, id_a, va,
-    id_b, vb): the a-side is the cluster's `max_cluster_size`-member head
-    (row_number by vec_id), so a cluster of size s yields ≤ s·cap pairs.
-    Exposed so the planted hot-cluster test can count pairs directly."""
+    """Capped within-cluster candidate pairs (centroid_id, id_a, va, na,
+    id_b, vb, nb): the a-side is the cluster's `max_cluster_size`-member
+    head (row_number by vec_id), so a cluster of size s yields ≤ s·cap
+    pairs. Per-vector norms (na, nb) are computed ONCE per row BEFORE the
+    pair expansion, so a consumer scoring cosine pays one dot per pair
+    instead of three (`_bucketed_candidate_scores` already hoists norms
+    this way; the r7 sf1 time split caught this path re-deriving both
+    norms per pair — same doubles, hoisting changes no value). Exposed so
+    the planted hot-cluster test can count pairs directly."""
     from pyspark.sql.window import Window as W
 
-    a = assigned.withColumn(
+    from gfe_db_spark.operators.dedup import _dot
+
+    withv = assigned.withColumn(
+        "__v", F.col("embedding").cast("array<double>")
+    ).withColumn("__norm", F.sqrt(_dot(F.col("__v"), F.col("__v"))))
+    a = withv.withColumn(
         "__rk", F.row_number().over(W.partitionBy("centroid_id").orderBy("vec_id"))
     )
     if max_cluster_size is not None:
@@ -319,13 +331,23 @@ def cluster_head_pairs(
     a = a.select(
         "centroid_id",
         F.col("vec_id").alias("id_a"),
-        F.col("embedding").cast("array<double>").alias("va"),
+        F.col("__v").alias("va"),
+        F.col("__norm").alias("na"),
     )
-    b = assigned.select(
+    b = withv.select(
         "centroid_id",
         F.col("vec_id").alias("id_b"),
-        F.col("embedding").cast("array<double>").alias("vb"),
+        F.col("__v").alias("vb"),
+        F.col("__norm").alias("nb"),
     )
+    if max_cluster_size is not None:
+        # the capped head is ≤ k·cap rows by construction — broadcast it
+        # so the pair expansion is a map-side join over the b-side's FULL
+        # partitioning. A shuffled equi-join here keys on centroid_id,
+        # whose cardinality is k (small by design): at k=4 the whole
+        # Σ|cluster|·cap cosine work landed on 4 tasks (the r7 sf1 split
+        # measured 156 s spark-side for 20 k vectors — 28 idle cores).
+        a = F.broadcast(a)
     return a.join(b, "centroid_id").filter(F.col("id_a") < F.col("id_b"))
 
 
@@ -340,14 +362,18 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded — and the cap holds the line when they don't). Oracle: the
     same unrolled-Lloyd CTE chain as knn_ivf_trained, then the identical
     capped within-cluster pair scan in SQL."""
-    from gfe_db_spark.operators.dedup import cosine
+    from gfe_db_spark.operators.dedup import _dot
 
     emb = table(spark, sf_dir, "embeddings")
     cents = SIM.ivf_train(emb, k=4, iters=2)
     assigned = SIM.ivf_assign(emb, cents)
+    # ONE dot per pair; norms were hoisted per vector in
+    # cluster_head_pairs (identical doubles to cosine(va, vb) — same
+    # multiply-add sequence, same order)
+    pair_cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     pruned = (
         cluster_head_pairs(assigned)
-        .filter(F.round(cosine(F.col("va"), F.col("vb")), 9) >= 0.44)
+        .filter(F.round(pair_cos, 9) >= 0.44)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
         .withColumn("is_pruned", F.lit(True))
