@@ -225,6 +225,9 @@ def test_python_eval_only_where_justified(spark, specs):
         "alignment_join",      # same pipeline
         "gfe_naming",          # same pipeline (accession/naming slice)
         "cypher_front_end",    # same pipeline (fixture build behind run_cypher)
+        "cypher_validation_node_counts",       # r7: same fixture pipeline,
+        "cypher_validation_release_histogram", # the reference's literal
+        "cypher_validation_accession_counts",  # validation texts
         "dedup_simhash",       # 64-bit packing pandas UDF
         "dedup_simhash_hamming",  # consumes the same SimHash pandas UDF
         "corpus_prep_pipeline_v3",  # its dedup stage is SimHash-based
