@@ -157,18 +157,28 @@ class AccessionRegistry:
         # Append-only commit (serialized by the caller, ST6). New-vocabulary
         # batches are small (sublinear in corpus size), so one part file per
         # commit: a commit adds O(1) files and compaction only triggers
-        # after ~max_files commits.
-        if self.layout == "tx":
-            from gfe_db_spark.plans.txtable import txlog_append
+        # after ~max_files commits. A batch with NO new sequences (a replayed
+        # release, ST3) commits nothing at all — the replay is a true no-op
+        # instead of an empty segment + manifest bump.
+        numbered = numbered.persist()
+        try:
+            has_new = bool(numbered.head(1))
+            if self.layout == "tx":
+                from gfe_db_spark.plans.txtable import txlog_append
 
-            txlog_append(numbered, self.path, n_files=1)
-        else:
-            # legacy: stage to a tmp dir so the write never reads the
-            # directory it appends to, then promote the staged part files
-            # by rename (atomic-per-file on HDFS-like filesystems).
-            tmp = self.path + ".tmp"
-            numbered.repartition(self.compact_files).write.mode("overwrite").parquet(tmp)
-            self._promote(tmp)
+                if has_new:
+                    txlog_append(numbered, self.path, n_files=1)
+            elif has_new:
+                # legacy: stage to a tmp dir so the write never reads the
+                # directory it appends to, then promote the staged part
+                # files by rename (atomic-per-file on HDFS-like FSes).
+                tmp = self.path + ".tmp"
+                numbered.repartition(self.compact_files).write.mode(
+                    "overwrite"
+                ).parquet(tmp)
+                self._promote(tmp)
+        finally:
+            numbered.unpersist()
         self._compact_if_needed()
 
         # No broadcast hint: the registry grows with the corpus vocabulary;

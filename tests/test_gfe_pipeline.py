@@ -951,3 +951,24 @@ def test_reference_literal_validation_queries(spark, tmp_path):
         (r.release, r["count"]) for r in ipd_accession_release_counts(g).collect()
     }
     assert got3 == want3 and got3 == {("3.55.0", 4)}
+
+
+def test_registry_replay_commits_nothing(spark, tmp_path):
+    """ST3 at the registry: re-assigning already-registered features is a
+    TRUE no-op — no new segment, no manifest bump (previously a replay
+    committed an empty segment per call)."""
+    from gfe_db_spark.plans import txtable as TX
+    from gfe_db_spark.plans.accession import AccessionRegistry
+
+    path = str(tmp_path / "reg")
+    reg = AccessionRegistry(spark, path)
+    feats = spark.createDataFrame(
+        [("HLA-A", "exon", 1, f"S{i}") for i in range(4)],
+        "locus string, term string, rank int, sequence string",
+    )
+    out1 = {(r.sequence): r.accession for r in reg.assign(feats, "3550").collect()}
+    gen1 = TX.current_manifest_number(spark, path)
+    out2 = {(r.sequence): r.accession for r in reg.assign(feats, "3560").collect()}
+    assert out2 == out1
+    assert TX.current_manifest_number(spark, path) == gen1
+    assert TX.txlog_segment_count(spark, path) == 1
