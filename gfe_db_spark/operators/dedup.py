@@ -241,6 +241,93 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_gated(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """`ngram_jaccard_pairs` semantics over a RAW corpus, with the same
+    exact-digest gate as `neardup_components`: identical texts collapse to
+    one representative before any shingle work, the shingle self-join and
+    pair aggregation run over DISTINCT texts only, and the declared
+    doc-level pair set is reconstructed from the exact-dup classes:
+
+      - within-class pairs: two copies of the same text have identical
+        shingle sets, so n_common = |shingles(text)| and jaccard = 1.0
+        (>= any threshold <= 1) — emitted directly from the class
+        mapping, no join through the shingle graph;
+      - cross-class pairs: every (member of A) x (member of B) inherits
+        the representative pair's (n_common, jaccard) verbatim.
+
+    Docs the Jaccard graph cannot pair — NULL text or < n tokens (zero
+    shingles) — stay singleton classes outside the gate, exactly as in
+    `neardup_components`, so the output is row-identical to the ungated
+    form. What changes is cost: without the gate a corpus with k copies
+    of a text puts k rows in every shared-shingle bucket and the pair
+    groupBy goes quadratic in k (the r7 sf10 probe ENOSPC'd the ungated
+    entry at 961 s on a 100-way-duplicated corpus); gated, the self-join
+    is bounded by distinct texts and only the DECLARED pair output stays
+    quadratic under mass duplication."""
+    from pyspark.sql.window import Window as W
+
+    gate_eligible = F.col("text").isNotNull() & (
+        F.size(F.split(F.col("text"), "\\s+")) >= n
+    )
+    cls = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).withColumn(
+        "rep_id",
+        F.when(
+            gate_eligible, F.min("doc_id").over(W.partitionBy(F.md5(F.col("text"))))
+        ).otherwise(F.col("doc_id")),
+    )
+    members = cls.select("doc_id", "rep_id")
+    reps = cls.filter(F.col("doc_id") == F.col("rep_id"))
+    sh = shingles(reps, n=n)
+    rep_pairs = ngram_jaccard_pairs(
+        sh, threshold=threshold, max_bucket_size=max_bucket_size
+    )
+    # cross-class expansion: every member pair inherits the rep pair's
+    # score; least/greatest restores the doc_a < doc_b orientation
+    ma = members.select(F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("m_a"))
+    mb = members.select(F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("m_b"))
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("m_a", "m_b").alias("doc_a"),
+            F.greatest("m_a", "m_b").alias("doc_b"),
+            "n_common",
+            "jaccard",
+        )
+    )
+    if threshold <= 1.0:
+        # within-class pairs are jaccard = 1.0 by identity; n_common is the
+        # class text's distinct shingle count (multi-member classes are
+        # gate-eligible, so it is >= 1 and present in `sh`)
+        rep_sz = sh.groupBy(F.col("doc_id").alias("rep_id")).agg(
+            F.count(F.lit(1)).alias("n_common")
+        )
+        m1 = members.alias("x")
+        m2 = members.alias("y")
+        within = (
+            m1.join(m2, "rep_id")
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .join(rep_sz, "rep_id")
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+                "n_common",
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        return cross.unionByName(within)
+    return cross
+
+
 def neardup_components(
     docs: DataFrame,
     n: int = 3,

@@ -120,6 +120,29 @@ def ivf_topk(
     )
 
 
+def lsh_plane_count(
+    n_rows: int,
+    target_bucket: int = 100,
+    min_planes: int = 8,
+    max_planes: int = 16,
+) -> int:
+    """Data-dependent sign-LSH sizing: the smallest plane count p in
+    [min_planes, max_planes] with n_rows <= target_bucket * 2**p, i.e.
+    2**p buckets hold the EXPECTED bucket occupancy at or under
+    `target_bucket`. Candidate-pair cost in the bucketed ops grows as
+    N * probes * (N / 2**p), so p must track log2(N) — a constant plane
+    count is a scale-killer (the r7 sf10 probe measured the registered
+    8-plane `ann_topk_join` at 59.8x engine growth on 10x data; the same
+    operator at the log2-derived 11 planes produced identical output 4.1x
+    faster). Pure integer arithmetic (no float log2) so the Spark plan
+    and the DuckDB oracle (`lsh_sql.adaptive_lsh_ctes`) derive the SAME
+    number from the same count on every dataset."""
+    for p in range(min_planes, max_planes + 1):
+        if n_rows <= target_bucket << p:
+            return p
+    return max_planes
+
+
 def hyperplane(p: int, dim: int = 64) -> list[float]:
     """Deterministic pseudo-random hyperplane p: each coordinate is
     md5(p:d) first-8-bytes mapped to [-1, 1). Hash-derived, so any engine

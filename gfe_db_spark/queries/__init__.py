@@ -32,19 +32,71 @@ class QuerySpec:
 # earned driver-green rows in CORRECTNESS_r01.json (generic SQL forms and
 # the classic TPC-H suite).
 PRIORITY: tuple[str, ...] = (
-    # ---- Round-7 window, positions 1-~51 (driver checks a ~50-entry
+    # ---- Round-8 window, positions 1-50 (driver checks a ~50-entry
     # prefix; everything regardless of position is checked by the full
     # sf0.01 oracle sweep in the pytest parity mirror each run).
-    # (a) NEW this round: the reference's three literal validation query
-    # texts running verbatim through run_cypher (r6 verdict item 3)
+    # (a) PLAN-CHANGED this round — the three r7 scale-weak entries now
+    # carry their fixes ON the registered path (data-dependent LSH sizing
+    # for the two embedding entries, the exact-digest gate for the
+    # Jaccard pair entry), plus semdedup_prune whose head broadcast
+    # gained the size gate (r7 advice)
+    "ann_topk_join",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "semdedup_prune",
+    # (b) stalest driver rows: tumbling_window (r2), then the full r4
+    # cohort (no driver row since round 4) — r7 verdict item 7's rotation
+    "tumbling_window",
+    "ann_index_append",
+    "association_rules_lift",
+    "attribution_linear",
+    "bpe_encode_corpus",
+    "bpe_train_merges",
+    "bpe_vocab_stats",
+    "cdc_apply_changelog",
+    "chisq_independence",
+    "corpus_prep_pipeline_v3",
+    "corpus_shuffle",
+    "dedup_exact_substrings",
+    "dedup_incremental",
+    "doc_chunk_overlap",
+    "dsir_importance_weights",
+    "embedding_standardize",
+    "event_crosstab",
+    "graph_bfs_hops",
+    "incremental_agg_merge",
+    "knn_ivf_pq",
+    "knn_ivf_trained",
+    "knn_pq_adc",
+    "logreg_quality_train",
+    "mixture_resample",
+    "mode_per_group",
+    "multimodal_phash_dedup",
+    "q12_priority_class",
+    "q21_waiting_suppliers",
+    "regression_moments_by_flag",
+    "retention_cohorts",
+    "rfm_segmentation",
+    "rolling_spend_7d",
+    "scd2_point_in_time_join",
+    "set_similarity_join",
+    "shard_by_token_budget",
+    "stream_cdc_apply",
+    "stream_static_enrich",
+    "stream_stream_join",
+    "stream_user_totals",
+    "table_profile",
+    "text_boilerplate_strip",
+    "text_ngram_novelty",
+    "text_repetition_stats",
+    "w_relative_rank",
+    "weighted_sample_priority",
+    "zorder_layout",
+    # ---- past the window: prior ordering preserved (most recently
+    # driver-checked last)
     "cypher_validation_node_counts",
     "cypher_validation_release_histogram",
     "cypher_validation_accession_counts",
-    # (b) state/plan-changed this round: the accession registry now
-    # commits through the manifest-pointer segment log and layout="tx"
-    # is the default on the graph and streaming-sink commit paths, so
-    # every entry exercising the registry or a sink needs a fresh row
-    # of record on the new protocol (r6 verdict item 1)
     "gfe_end_to_end",
     "gfe_naming",
     "w6_dense_rank_accession",
@@ -52,20 +104,15 @@ PRIORITY: tuple[str, ...] = (
     "cypher_front_end",
     "txtable_upsert",
     "stream_upsert_sink",
-    # (c) stalest driver rows: r1-only leftovers, then the full
-    # r2-window cohort (no driver row since round 2)
     "asof_last_purchase",
     "c_scalar_suite",
     "ann_lsh_buckets",
-    "ann_topk_join",
     "corpus_prep_pipeline",
     "corpus_sample",
-    "dedup_embedding_cosine",
     "dedup_exact",
     "dedup_lsh_pairs",
     "dedup_minhash_est",
     "dedup_minhash_signatures",
-    "dedup_ngram_jaccard",
     "dedup_simhash",
     "embedding_quantize",
     "event_funnel",
@@ -94,11 +141,7 @@ PRIORITY: tuple[str, ...] = (
     "text_tfidf_top_terms",
     "text_token_stats",
     "text_vocab_top",
-    "tumbling_window",
-    # ---- past the window: prior ordering preserved (most recently
-    # driver-checked last)
     "dedup_simhash_hamming",
-    "semdedup_prune",
     "entity_match_blocking",
     "dedup_clusters",
     "dedup_keep_list",
@@ -144,7 +187,6 @@ PRIORITY: tuple[str, ...] = (
     "q9_profit_by_nation_year",
     "q11_important_balance",
     "q16_supplier_count_distribution",
-    "graph_bfs_hops",
     "imgt_stream_scan",
     "domain_cap_sample",
     "stratified_sample",
@@ -192,50 +234,6 @@ PRIORITY: tuple[str, ...] = (
     "j1_broadcast_lookup",
     "f1_processability_filter",
     "so1_except",
-    "dedup_incremental",
-    "set_similarity_join",
-    "dedup_exact_substrings",
-    "text_boilerplate_strip",
-    "regression_moments_by_flag",
-    "mode_per_group",
-    "chisq_independence",
-    "rfm_segmentation",
-    "association_rules_lift",
-    "shard_by_token_budget",
-    "logreg_quality_train",
-    "stream_static_enrich",
-    "embedding_standardize",
-    "corpus_prep_pipeline_v3",
-    "knn_ivf_trained",
-    "knn_pq_adc",
-    "knn_ivf_pq",
-    "ann_index_append",
-    "zorder_layout",
-    "corpus_shuffle",
-    "w_relative_rank",
-    "weighted_sample_priority",
-    "dsir_importance_weights",
-    "text_ngram_novelty",
-    "bpe_train_merges",
-    "bpe_vocab_stats",
-    "bpe_encode_corpus",
-    "multimodal_phash_dedup",
-    "stream_user_totals",
-    "stream_stream_join",
-    "stream_cdc_apply",
-    "retention_cohorts",
-    "event_crosstab",
-    "attribution_linear",
-    "scd2_point_in_time_join",
-    "cdc_apply_changelog",
-    "incremental_agg_merge",
-    "table_profile",
-    "q12_priority_class",
-    "q21_waiting_suppliers",
-    "rolling_spend_7d",
-    "doc_chunk_overlap",
-    "mixture_resample",
-    "text_repetition_stats",
 )
 
 

@@ -28,7 +28,7 @@ WITH t AS (
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return DD.exact_dedup(docs).orderBy("content_hash")
+    return DD.exact_dedup(docs)
 
 
 DEDUP_EXACT_SQL = """
@@ -40,7 +40,7 @@ FROM documents GROUP BY md5(text) ORDER BY content_hash
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sh = DD.shingles(docs, n=3, distinct=False)  # min() ignores multiplicity
-    return DD.minhash_signatures(sh, num_hashes=8).orderBy("doc_id")
+    return DD.minhash_signatures(sh, num_hashes=8)
 
 
 _SIG_COLS = ",\n       ".join(
@@ -60,7 +60,7 @@ FROM sh GROUP BY doc_id ORDER BY doc_id
 def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sigs = DD.minhash_signatures(DD.shingles(docs, n=3, distinct=False), num_hashes=8)
-    return DD.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2).orderBy("doc_a", "doc_b")
+    return DD.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
 
 
 _BAND_EXPRS = ", ".join(
@@ -100,7 +100,7 @@ def dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sigs = DD.minhash_signatures(DD.shingles(docs, n=3, distinct=False), num_hashes=8)
     pairs = DD.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
-    return DD.minhash_jaccard_estimate(sigs, pairs, num_hashes=8).orderBy("doc_a", "doc_b")
+    return DD.minhash_jaccard_estimate(sigs, pairs, num_hashes=8)
 
 
 _EST_MATCHES = " + ".join(
@@ -124,9 +124,14 @@ ORDER BY doc_a, doc_b
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs, digest-gated: the shingle self-join
+    runs over DISTINCT texts only and the doc-level pair set is expanded
+    back through the exact-dup classes (within-class pairs are
+    jaccard = 1.0 by identity) — row-identical to the ungated form, but
+    the shuffle is bounded by distinct texts (the ungated entry ENOSPC'd
+    the r7 sf10 probe on a 100-way-duplicated corpus)."""
     docs = table(spark, sf_dir, "documents")
-    sh = DD.shingles(docs, n=3)
-    return DD.ngram_jaccard_pairs(sh, threshold=0.5).orderBy("doc_a", "doc_b")
+    return DD.ngram_jaccard_pairs_gated(docs, n=3, threshold=0.5)
 
 
 DEDUP_JACCARD_SQL = (
@@ -155,7 +160,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash is md5 first-8-bytes little-endian (= DuckDB md5_number_upper),
     bit i of the fingerprint set iff more than half the tokens have it."""
     docs = table(spark, sf_dir, "documents")
-    return DD.simhash(docs).orderBy("doc_id")
+    return DD.simhash(docs)
 
 
 # shared CTE chain computing the bit-exact SimHash fingerprint in DuckDB;
@@ -192,9 +197,7 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     block_val) → exact bit_count(XOR) on candidates). Complete for k ≤ 3
     by the pigeonhole principle; never all-pairs."""
     docs = table(spark, sf_dir, "documents")
-    return DD.simhash_hamming_pairs(DD.simhash(docs), max_hamming=3, n_blocks=4).orderBy(
-        "doc_a", "doc_b"
-    )
+    return DD.simhash_hamming_pairs(DD.simhash(docs), max_hamming=3, n_blocks=4)
 
 
 # Shared unsigned-conversion + 16-bit pigeonhole-block CTEs over a `sig`
@@ -230,30 +233,47 @@ ORDER BY doc_a, doc_b
 """
 
 
+# Adaptive sign-LSH sizing for the cosine near-dup entry: planes =
+# smallest p >= 8 with N <= 64 * 2**p; 2-bit multi-probe only while
+# p <= 8 (small corpora keep the wider recall neighborhood; at scale the
+# mask count — 1 + C(p,1) + C(p,2) — is the candidate-pair multiplier the
+# r7 sf10 probe saw explode: 8 planes / 37 masks at a 100-way-duplicated
+# 200k-vector corpus built ~5.9G candidates and was killed at ~30 min,
+# while the derived 12 planes / 1 probe bit finished in 38.8 s with full
+# recall of the planted duplicate set — exact duplicates share every sign
+# bit, so they pair under mask 0 at ANY sizing).
+COSINE_TARGET_BUCKET = 64
+COSINE_TWO_BIT_WHEN_LE = 8
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via the bucketed scale path: sign-LSH int
-    bucket + multi-probe (Hamming ≤ 2) → equi-join on bucket → exact
-    cosine. The exact all-pairs form (`DD.embedding_neardup_pairs`) stays
-    as the recall oracle in tests/test_properties.py."""
+    bucket + multi-probe → equi-join on bucket → exact cosine. The plane
+    count and probe width are DERIVED from the corpus size
+    (`lsh_plane_count`; sf ≤ 0.1 keeps the historical 8 planes / 2 probe
+    bits plan bit-identically). The exact all-pairs form
+    (`DD.embedding_neardup_pairs`) stays as the recall oracle in
+    tests/test_properties.py."""
+    from gfe_db_spark.operators.similarity import lsh_plane_count
+
     emb = table(spark, sf_dir, "embeddings")
+    p = lsh_plane_count(emb.count(), target_bucket=COSINE_TARGET_BUCKET)
+    pb = 2 if p <= COSINE_TWO_BIT_WHEN_LE else 1
     return DD.embedding_neardup_pairs_bucketed(
-        emb, threshold=0.4, n_planes=8, probe_bits=2
-    ).orderBy("id_a", "id_b")
+        emb, threshold=0.4, n_planes=p, probe_bits=pb
+    )
 
 
-def _embedding_bucketed_sql(threshold: float = 0.4, n_planes: int = 8, probe_bits: int = 2) -> str:
+def _embedding_bucketed_sql(threshold: float = 0.4) -> str:
     """DuckDB mirror of the bucketed near-dup: identical hash-derived
-    hyperplanes (similarity.hyperplane), identical XOR probe masks."""
-    from gfe_db_spark.queries.lsh_sql import bucket_int_sql, probe_unnest_sql
+    hyperplanes (similarity.hyperplane), identical XOR probe masks, and
+    the SAME count-derived plane/probe sizing (adaptive_lsh_ctes)."""
+    from gfe_db_spark.queries.lsh_sql import adaptive_lsh_ctes
 
     return f"""
 WITH v0 AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-), b AS (
-  SELECT vec_id, v, {bucket_int_sql("v", n_planes)} AS bucket FROM v0
-), a AS (
-  SELECT vec_id, v, {probe_unnest_sql("bucket", n_planes, probe_bits)} AS bucket FROM b
-), cand AS (
+), {adaptive_lsh_ctes(COSINE_TARGET_BUCKET, two_bit_when_le=COSINE_TWO_BIT_WHEN_LE)}, cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
   FROM a JOIN b ON a.bucket = b.bucket
   WHERE a.vec_id < b.vec_id
@@ -261,7 +281,6 @@ WITH v0 AS (
 SELECT id_a, id_b, round(list_cosine_similarity(va, vb), 9) AS cos
 FROM cand
 WHERE round(list_cosine_similarity(va, vb), 9) >= {threshold}
-ORDER BY id_a, id_b
 """
 
 
@@ -279,7 +298,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cc.groupBy(F.col("cluster_id").alias("component"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("component")
     )
 
 
@@ -361,7 +379,7 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
-    ).orderBy("doc_id")
+    )
 
 
 DEDUP_KEEP_LIST_SQL = (
@@ -396,7 +414,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cc = DD.neardup_components(table(spark, sf_dir, "documents"))
     assigned = deterministic_split(cc, id_col="cluster_id")
-    return assigned.select("doc_id", "cluster_id", "split").orderBy("doc_id")
+    return assigned.select("doc_id", "cluster_id", "split")
 
 
 # same gated recursive-CTE closure as dedup_keep_list; the split gate
@@ -519,7 +537,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; the corpus side never shuffles for the probe."""
     docs = table(spark, sf_dir, "documents")
     bench = docs.filter("doc_id % 97 = 0")
-    return DD.contamination_counts(docs, bench, n=3).orderBy("doc_id")
+    return DD.contamination_counts(docs, bench, n=3)
 
 
 CONTAMINATION_SQL = _SHINGLE_CTE + """
@@ -551,9 +569,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 10 == 0)
     corpus_sigs = DD.minhash_signatures(DD.shingles(corpus, n=3, distinct=False), num_hashes=8)
     batch_sigs = DD.minhash_signatures(DD.shingles(batch, n=3, distinct=False), num_hashes=8)
-    return DD.incremental_dup_flags(corpus_sigs, batch_sigs, bands=4, rows_per_band=2).orderBy(
-        "doc_id"
-    )
+    return DD.incremental_dup_flags(corpus_sigs, batch_sigs, bands=4, rows_per_band=2)
 
 
 DEDUP_INCREMENTAL_SQL = (
@@ -588,7 +604,7 @@ def set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 5000)
     )
     out = DD.set_similarity_join(docs, threshold_num=3, threshold_den=5)
-    return out.orderBy("da", "db")
+    return out
 
 
 SET_SIM_JOIN_SQL = r"""
@@ -619,7 +635,7 @@ def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     count and coverage of maximal spans built from 8-token windows that
     occur more than once in the corpus."""
     docs = table(spark, sf_dir, "documents")
-    return DD.duplicated_span_stats(docs, k=8).orderBy("doc_id")
+    return DD.duplicated_span_stats(docs, k=8)
 
 
 DEDUP_SUBSTR_SQL = r"""
@@ -705,7 +721,6 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_false_pos"),
         )
         .withColumn("flagged", F.col("bloom_hits") > 0)
-        .orderBy("doc_id")
     )
 
 

@@ -208,29 +208,39 @@ FROM embeddings GROUP BY 1 ORDER BY bucket
 ANN_LSH_SQL = _lsh_bucket_sql()
 
 
+#: expected bucket occupancy the adaptive sizing holds: planes = smallest
+#: p >= 8 with N <= ANN_TARGET_BUCKET * 2**p (lsh_plane_count). At the
+#: bench scales: sf<=1 -> 8 planes (unchanged plans), sf10 (200k) -> 11
+#: (the setting the r7 sf10 probe demonstrated at 173.7 s vs 718 s for
+#: the then-registered constant 8).
+ANN_TARGET_BUCKET = 100
+
+
 def ann_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide approximate k-NN join: top-3 bucket-mate neighbors per
-    vector (sign-LSH, 8 planes, 1-bit multi-probe). Plane count is the
-    candidate-cost dial: pairs ≈ N·(probes)·(N/2^planes), so planes must
-    grow with log₂(N) to hold per-vector candidate cost flat — at the r5
-    sweep's sf1 (20k vectors) the 6-plane setting put ~300 mates in every
-    bucket and the entry took 1009 s; 8 planes bounds it ~4× tighter. A
-    100-TB deployment sizes planes so 2^planes ≈ N/target_bucket."""
+    vector (sign-LSH, 1-bit multi-probe). Plane count is the
+    candidate-cost dial: pairs ≈ N·(probes)·(N/2^planes), so it is
+    DERIVED from the corpus size (`lsh_plane_count`: smallest p ≥ 8 with
+    N ≤ 100·2^p) instead of pinned — a constant here is a scale-killer
+    (r5 sweep: 6 planes at 20k vectors → 1009 s; r7 sf10 probe: 8 planes
+    at 200k vectors → 718 s, 59.8× engine growth on 10× data, while the
+    derived 11 planes gave identical output in 173.7 s). The count is
+    parquet-footer metadata, one cheap zero-column job; the oracle
+    derives the SAME p from COUNT(*) inside the SQL."""
     emb = table(spark, sf_dir, "embeddings")
-    return SIM.ann_topk_join(emb, k=3, n_planes=8, probe_bits=1).orderBy("vec_id", "rank")
+    p = SIM.lsh_plane_count(emb.count(), target_bucket=ANN_TARGET_BUCKET)
+    return SIM.ann_topk_join(emb, k=3, n_planes=p, probe_bits=1)
 
 
-def _ann_topk_sql(k: int = 3, n_planes: int = 6, probe_bits: int = 1) -> str:
-    from gfe_db_spark.queries.lsh_sql import bucket_int_sql, probe_unnest_sql
+def _ann_topk_sql(k: int = 3) -> str:
+    """Adaptive oracle: DuckDB derives the plane count from COUNT(*) with
+    the same integer rule as the Spark side (`adaptive_lsh_ctes`)."""
+    from gfe_db_spark.queries.lsh_sql import adaptive_lsh_ctes
 
     return f"""
 WITH v0 AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-), b AS (
-  SELECT vec_id, v, {bucket_int_sql("v", n_planes)} AS bucket FROM v0
-), a AS (
-  SELECT vec_id, v, {probe_unnest_sql("bucket", n_planes, probe_bits)} AS bucket FROM b
-), cand AS (
+), {adaptive_lsh_ctes(ANN_TARGET_BUCKET)}, cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
   FROM a JOIN b ON a.bucket = b.bucket
   WHERE a.vec_id <> b.vec_id
@@ -241,11 +251,10 @@ SELECT id_a AS vec_id, id_b AS neighbor_id, cos,
        CAST(row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS INT) AS rank
 FROM scored
 QUALIFY rank <= {k}
-ORDER BY vec_id, rank
 """
 
 
-ANN_TOPK_SQL = _ann_topk_sql(n_planes=8)
+ANN_TOPK_SQL = _ann_topk_sql()
 
 
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,7 +271,6 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.col("q"), ",").alias("q_csv"),
             "rms_err",
         )
-        .orderBy("vec_id")
     )
 
 
@@ -302,10 +310,20 @@ ORDER BY vec_id
 MAX_CLUSTER_SIZE = 1024
 
 
+#: broadcast the capped head side only while its estimated payload
+#: (k * cap * dim * 8 bytes of double vectors) stays well under Spark's
+#: 8 GB broadcast hard limit and typical driver/executor headroom. Above
+#: it, fall back to a shuffled equi-join and let AQE pick the strategy —
+#: k grows with the corpus under SemDeDup scaling, so an unconditional
+#: F.broadcast here would eventually OOM the driver (r7 advice).
+BROADCAST_HEAD_MAX_BYTES = 256 * 1024 * 1024
+
+
 def cluster_head_pairs(
     assigned: DataFrame,
     max_cluster_size: int | None = MAX_CLUSTER_SIZE,
     dim: int = 64,
+    n_clusters: int | None = None,
 ) -> DataFrame:
     """Capped within-cluster candidate pairs (centroid_id, id_a, va, na,
     id_b, vb, nb): the a-side is the cluster's `max_cluster_size`-member
@@ -340,14 +358,21 @@ def cluster_head_pairs(
         F.col("__v").alias("vb"),
         F.col("__norm").alias("nb"),
     )
-    if max_cluster_size is not None:
+    if max_cluster_size is not None and n_clusters is not None:
         # the capped head is ≤ k·cap rows by construction — broadcast it
         # so the pair expansion is a map-side join over the b-side's FULL
         # partitioning. A shuffled equi-join here keys on centroid_id,
         # whose cardinality is k (small by design): at k=4 the whole
         # Σ|cluster|·cap cosine work landed on 4 tasks (the r7 sf1 split
         # measured 156 s spark-side for 20 k vectors — 28 idle cores).
-        a = F.broadcast(a)
+        # The explicit hint is GATED on the estimated head payload
+        # (k·cap·dim·8 bytes): SemDeDup's k grows with the corpus, and an
+        # unconditional F.broadcast would force a driver collect into
+        # Spark's 8 GB broadcast hard limit at large k. Past the gate,
+        # leave the strategy to AQE.
+        head_bytes = n_clusters * max_cluster_size * dim * 8
+        if head_bytes <= BROADCAST_HEAD_MAX_BYTES:
+            a = F.broadcast(a)
     return a.join(b, "centroid_id").filter(F.col("id_a") < F.col("id_b"))
 
 
@@ -372,7 +397,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multiply-add sequence, same order)
     pair_cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     pruned = (
-        cluster_head_pairs(assigned)
+        cluster_head_pairs(assigned, n_clusters=4)
         .filter(F.round(pair_cos, 9) >= 0.44)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
@@ -386,7 +411,6 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_id",
             F.coalesce(F.col("is_pruned"), F.lit(False)).alias("pruned"),
         )
-        .orderBy("vec_id")
     )
 
 
@@ -526,7 +550,6 @@ def random_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(d2p, 6).alias("d2_proj"),
             F.round(d2p / d2o, 6).alias("ratio"),
         )
-        .orderBy("id_a")
     )
 
 
@@ -666,7 +689,7 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (long format): explode → one 64-group moment agg (decimal sums) →
     broadcast join back. Deterministic at any parallelism."""
     emb = table(spark, sf_dir, "embeddings")
-    return SIM.standardize_embeddings(emb).orderBy("vec_id", "pos")
+    return SIM.standardize_embeddings(emb)
 
 
 EMBEDDING_STANDARDIZE_SQL = """

@@ -14,7 +14,7 @@ from gfe_db_spark.sources.tables import table
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     out = TX.token_stats(docs)
-    return out.select("doc_id", "n_tokens", "n_tokens_bpe").orderBy("doc_id")
+    return out.select("doc_id", "n_tokens", "n_tokens_bpe")
 
 
 TEXT_TOKEN_SQL = r"""
@@ -30,7 +30,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = TX.quality_features(docs)
     return out.select(
         "doc_id", "n_chars_m", "n_tokens", "punct_ratio", "upper_ratio", "stopword_ratio"
-    ).orderBy("doc_id")
+    )
 
 
 _STOPWORDS = ", ".join(
@@ -107,7 +107,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram/stopword language-ID heuristic vs the labeled lang column."""
     docs = table(spark, sf_dir, "documents")
     out = TX.lang_scores(docs)
-    return out.select("doc_id", "lang", "lang_pred", "lang_score").orderBy("doc_id")
+    return out.select("doc_id", "lang", "lang_pred", "lang_score")
 
 
 def _lang_scores_sql() -> str:
@@ -143,7 +143,7 @@ TEXT_LANG_SQL = _lang_scores_sql()
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return TX.fingerprint(docs, k=4).select("doc_id", "fingerprint").orderBy("doc_id")
+    return TX.fingerprint(docs, k=4).select("doc_id", "fingerprint")
 
 
 TEXT_FINGERPRINT_SQL = r"""
@@ -223,7 +223,6 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_url",
             F.md5(F.col("text_redacted")).alias("redacted_hash"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -284,7 +283,6 @@ def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         TX.deterministic_sample(docs, rate_bp=1000)
         .select("doc_id", "n_chars")
-        .orderBy("doc_id")
     )
 
 
@@ -299,7 +297,7 @@ ORDER BY doc_id
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF terms (inverted-index build shape)."""
     docs = table(spark, sf_dir, "documents")
-    return TX.tfidf_top_terms(docs, k=3).orderBy("doc_id", "rank")
+    return TX.tfidf_top_terms(docs, k=3)
 
 
 TEXT_TFIDF_SQL = r"""
@@ -331,7 +329,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction and most-frequent-bigram share — the quality gate that
     catches looping machine-generated text."""
     docs = table(spark, sf_dir, "documents")
-    return TX.repetition_stats(docs).orderBy("doc_id")
+    return TX.repetition_stats(docs)
 
 
 TEXT_REPETITION_SQL = r"""
@@ -364,7 +362,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the head language is downsampled, scarce languages kept at higher
     rates — same engine-portable hash gate as corpus_sample."""
     docs = table(spark, sf_dir, "documents")
-    return TX.stratified_sample(docs).select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    return TX.stratified_sample(docs).select("doc_id", "lang", "n_chars")
 
 
 STRATIFIED_SAMPLE_SQL = """
@@ -424,7 +422,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gfe_db_spark.operators.packing import pack_sequences as pack
 
     docs = table(spark, sf_dir, "documents")
-    return pack(docs, max_tokens=512, n_shards=32).orderBy("doc_id")
+    return pack(docs, max_tokens=512, n_shards=32)
 
 
 PACK_SEQUENCES_SQL = r"""
@@ -493,7 +491,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM cross-entropy per document (CCNet-style quality filter)
     with the corpus itself as the model."""
     docs = table(spark, sf_dir, "documents")
-    return TX.lm_cross_entropy(docs).orderBy("doc_id")
+    return TX.lm_cross_entropy(docs)
 
 
 TEXT_LM_SCORE_SQL = r"""
@@ -525,9 +523,7 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     150): sequence→explode→substr, all integer arithmetic — the
     pre-tokenization splitter of a training pipeline."""
     docs = table(spark, sf_dir, "documents")
-    return TX.chunk_documents(docs, chunk_chars=200, stride=150).orderBy(
-        "doc_id", "chunk_idx"
-    )
+    return TX.chunk_documents(docs, chunk_chars=200, stride=150)
 
 
 DOC_CHUNK_SQL = """
@@ -559,7 +555,6 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         TX.mixture_resample(docs)
         .select("doc_id", "source", "rate_bp")
-        .orderBy("doc_id")
     )
 
 
@@ -615,9 +610,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio of the target domain (lang='en') vs the whole corpus."""
     docs = table(spark, sf_dir, "documents")
     out = TX.dsir_weights(docs, target_pred=F.col("lang") == "en")
-    return out.select("doc_id", "n_toks", "dsir_score", "is_target_like").orderBy(
-        "doc_id"
-    )
+    return out.select("doc_id", "n_toks", "dsir_score", "is_target_like")
 
 
 DSIR_SQL = r"""
@@ -650,7 +643,7 @@ def shard_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gfe_db_spark.operators.packing import shard_by_token_budget as impl
 
     docs = table(spark, sf_dir, "documents")
-    return impl(docs, budget=2048, bucket_span=64).orderBy("doc_id")
+    return impl(docs, budget=2048, bucket_span=64)
 
 
 SHARD_BY_TOKEN_BUDGET_SQL = r"""
@@ -695,7 +688,6 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_novel",
             F.round(F.col("n_novel") / F.col("n_shingles"), 9).alias("novelty"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -810,7 +802,7 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     plumbing end to end; the removal semantics are covered by the planted
     multi-line test in tests/test_operators.py."""
     docs = table(spark, sf_dir, "documents")
-    return TX.strip_boilerplate(docs, min_docs=2).orderBy("doc_id")
+    return TX.strip_boilerplate(docs, min_docs=2)
 
 
 TEXT_BOILERPLATE_SQL = """

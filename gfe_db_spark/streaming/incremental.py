@@ -169,6 +169,9 @@ def run_incremental(
     graph_path: str,
     layout: str = "tx",
     n_buckets: int = 16,
+    vacuum_every: int | None = 8,
+    keep_graph_manifests: int = 2,
+    vacuum_grace_seconds: float | None = None,
     **build_kwargs,
 ) -> PipelineResult:
     """The whole orchestrator: detect → guard → (build → load → commit)*.
@@ -236,6 +239,31 @@ def run_incremental(
         validations.append({"release": release, "pre": pre, "post": post})
         state.commit(release)
         processed.append(release)
+        # auto-retention (mirrors the registry's auto-compaction): without
+        # it, `_graph_manifests` grows one file — and every member table
+        # one manifest + generation — per release until an operator
+        # intervenes. Once the graph-manifest count reaches `vacuum_every`,
+        # the pin-aware `vacuum_graph` prunes to the newest
+        # `keep_graph_manifests` snapshots; a reader that resolved any
+        # retained snapshot still finds every file it resolved, and
+        # provably-superseded generations are reclaimed immediately.
+        if layout == "tx" and vacuum_every is not None:
+            from gfe_db_spark.plans.load import _graph_manifest_dir, vacuum_graph
+            from gfe_db_spark.plans.txtable import _list_names
+
+            gmdir = _graph_manifest_dir(graph_path)
+            n_gm = sum(
+                1
+                for name in _list_names(spark, gmdir)
+                if name.endswith(".json") and name[:-5].isdigit()
+            )
+            if n_gm >= vacuum_every:
+                vacuum_graph(
+                    spark,
+                    graph_path,
+                    keep_graph_manifests=keep_graph_manifests,
+                    grace_seconds=vacuum_grace_seconds,
+                )
 
     return PipelineResult(
         processed=processed, rejected=rejected, graph=graph, validations=validations

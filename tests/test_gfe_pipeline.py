@@ -667,6 +667,31 @@ def test_reference_depth_47_release_history(spark, tmp_path_factory):
     gens = [d for d in _os.listdir(reg) if d.startswith("gen-")]
     assert len(gens) <= 36, gens  # live + retained-manifest pins, not O(commits)
 
+    # graph retention under the DEFAULT orchestrator (r8): run_incremental
+    # now calls the pin-aware vacuum_graph once `_graph_manifests` reaches
+    # vacuum_every (8), so after 47 releases the graph-level manifest count
+    # and every member table's manifests/generations are bounded by the
+    # retention policy, not O(releases).
+    gm = [
+        f
+        for f in _os.listdir(_os.path.join(graph_path, "_graph_manifests"))
+        if f.endswith(".json")
+    ]
+    assert 0 < len(gm) <= 8, gm  # pruned to keep_graph_manifests, then re-grows < vacuum_every
+    for tdir in _os.listdir(graph_path):
+        if tdir == "_graph_manifests":
+            continue
+        tman = [
+            f
+            for f in _os.listdir(_os.path.join(graph_path, tdir, "_manifests"))
+            if f.endswith(".json")
+        ]
+        tgen = [
+            d for d in _os.listdir(_os.path.join(graph_path, tdir)) if d.startswith("gen-")
+        ]
+        assert 0 < len(tman) <= 16, (tdir, tman)  # keep_manifests + pins + appends since vacuum
+        assert 0 < len(tgen) <= 16, (tdir, tgen)
+
     g = res.graph
     hist = {
         r.release_version: r["count"] for r in has_ipd_allele_release_counts(g).collect()

@@ -1621,3 +1621,80 @@ def test_semdedup_hot_cluster_pair_cost_is_capped(spark):
         .collect()
     )
     assert {r.id_b for r in hits} == set(dup_ids) - {0}
+
+
+def test_ngram_jaccard_gated_equals_ungated(spark):
+    """The digest-gated exact-Jaccard path (r8: the registered
+    dedup_ngram_jaccard) must be ROW-IDENTICAL to the ungated self-join on
+    a corpus mixing exact duplicates (gate-collapsed), near-duplicates
+    (cross-class pairs), short texts (< n tokens: zero shingles, never
+    paired, excluded from the gate), NULLs, and duplicated short texts
+    (must NOT be merged by the gate — the ungated graph keeps them
+    apart)."""
+    from gfe_db_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (7, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (3, "the quick brown fox jumps over the lazy cat"),  # near-dup
+            (4, "completely different text about spark engines here"),
+            (5, "tiny doc"),  # < 3 tokens: no shingles
+            (6, "tiny doc"),  # duplicated short text: still never paired
+            (8, None),
+            (9, "completely different text about spark engines here"),  # dup of 4
+        ],
+        "doc_id long, text string",
+    )
+    ungated = {
+        tuple(r)
+        for r in DD.ngram_jaccard_pairs(DD.shingles(docs, n=3), threshold=0.5).collect()
+    }
+    gated = {
+        tuple(r)
+        for r in DD.ngram_jaccard_pairs_gated(docs, n=3, threshold=0.5).collect()
+    }
+    assert gated == ungated
+    # sanity on the fixture: the within-class (jaccard=1.0), cross-class
+    # near-dup, and second exact class are all represented
+    assert (1, 2) in {(a, b) for a, b, *_ in gated}
+    assert (4, 9) in {(a, b) for a, b, *_ in gated}
+    assert not any({a, b} & {5, 6, 8} for a, b, *_ in gated)
+
+
+@pytest.mark.parametrize("n_planes,probe_bits", [(8, 2), (9, 1), (12, 1), (16, 1)])
+def test_bucketed_embedding_full_recall_of_exact_duplicates(
+    spark, n_planes, probe_bits
+):
+    """Planted exact-duplicate vectors are recalled at ANY LSH sizing:
+    identical vectors share every sign bit, so they land in the same
+    bucket and pair under probe mask 0 regardless of plane count or probe
+    width — the property that makes the r8 data-dependent sizing
+    (lsh_plane_count) safe to scale up (r7 verdict item 1)."""
+    import hashlib
+
+    from gfe_db_spark.operators import dedup as DD
+
+    def vec(seed, dim=16):
+        return [
+            int.from_bytes(hashlib.md5(f"{seed}:{d}".encode()).digest()[:4], "big")
+            / 2**31
+            - 1.0
+            for d in range(dim)
+        ]
+
+    dup_pairs = [(0, 50), (3, 77), (10, 99)]
+    base = {i: vec(i) for i in range(100)}
+    for a, b in dup_pairs:
+        base[b] = base[a]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in base.items()], "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in DD.embedding_neardup_pairs_bucketed(
+            emb, threshold=0.999, n_planes=n_planes, probe_bits=probe_bits, dim=16
+        ).collect()
+    }
+    assert set(dup_pairs) <= got

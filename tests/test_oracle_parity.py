@@ -46,3 +46,30 @@ def test_contract_shape():
     oracles = e.oracle_sql()
     assert len(qs) >= 30
     assert set(oracles) <= set(qs)
+
+
+def test_lsh_plane_count_matches_oracle_derivation():
+    """The Spark side derives the sign-LSH plane count in Python
+    (operators/similarity.lsh_plane_count); the oracle derives it inside
+    DuckDB from COUNT(*) (lsh_sql.adaptive_lsh_ctes `np` CTE). Both are
+    pure integer comparisons — this pins them to the same number across
+    boundaries (exact power-of-two edges included) and at the max-planes
+    clamp, for both registered targets (ann=100, cosine=64)."""
+    import duckdb
+
+    from gfe_db_spark.operators.similarity import lsh_plane_count
+
+    con = duckdb.connect()
+    for target in (100, 64, 1):
+        for n in (1, 500, 2000, 20000, 25600, 25601, 16384, 16385,
+                  200000, 1638400, 1638401, 3000000, 6553600, 6553601):
+            sql = f"""
+            WITH nrows AS (SELECT CAST({n} AS BIGINT) AS n),
+            np AS (
+              SELECT CAST(COALESCE(MIN(p), 16) AS INT) AS np
+              FROM range(8, 17) r(p), nrows
+              WHERE nrows.n <= {target} * (CAST(1 AS BIGINT) << CAST(p AS INT))
+            ) SELECT np FROM np
+            """
+            oracle_p = con.execute(sql).fetchone()[0]
+            assert oracle_p == lsh_plane_count(n, target_bucket=target), (n, target)

@@ -713,14 +713,21 @@ def test_set_similarity_prefix_build_single_scan(spark, specs):
     assert "CartesianProduct" not in plan
 
 
-def test_ngram_jaccard_carries_sizes(spark, specs):
-    # Sizes ride the shingle self-join as window-derived columns: only the
-    # two join sides evaluate the shingle explode (no size-dim or
-    # freq-dim subtree), and no cartesian fallback.
+def test_ngram_jaccard_is_digest_gated(spark, specs):
+    # r8: the registered entry runs the shingle self-join over DISTINCT
+    # texts only (exact-digest gate, ngram_jaccard_pairs_gated) — the
+    # md5-keyed class window must appear in the plan, the shingle explode
+    # is evaluated only inside the representative subtrees (3 references:
+    # the two join sides + the rep-size agg — identical subtrees whose
+    # window exchanges ReuseExchange dedupes at runtime; the class-mapping
+    # side contributes the other 3), sizes still ride the join as window
+    # columns (no size-dim re-join), and there is no cartesian fallback.
     plan = plan_of(run(specs, spark, "dedup_ngram_jaccard"))
-    assert _n_nodes(plan, "Generate") == 2, plan
-    assert _n_nodes(plan, "Scan parquet") == 2, plan
+    assert "md5" in plan, "exact-digest gate missing from the plan"
+    assert _n_nodes(plan, "Generate") <= 6, plan
     assert "CartesianProduct" not in plan
+    # non-semantic trailing global sort stripped (r7 verdict item 3)
+    assert "rangepartitioning" not in plan
 
 
 def test_domain_cap_uses_window_group_limit(spark, specs):
@@ -731,3 +738,89 @@ def test_domain_cap_uses_window_group_limit(spark, specs):
     plan = plan_of(run(specs, spark, "domain_cap_sample"))
     assert "WindowGroupLimit" in plan
     assert not re.search(r"Join", plan)
+
+
+# Entries whose output is full-table-scale and whose semantics declare NO
+# ordering: the parity compare is order-insensitive on both sides
+# (gfe_db_spark/testing.py:_normalize), so a trailing global orderBy is a
+# pure Exchange(rangepartitioning)+Sort over the entire output — e.g. the
+# r7 sf10 probe clocked embedding_standardize sorting 12.8 M rows inside
+# its 137 s wall for zero correctness value. Stripped in r8; this contract
+# keeps them stripped. (Entries whose ORDER BY *is* semantics — W3,
+# top-k/rank outputs — keep their sorts and are not listed.)
+SORT_FREE_ENTRIES = [
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_lsh_pairs",
+    "dedup_minhash_est",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_hamming",
+    "dedup_clusters",
+    "dedup_keep_list",
+    "leakage_safe_split",
+    "benchmark_contamination",
+    "dedup_incremental",
+    "set_similarity_join",
+    "dedup_exact_substrings",
+    "bloom_decontaminate",
+    "dedup_embedding_cosine",
+    "ann_topk_join",
+    "embedding_quantize",
+    "embedding_standardize",
+    "semdedup_prune",
+    "random_projection_distortion",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_redact_pii",
+    "text_tfidf_top_terms",
+    "text_repetition_stats",
+    "text_lm_score",
+    "text_ngram_novelty",
+    "text_boilerplate_strip",
+    "stratified_sample",
+    "corpus_sample",
+    "pack_sequences",
+    "doc_chunk_overlap",
+    "dsir_importance_weights",
+    "shard_by_token_budget",
+    "mixture_resample",
+]
+
+
+@pytest.mark.parametrize("name", SORT_FREE_ENTRIES)
+def test_no_global_sort_on_unordered_full_table_entries(spark, specs, name):
+    plan = plan_of(run(specs, spark, name))
+    assert "rangepartitioning" not in plan, (
+        f"{name}: global sort (rangepartitioning exchange) on an output "
+        "whose semantics declare no ordering — pure shuffle cost at scale"
+    )
+
+
+def test_cluster_head_pairs_broadcast_gate(spark):
+    """The SemDeDup head-side broadcast is gated on the estimated head
+    payload (k * cap * dim * 8 bytes): within the gate the explicit hint
+    spreads the pair expansion over the b-side's full partitioning; past
+    it (SemDeDup's k grows with the corpus) the hint must NOT be forced —
+    an unconditional F.broadcast would eventually hit Spark's 8 GB
+    broadcast hard limit (r7 advice)."""
+    from gfe_db_spark.queries.similarity import (
+        BROADCAST_HEAD_MAX_BYTES,
+        cluster_head_pairs,
+    )
+
+    rows = [(i, i % 2, [float(i), 1.0]) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, centroid_id int, embedding array<double>"
+    )
+    hinted = cluster_head_pairs(df, max_cluster_size=4, dim=2, n_clusters=2)
+    assert "BroadcastHashJoin" in plan_of(hinted)
+    # past the gate: estimated head payload exceeds the bound -> no forced
+    # hint (the analyzed logical plan carries no broadcast hint node; the
+    # physical strategy is left to AQE/statistics)
+    k_huge = BROADCAST_HEAD_MAX_BYTES // (4 * 2 * 8) + 1
+    ungated = cluster_head_pairs(df, max_cluster_size=4, dim=2, n_clusters=k_huge)
+    analyzed = ungated._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in analyzed.lower()
