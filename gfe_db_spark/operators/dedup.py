@@ -241,6 +241,135 @@ def ngram_jaccard_pairs(
     )
 
 
+def _exact_class_map(
+    docs: DataFrame, n: int, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(members, reps) for the exact-digest gate shared by the `*_gated`
+    pair operators: gate-eligible docs (non-NULL text with >= n tokens —
+    exactly the docs that produce >= 1 word n-shingle) collapse to the
+    min-id representative of their md5(text) class; ineligible docs stay
+    singleton classes. `members` is (doc_id, rep_id); `reps` is the one
+    row per class that feeds the expensive shingle/signature work."""
+    from pyspark.sql.window import Window as W
+
+    gate_eligible = F.col("text").isNotNull() & (
+        F.size(F.split(F.col("text"), "\\s+")) >= n
+    )
+    cls = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).withColumn(
+        "rep_id",
+        F.when(
+            gate_eligible, F.min("doc_id").over(W.partitionBy(F.md5(F.col("text"))))
+        ).otherwise(F.col("doc_id")),
+    )
+    return cls.select("doc_id", "rep_id"), cls.filter(
+        F.col("doc_id") == F.col("rep_id")
+    )
+
+
+def _expand_rep_pairs(rep_pairs: DataFrame, members: DataFrame, *carry: str) -> DataFrame:
+    """Cross-class expansion for the gated operators: every
+    (member of A) x (member of B) inherits the representative pair's
+    carried columns verbatim; least/greatest restores doc_a < doc_b."""
+    ma = members.select(F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("m_a"))
+    mb = members.select(F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("m_b"))
+    return (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("m_a", "m_b").alias("doc_a"),
+            F.greatest("m_a", "m_b").alias("doc_b"),
+            *carry,
+        )
+    )
+
+
+def _within_class_pairs(members: DataFrame) -> DataFrame:
+    """All (rep_id, doc_a < doc_b) pairs inside one exact-dup class. Only
+    gate-eligible classes can have >= 2 members (ineligible docs are
+    singletons by construction), so no eligibility filter is needed."""
+    m1 = members.alias("x")
+    m2 = members.alias("y")
+    return (
+        m1.join(m2, "rep_id")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            "rep_id",
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+    )
+
+
+def lsh_candidate_pairs_gated(
+    docs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    n: int = 3,
+    num_hashes: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`lsh_candidate_pairs` semantics over a RAW corpus, with the
+    exact-digest gate: the banded self-join runs over DISTINCT texts only
+    and the declared doc-level candidate set is reconstructed from the
+    exact-dup classes.
+
+    Row-identical to shingles→minhash→lsh_candidate_pairs on the raw
+    corpus because identical texts have identical shingle sets, hence
+    identical MinHash signatures, hence identical band keys:
+
+      - within-class pairs collide in EVERY band, so they are always
+        candidates — emitted directly from the class mapping;
+      - a cross-class member pair collides iff its representatives do,
+        and copies inherit the rep's signature verbatim.
+
+    Docs with NULL text or < n tokens produce zero shingles, so they have
+    no signature row and never band — on either path. Cost: without the
+    gate, k copies of a text put k rows in every shared band bucket and
+    the self-join shuffle goes quadratic in k (the same exposure the r7
+    sf10 probe demonstrated on the ungated Jaccard entry); gated, the
+    band join is bounded by distinct texts and only the DECLARED pair
+    output stays quadratic under mass duplication."""
+    members, reps = _exact_class_map(docs, n, text_col, id_col)
+    sigs = minhash_signatures(
+        shingles(reps, n=n, distinct=False), num_hashes=num_hashes
+    )
+    rep_pairs = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
+    return _expand_rep_pairs(rep_pairs, members).unionByName(
+        _within_class_pairs(members).select("doc_a", "doc_b")
+    )
+
+
+def minhash_est_pairs_gated(
+    docs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    n: int = 3,
+    num_hashes: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gated form of LSH candidates + MinHash Jaccard estimate
+    (`minhash_jaccard_estimate` over `lsh_candidate_pairs`): signatures,
+    banding, and the estimate all run over DISTINCT texts; cross-class
+    member pairs inherit the representative pair's estimate verbatim
+    (identical texts have identical signatures), and within-class pairs
+    are jaccard_est = num_hashes/num_hashes = 1.0 by identity."""
+    members, reps = _exact_class_map(docs, n, text_col, id_col)
+    sigs = minhash_signatures(
+        shingles(reps, n=n, distinct=False), num_hashes=num_hashes
+    )
+    rep_pairs = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
+    rep_est = minhash_jaccard_estimate(sigs, rep_pairs, num_hashes=num_hashes)
+    cross = _expand_rep_pairs(rep_est, members, "jaccard_est")
+    within = _within_class_pairs(members).select(
+        "doc_a", "doc_b", F.lit(1.0).alias("jaccard_est")
+    )
+    return cross.unionByName(within)
+
+
 def ngram_jaccard_pairs_gated(
     docs: DataFrame,
     n: int = 3,
@@ -270,40 +399,24 @@ def ngram_jaccard_pairs_gated(
     groupBy goes quadratic in k (the r7 sf10 probe ENOSPC'd the ungated
     entry at 961 s on a 100-way-duplicated corpus); gated, the self-join
     is bounded by distinct texts and only the DECLARED pair output stays
-    quadratic under mass duplication."""
-    from pyspark.sql.window import Window as W
+    quadratic under mass duplication.
 
-    gate_eligible = F.col("text").isNotNull() & (
-        F.size(F.split(F.col("text"), "\\s+")) >= n
-    )
-    cls = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-    ).withColumn(
-        "rep_id",
-        F.when(
-            gate_eligible, F.min("doc_id").over(W.partitionBy(F.md5(F.col("text"))))
-        ).otherwise(F.col("doc_id")),
-    )
-    members = cls.select("doc_id", "rep_id")
-    reps = cls.filter(F.col("doc_id") == F.col("rep_id"))
+    The row-identity claim holds for `max_bucket_size=None` (the
+    registered path). WITH a cap the two forms intentionally diverge:
+    under the gate the stop-shingle document frequency is computed over
+    DISTINCT texts (a shingle carried by k copies of one text counts
+    once, so mass duplication cannot push real content shingles over the
+    cap), and within-class jaccard=1.0 pairs bypass the cap entirely
+    (identical texts are duplicates regardless of which shingles survive
+    it). The ungated form's df is per raw doc — duplication-inflated —
+    which is the wrong frequency signal at scale; callers who need the
+    capped semantics to agree must pre-dedup the corpus themselves."""
+    members, reps = _exact_class_map(docs, n, text_col, id_col)
     sh = shingles(reps, n=n)
     rep_pairs = ngram_jaccard_pairs(
         sh, threshold=threshold, max_bucket_size=max_bucket_size
     )
-    # cross-class expansion: every member pair inherits the rep pair's
-    # score; least/greatest restores the doc_a < doc_b orientation
-    ma = members.select(F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("m_a"))
-    mb = members.select(F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("m_b"))
-    cross = (
-        rep_pairs.join(ma, "doc_a")
-        .join(mb, "doc_b")
-        .select(
-            F.least("m_a", "m_b").alias("doc_a"),
-            F.greatest("m_a", "m_b").alias("doc_b"),
-            "n_common",
-            "jaccard",
-        )
-    )
+    cross = _expand_rep_pairs(rep_pairs, members, "n_common", "jaccard")
     if threshold <= 1.0:
         # within-class pairs are jaccard = 1.0 by identity; n_common is the
         # class text's distinct shingle count (multi-member classes are
@@ -311,18 +424,10 @@ def ngram_jaccard_pairs_gated(
         rep_sz = sh.groupBy(F.col("doc_id").alias("rep_id")).agg(
             F.count(F.lit(1)).alias("n_common")
         )
-        m1 = members.alias("x")
-        m2 = members.alias("y")
         within = (
-            m1.join(m2, "rep_id")
-            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            _within_class_pairs(members)
             .join(rep_sz, "rep_id")
-            .select(
-                F.col("x.doc_id").alias("doc_a"),
-                F.col("y.doc_id").alias("doc_b"),
-                "n_common",
-                F.lit(1.0).alias("jaccard"),
-            )
+            .select("doc_a", "doc_b", "n_common", F.lit(1.0).alias("jaccard"))
         )
         return cross.unionByName(within)
     return cross

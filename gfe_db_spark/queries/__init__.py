@@ -32,120 +32,50 @@ class QuerySpec:
 # earned driver-green rows in CORRECTNESS_r01.json (generic SQL forms and
 # the classic TPC-H suite).
 PRIORITY: tuple[str, ...] = (
-    # ---- Round-8 window, positions 1-50 (driver checks a ~50-entry
+    # ---- Round-9 window, positions 1-50 (driver checks a ~50-entry
     # prefix; everything regardless of position is checked by the full
     # sf0.01 oracle sweep in the pytest parity mirror each run).
-    # (a) PLAN-CHANGED this round — the three r7 scale-weak entries now
-    # carry their fixes ON the registered path (data-dependent LSH sizing
-    # for the two embedding entries, the exact-digest gate for the
-    # Jaccard pair entry), plus semdedup_prune whose head broadcast
-    # gained the size gate (r7 advice)
-    "ann_topk_join",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "semdedup_prune",
-    # (b) stalest driver rows: tumbling_window (r2), then the full r4
-    # cohort (no driver row since round 4) — r7 verdict item 7's rotation
-    "tumbling_window",
-    "ann_index_append",
-    "association_rules_lift",
-    "attribution_linear",
-    "bpe_encode_corpus",
-    "bpe_train_merges",
-    "bpe_vocab_stats",
-    "cdc_apply_changelog",
-    "chisq_independence",
-    "corpus_prep_pipeline_v3",
-    "corpus_shuffle",
-    "dedup_exact_substrings",
-    "dedup_incremental",
-    "doc_chunk_overlap",
-    "dsir_importance_weights",
-    "embedding_standardize",
-    "event_crosstab",
-    "graph_bfs_hops",
-    "incremental_agg_merge",
-    "knn_ivf_pq",
-    "knn_ivf_trained",
-    "knn_pq_adc",
-    "logreg_quality_train",
-    "mixture_resample",
-    "mode_per_group",
-    "multimodal_phash_dedup",
-    "q12_priority_class",
-    "q21_waiting_suppliers",
-    "regression_moments_by_flag",
-    "retention_cohorts",
-    "rfm_segmentation",
-    "rolling_spend_7d",
-    "scd2_point_in_time_join",
-    "set_similarity_join",
-    "shard_by_token_budget",
-    "stream_cdc_apply",
-    "stream_static_enrich",
-    "stream_stream_join",
-    "stream_user_totals",
-    "table_profile",
-    "text_boilerplate_strip",
-    "text_ngram_novelty",
-    "text_repetition_stats",
-    "w_relative_rank",
-    "weighted_sample_priority",
-    "zorder_layout",
-    # ---- past the window: prior ordering preserved (most recently
-    # driver-checked last)
-    "cypher_validation_node_counts",
-    "cypher_validation_release_histogram",
-    "cypher_validation_accession_counts",
-    "gfe_end_to_end",
-    "gfe_naming",
-    "w6_dense_rank_accession",
-    "alignment_join",
-    "cypher_front_end",
-    "txtable_upsert",
-    "stream_upsert_sink",
-    "asof_last_purchase",
-    "c_scalar_suite",
-    "ann_lsh_buckets",
-    "corpus_prep_pipeline",
-    "corpus_sample",
-    "dedup_exact",
+    # (a) PLAN-CHANGED this round: the two banded MinHash entries now run
+    # digest-gated (band self-join over DISTINCT texts, r8 verdict item
+    # 3), and 17 full-table entries across streaming/warehouse/
+    # multimodal/bpe lost their zero-semantics trailing global sorts
+    # (r8 verdict item 2)
     "dedup_lsh_pairs",
     "dedup_minhash_est",
-    "dedup_minhash_signatures",
-    "dedup_simhash",
-    "embedding_quantize",
-    "event_funnel",
-    "graph_3hop_motif",
-    "graph_degree_distribution",
-    "graph_pagerank",
-    "graph_triangle_count",
-    "graph_undirected_2hop",
-    "imgt_datasource_scan",
-    "knn_brute_force",
-    "knn_ivf",
-    "multimodal_dedup",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_metadata",
-    "multimodal_real_decode",
-    "q20_quantity_threshold_suppliers",
     "sessionize",
-    "skew_salted_count_distinct",
-    "text_bigram_lm",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_scores",
-    "text_redact_pii",
-    "text_split_assign",
-    "text_tfidf_top_terms",
-    "text_token_stats",
-    "text_vocab_top",
+    "stream_user_totals",
+    "stream_upsert_sink",
+    "imgt_datasource_scan",
+    "keep_latest_per_user",
+    "attribution_last_touch",
+    "attribution_linear",
+    "ewma_user_value",
+    "stream_cdc_apply",
+    "scd2_point_in_time_join",
+    "cdc_apply_changelog",
+    "txtable_upsert",
+    "multimodal_frame_sample",
+    "multimodal_real_decode",
+    "multimodal_dedup",
+    "multimodal_phash_dedup",
+    "bpe_encode_corpus",
+    # (b) stalest driver rows: the r5/r6 cohort (near-dup cluster family,
+    # sketches, TPC-H rest, window/percentile shapes) — r8 verdict item 6
     "dedup_simhash_hamming",
     "entity_match_blocking",
     "dedup_clusters",
     "dedup_keep_list",
     "leakage_safe_split",
+    "sketch_distinct_accuracy",
+    "sketch_quantile_accuracy",
+    "sketch_heavy_hitters",
+    "join_cardinality_estimate",
+    "random_projection_distortion",
+    "outlier_mad_values",
+    "histogram_quantity",
+    "table_content_checksum",
+    "dq_constraint_suite",
+    "fk_integrity_check",
     "q2_min_price_part",
     "q4_order_priority",
     "q5_local_supplier_volume",
@@ -159,6 +89,49 @@ PRIORITY: tuple[str, ...] = (
     "q18_large_volume_customer",
     "q19_disjunctive_predicates",
     "q22_global_sales_opportunity",
+    "w_lead_lag_delta",
+    "w_running_total",
+    "pctl_quantity_by_flag",
+    # ---- past the window: prior ordering preserved (most recently
+    # driver-checked last)
+    "cypher_validation_node_counts",
+    "cypher_validation_release_histogram",
+    "cypher_validation_accession_counts",
+    "gfe_end_to_end",
+    "gfe_naming",
+    "w6_dense_rank_accession",
+    "alignment_join",
+    "cypher_front_end",
+    "asof_last_purchase",
+    "c_scalar_suite",
+    "ann_lsh_buckets",
+    "corpus_prep_pipeline",
+    "corpus_sample",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "embedding_quantize",
+    "event_funnel",
+    "graph_3hop_motif",
+    "graph_degree_distribution",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "graph_undirected_2hop",
+    "knn_brute_force",
+    "knn_ivf",
+    "multimodal_features",
+    "multimodal_metadata",
+    "q20_quantity_threshold_suppliers",
+    "skew_salted_count_distinct",
+    "text_bigram_lm",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_scores",
+    "text_redact_pii",
+    "text_split_assign",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    "text_vocab_top",
     "a_count_distinct",
     "a_cube",
     "a_having_filter",
@@ -176,14 +149,11 @@ PRIORITY: tuple[str, ...] = (
     "j_full_outer_join",
     "j_semi_join",
     "range_band_join",
-    "pctl_quantity_by_flag",
     "so_intersect",
     "a6_array_set_union",
     "a7_label_counts",
     "a12_bool_all_reduce",
     "a13_monotonicity_guard",
-    "w_lead_lag_delta",
-    "w_running_total",
     "q9_profit_by_nation_year",
     "q11_important_balance",
     "q16_supplier_count_distribution",
@@ -196,20 +166,9 @@ PRIORITY: tuple[str, ...] = (
     "pack_sequences",
     "corpus_prep_pipeline_v2",
     "stream_dedup",
-    "sketch_distinct_accuracy",
-    "sketch_quantile_accuracy",
-    "sketch_heavy_hitters",
-    "join_cardinality_estimate",
-    "random_projection_distortion",
-    "outlier_mad_values",
-    "histogram_quantity",
-    "table_content_checksum",
-    "dq_constraint_suite",
-    "fk_integrity_check",
     "rolling_distinct_users_7d",
     "rolling_distinct_users_7d_approx",
     "timeseries_gapfill_locf",
-    "ewma_user_value",
     "order_backlog_daily",
     "nation_revenue_share",
     "reorder_interval_stats",
@@ -218,9 +177,7 @@ PRIORITY: tuple[str, ...] = (
     "copurchase_pairs",
     "unpivot_measures",
     "scd2_customer_history",
-    "attribution_last_touch",
     "quality_decile_stats",
-    "keep_latest_per_user",
     "a_grouping_sets",
     "text_lm_score",
     "skew_salted_join",
@@ -234,6 +191,50 @@ PRIORITY: tuple[str, ...] = (
     "j1_broadcast_lookup",
     "f1_processability_filter",
     "so1_except",
+    # ---- the round-8 window (most recently driver-checked)
+    "ann_topk_join",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "semdedup_prune",
+    "tumbling_window",
+    "ann_index_append",
+    "association_rules_lift",
+    "bpe_train_merges",
+    "bpe_vocab_stats",
+    "chisq_independence",
+    "corpus_prep_pipeline_v3",
+    "corpus_shuffle",
+    "dedup_exact_substrings",
+    "dedup_incremental",
+    "doc_chunk_overlap",
+    "dsir_importance_weights",
+    "embedding_standardize",
+    "event_crosstab",
+    "graph_bfs_hops",
+    "incremental_agg_merge",
+    "knn_ivf_pq",
+    "knn_ivf_trained",
+    "knn_pq_adc",
+    "logreg_quality_train",
+    "mixture_resample",
+    "mode_per_group",
+    "q12_priority_class",
+    "q21_waiting_suppliers",
+    "regression_moments_by_flag",
+    "retention_cohorts",
+    "rfm_segmentation",
+    "rolling_spend_7d",
+    "set_similarity_join",
+    "shard_by_token_budget",
+    "stream_static_enrich",
+    "stream_stream_join",
+    "table_profile",
+    "text_boilerplate_strip",
+    "text_ngram_novelty",
+    "text_repetition_stats",
+    "w_relative_rank",
+    "weighted_sample_priority",
+    "zorder_layout",
 )
 
 

@@ -174,7 +174,6 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_words"),
             F.sum("n_sub").alias("n_subtokens"),
         )
-        .orderBy("doc_id")
     )
 
 

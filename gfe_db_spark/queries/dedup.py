@@ -58,9 +58,14 @@ FROM sh GROUP BY doc_id ORDER BY doc_id
 
 
 def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs, digest-gated (r8 verdict item 3): banding runs
+    over DISTINCT texts and the declared candidate set is expanded back
+    through the exact-dup classes — row-identical to the ungated
+    shingles→minhash→band self-join (identical texts band identically),
+    but the shuffle is bounded by distinct texts instead of going k² per
+    band bucket under k-way duplication."""
     docs = table(spark, sf_dir, "documents")
-    sigs = DD.minhash_signatures(DD.shingles(docs, n=3, distinct=False), num_hashes=8)
-    return DD.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    return DD.lsh_candidate_pairs_gated(docs, bands=4, rows_per_band=2, n=3, num_hashes=8)
 
 
 _BAND_EXPRS = ", ".join(
@@ -96,11 +101,13 @@ ORDER BY doc_a, doc_b
 
 def dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimated Jaccard over the LSH candidate pairs from the MinHash
-    signatures alone — the O(pairs) verification shortcut."""
+    signatures alone — the O(pairs) verification shortcut. Digest-gated
+    like `dedup_lsh_pairs` (same band-join exposure): signatures, banding,
+    and the estimate run over DISTINCT texts; member pairs inherit the
+    representative estimate (identical texts ⇒ identical signatures) and
+    within-class pairs are est = 1.0 by identity."""
     docs = table(spark, sf_dir, "documents")
-    sigs = DD.minhash_signatures(DD.shingles(docs, n=3, distinct=False), num_hashes=8)
-    pairs = DD.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
-    return DD.minhash_jaccard_estimate(sigs, pairs, num_hashes=8)
+    return DD.minhash_est_pairs_gated(docs, bands=4, rows_per_band=2, n=3, num_hashes=8)
 
 
 _EST_MATCHES = " + ".join(
@@ -256,8 +263,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_properties.py."""
     from gfe_db_spark.operators.similarity import lsh_plane_count
 
+    from gfe_db_spark.sources.tables import table_rowcount
+
     emb = table(spark, sf_dir, "embeddings")
-    p = lsh_plane_count(emb.count(), target_bucket=COSINE_TARGET_BUCKET)
+    p = lsh_plane_count(
+        table_rowcount(spark, sf_dir, "embeddings"),
+        target_bucket=COSINE_TARGET_BUCKET,
+    )
     pb = 2 if p <= COSINE_TWO_BIT_WHEN_LE else 1
     return DD.embedding_neardup_pairs_bucketed(
         emb, threshold=0.4, n_planes=p, probe_bits=pb

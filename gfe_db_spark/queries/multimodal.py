@@ -120,7 +120,6 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         frames.groupBy("media_id")
         .agg(F.count(F.lit(1)).alias("n_frames"))
-        .orderBy("media_id")
     )
 
 
@@ -207,7 +206,7 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_rate",
         F.round(F.col("mean_value"), 6).alias("mean_value"),
         "decode_error",
-    ).orderBy("media_id")
+    )
 
 
 # mean over the 16 md5 digest bytes (payloads cycle the digest, so the
@@ -265,7 +264,6 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("media_id").alias("representative"),
             F.count(F.lit(1)).alias("n_media"),
         )
-        .orderBy("payload_hash")
     )
 
 
@@ -312,9 +310,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gfe_db_spark.operators.multimodal import perceptual_ahash
 
     media = real_media_from_documents(spark, sf_dir).filter(F.col("kind") == "image")
-    return perceptual_ahash(media).select("media_id", "container", "ahash").orderBy(
-        "media_id"
-    )
+    return perceptual_ahash(media).select("media_id", "container", "ahash")
 
 
 MULTIMODAL_PHASH_SQL = """

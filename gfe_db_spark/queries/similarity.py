@@ -225,10 +225,16 @@ def ann_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r5 sweep: 6 planes at 20k vectors → 1009 s; r7 sf10 probe: 8 planes
     at 200k vectors → 718 s, 59.8× engine growth on 10× data, while the
     derived 11 planes gave identical output in 173.7 s). The count is
-    parquet-footer metadata, one cheap zero-column job; the oracle
-    derives the SAME p from COUNT(*) inside the SQL."""
+    parquet-footer metadata, one cheap zero-column job, memoized per
+    (sf_dir, table) so repeated query CONSTRUCTION (plan contracts, bench
+    loops) pays it once per process (r8 advice); the oracle derives the
+    SAME p from COUNT(*) inside the SQL."""
+    from gfe_db_spark.sources.tables import table_rowcount
+
     emb = table(spark, sf_dir, "embeddings")
-    p = SIM.lsh_plane_count(emb.count(), target_bucket=ANN_TARGET_BUCKET)
+    p = SIM.lsh_plane_count(
+        table_rowcount(spark, sf_dir, "embeddings"), target_bucket=ANN_TARGET_BUCKET
+    )
     return SIM.ann_topk_join(emb, k=3, n_planes=p, probe_bits=1)
 
 
@@ -358,19 +364,26 @@ def cluster_head_pairs(
         F.col("__v").alias("vb"),
         F.col("__norm").alias("nb"),
     )
-    if max_cluster_size is not None and n_clusters is not None:
+    if max_cluster_size is not None:
         # the capped head is ≤ k·cap rows by construction — broadcast it
         # so the pair expansion is a map-side join over the b-side's FULL
         # partitioning. A shuffled equi-join here keys on centroid_id,
         # whose cardinality is k (small by design): at k=4 the whole
         # Σ|cluster|·cap cosine work landed on 4 tasks (the r7 sf1 split
         # measured 156 s spark-side for 20 k vectors — 28 idle cores).
-        # The explicit hint is GATED on the estimated head payload
-        # (k·cap·dim·8 bytes): SemDeDup's k grows with the corpus, and an
-        # unconditional F.broadcast would force a driver collect into
-        # Spark's 8 GB broadcast hard limit at large k. Past the gate,
-        # leave the strategy to AQE.
-        head_bytes = n_clusters * max_cluster_size * dim * 8
+        # When the caller supplies n_clusters, the hint is GATED on the
+        # estimated head payload (k·cap·dim·8 bytes): SemDeDup's k grows
+        # with the corpus, and an unconditional F.broadcast would force a
+        # driver collect into Spark's 8 GB broadcast hard limit at large
+        # k. Past the gate, leave the strategy to AQE. Callers that don't
+        # know k keep the r7 broadcast behavior (r8 advice: requiring
+        # n_clusters silently re-opened the 156 s hot-cluster plan for
+        # them) — at unknown large k they should pass n_clusters.
+        head_bytes = (
+            n_clusters * max_cluster_size * dim * 8
+            if n_clusters is not None
+            else 0
+        )
         if head_bytes <= BROADCAST_HEAD_MAX_BYTES:
             a = F.broadcast(a)
     return a.join(b, "centroid_id").filter(F.col("id_a") < F.col("id_b"))
@@ -390,14 +403,16 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gfe_db_spark.operators.dedup import _dot
 
     emb = table(spark, sf_dir, "embeddings")
-    cents = SIM.ivf_train(emb, k=4, iters=2)
+    K = 4  # one source of truth: the trained k also sizes the
+    # cluster_head_pairs broadcast-gate payload estimate (r8 advice)
+    cents = SIM.ivf_train(emb, k=K, iters=2)
     assigned = SIM.ivf_assign(emb, cents)
     # ONE dot per pair; norms were hoisted per vector in
     # cluster_head_pairs (identical doubles to cosine(va, vb) — same
     # multiply-add sequence, same order)
     pair_cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     pruned = (
-        cluster_head_pairs(assigned, n_clusters=4)
+        cluster_head_pairs(assigned, n_clusters=K)
         .filter(F.round(pair_cos, 9) >= 0.44)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()

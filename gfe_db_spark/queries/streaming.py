@@ -40,7 +40,6 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "session_ms"
             ),
         )
-        .orderBy("user_id", "session_id")
     )
 
 
@@ -186,7 +185,7 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, n_events, round(total_value, 6) AS total_value FROM (
           SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) AS rn
           FROM {name}
-        ) WHERE rn = 1 ORDER BY user_id
+        ) WHERE rn = 1
         """
     )
 
@@ -219,7 +218,6 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -310,8 +308,8 @@ def imgt_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     dat = write_release_dat(tmp, "3550")
     register(spark)
     df = spark.read.format("imgt").load(dat)
-    return df.select("allele_id", "hla_name", "locus", F.col("length").cast("long").alias("length")).orderBy(
-        "allele_id"
+    return df.select(
+        "allele_id", "hla_name", "locus", F.col("length").cast("long").alias("length")
     )
 
 
@@ -449,7 +447,6 @@ def keep_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.value").alias("value"),
             "n_events",
         )
-        .orderBy("user_id")
     )
 
 
@@ -492,7 +489,6 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss").alias("attributed_click_ts"),
             F.col("last_click_ts").isNotNull().alias("attributed"),
         )
-        .orderBy("user_id", "event_id")
     )
 
 
@@ -537,7 +533,6 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("value_cents") % F.col("n_prior_clicks"),
             ).alias("remainder_cents"),
         )
-        .orderBy("user_id", "event_id")
     )
 
 
@@ -755,7 +750,7 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.size("evs").alias("n_events"),
         F.round(ewma, 6).alias("ewma_value"),
-    ).orderBy("user_id")
+    )
 
 
 EWMA_SQL = """
@@ -859,7 +854,6 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("value").alias("current_value"),
                 "n_changes",
             )
-            .orderBy("key")
             # the memoryless parquet state dies with the tempdir: collect
             # into a local-relation result before cleanup
             .localCheckpoint(eager=True)

@@ -70,7 +70,6 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("pit_total"),
         )
-        .orderBy("custkey")
     )
 
 
@@ -128,7 +127,6 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.value").alias("current_value"),
             "n_changes",
         )
-        .orderBy("key")
     )
 
 
@@ -572,7 +570,6 @@ def txtable_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
         )
-        .orderBy("user_id")
     )
 
 

@@ -75,6 +75,24 @@ def _normalize_timestamps(df: DataFrame) -> DataFrame:
     return df.select(*cols) if changed else df
 
 
+#: (abs sf_dir, table) -> row count. The count on a raw parquet table is
+#: footer-metadata cheap, but the adaptive-sizing queries call it at
+#: CONSTRUCTION time (plan-contract tests, repeated bench invocations run
+#: the same (sf_dir, table) many times per process), so memoize it. Raw
+#: driver testdata is immutable within a session; anything derived or
+#: mutable must go through `DataFrame.count()` directly.
+_ROWCOUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def table_rowcount(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Cached row count of one raw parquet table (r8 advice: don't pay a
+    Spark job per query-construction for a number that cannot change)."""
+    key = (os.path.abspath(sf_dir), name)
+    if key not in _ROWCOUNT_CACHE:
+        _ROWCOUNT_CACHE[key] = table(spark, sf_dir, name).count()
+    return _ROWCOUNT_CACHE[key]
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 

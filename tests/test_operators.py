@@ -1663,6 +1663,73 @@ def test_ngram_jaccard_gated_equals_ungated(spark):
     assert not any({a, b} & {5, 6, 8} for a, b, *_ in gated)
 
 
+_GATE_CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (7, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat"),  # near-dup
+    (4, "completely different text about spark engines here"),
+    (5, "tiny doc"),  # < 3 tokens: no shingles
+    (6, "tiny doc"),  # duplicated short text: still never banded
+    (8, None),
+    (9, "completely different text about spark engines here"),  # dup of 4
+]
+
+
+def test_lsh_gated_equals_ungated(spark):
+    """The digest-gated LSH candidate path (r9: the registered
+    dedup_lsh_pairs) must be ROW-IDENTICAL to the ungated banded
+    self-join on the same planted corpus the Jaccard gate test uses:
+    identical texts have identical signatures, so they band identically
+    — the gate only moves WHERE the pairing happens (distinct texts),
+    never WHICH pairs come out."""
+    from gfe_db_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(_GATE_CORPUS, "doc_id long, text string")
+    sigs = DD.minhash_signatures(
+        DD.shingles(docs, n=3, distinct=False), num_hashes=8
+    )
+    ungated = {
+        tuple(r)
+        for r in DD.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2).collect()
+    }
+    gated = {
+        tuple(r)
+        for r in DD.lsh_candidate_pairs_gated(
+            docs, bands=4, rows_per_band=2, n=3, num_hashes=8
+        ).collect()
+    }
+    assert gated == ungated
+    assert {(1, 2), (1, 7), (2, 7), (4, 9)} <= gated  # within-class always band
+    assert not any({a, b} & {5, 6, 8} for a, b in gated)
+
+
+def test_minhash_est_gated_equals_ungated(spark):
+    """Same identity for the estimate entry: cross-class member pairs
+    inherit the representative pair's jaccard_est verbatim and
+    within-class pairs are 8/8 = 1.0 — the value the ungated estimator
+    computes from their (identical) signatures."""
+    from gfe_db_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(_GATE_CORPUS, "doc_id long, text string")
+    sigs = DD.minhash_signatures(
+        DD.shingles(docs, n=3, distinct=False), num_hashes=8
+    )
+    pairs = DD.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    ungated = {
+        tuple(r)
+        for r in DD.minhash_jaccard_estimate(sigs, pairs, num_hashes=8).collect()
+    }
+    gated = {
+        tuple(r)
+        for r in DD.minhash_est_pairs_gated(
+            docs, bands=4, rows_per_band=2, n=3, num_hashes=8
+        ).collect()
+    }
+    assert gated == ungated
+    assert (1, 2, 1.0) in gated
+
+
 @pytest.mark.parametrize("n_planes,probe_bits", [(8, 2), (9, 1), (12, 1), (16, 1)])
 def test_bucketed_embedding_full_recall_of_exact_duplicates(
     spark, n_planes, probe_bits

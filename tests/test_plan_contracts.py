@@ -787,6 +787,28 @@ SORT_FREE_ENTRIES = [
     "dsir_importance_weights",
     "shard_by_token_budget",
     "mixture_resample",
+    # r9: the strip extended beyond dedup/similarity/text to the remaining
+    # full-table unordered-output families (r8 verdict item 2) —
+    # streaming / warehouse / multimodal / bpe. Entries whose trailing
+    # sort IS semantics (W3 ordering, orderBy+limit top-k like
+    # multimodal_features' TakeOrderedAndProject) are still not listed.
+    "sessionize",
+    "stream_user_totals",
+    "stream_upsert_sink",
+    "imgt_datasource_scan",
+    "keep_latest_per_user",
+    "attribution_last_touch",
+    "attribution_linear",
+    "ewma_user_value",
+    "stream_cdc_apply",
+    "scd2_point_in_time_join",
+    "cdc_apply_changelog",
+    "txtable_upsert",
+    "multimodal_frame_sample",
+    "multimodal_real_decode",
+    "multimodal_dedup",
+    "multimodal_phash_dedup",
+    "bpe_encode_corpus",
 ]
 
 

@@ -134,6 +134,58 @@ def test_minhash_lsh_finds_exact_duplicates(spark, texts):
 
 
 @given(
+    corpus=st.lists(
+        st.tuples(
+            st.one_of(
+                st.none(),
+                st.lists(word_st, min_size=0, max_size=8).map(" ".join),
+            ),
+            st.integers(min_value=1, max_value=3),  # exact-copy multiplicity
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_gated_pair_paths_equal_ungated_on_random_corpus(spark, corpus):
+    """r8 verdict item 7: the planted-corpus identity tests pin the gated
+    paths on known shapes; this pins them on RANDOM corpora — arbitrary
+    short/empty/NULL texts at arbitrary exact-copy multiplicities. All
+    three digest-gated operators must reproduce their ungated pair sets
+    exactly (the gate is a cost transformation, never a semantic one)."""
+    from gfe_db_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_gated,
+        minhash_est_pairs_gated,
+        minhash_jaccard_estimate,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_gated,
+        shingles,
+    )
+
+    rows = []
+    for text, copies in corpus:
+        for _ in range(copies):
+            rows.append((len(rows), text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh_set = shingles(docs, n=3)
+    assert {
+        tuple(r) for r in ngram_jaccard_pairs_gated(docs, n=3, threshold=0.3).collect()
+    } == {tuple(r) for r in ngram_jaccard_pairs(sh_set, threshold=0.3).collect()}
+
+    sigs = minhash_signatures(shingles(docs, n=3, distinct=False), num_hashes=8)
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    assert {
+        tuple(r) for r in lsh_candidate_pairs_gated(docs).collect()
+    } == {tuple(r) for r in pairs.collect()}
+    assert {
+        tuple(r) for r in minhash_est_pairs_gated(docs).collect()
+    } == {tuple(r) for r in minhash_jaccard_estimate(sigs, pairs, num_hashes=8).collect()}
+
+
+@given(
     vals=st.lists(
         st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=50
     ),
