@@ -42,6 +42,7 @@ PRIORITY: tuple[str, ...] = (
     # (r8 verdict item 2)
     "dedup_lsh_pairs",
     "dedup_minhash_est",
+    "ann_lsh_buckets",
     "sessionize",
     "stream_user_totals",
     "stream_upsert_sink",
@@ -91,7 +92,6 @@ PRIORITY: tuple[str, ...] = (
     "q22_global_sales_opportunity",
     "w_lead_lag_delta",
     "w_running_total",
-    "pctl_quantity_by_flag",
     # ---- past the window: prior ordering preserved (most recently
     # driver-checked last)
     "cypher_validation_node_counts",
@@ -104,7 +104,7 @@ PRIORITY: tuple[str, ...] = (
     "cypher_front_end",
     "asof_last_purchase",
     "c_scalar_suite",
-    "ann_lsh_buckets",
+    "pctl_quantity_by_flag",
     "corpus_prep_pipeline",
     "corpus_sample",
     "dedup_exact",

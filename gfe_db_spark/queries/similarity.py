@@ -172,11 +172,29 @@ LIMIT 10
 )
 
 
+#: expected bucket occupancy the adaptive sizing holds: planes = smallest
+#: p >= 8 with N <= ANN_TARGET_BUCKET * 2**p (lsh_plane_count). At the
+#: bench scales: sf<=1 -> 8 planes (unchanged plans), sf10 (200k) -> 11
+#: (the setting the r7 sf10 probe demonstrated at 173.7 s vs 718 s for
+#: the then-registered constant 8).
+ANN_TARGET_BUCKET = 100
+
+
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucket histogram: vectors per hyperplane-sign bucket."""
+    """Sign-LSH bucket histogram: vectors per hyperplane-sign bucket. The
+    plane count follows the same count-derived sizing rule as every other
+    sign-LSH surface (`lsh_plane_count`, r8 verdict item 7): at bench
+    scales the historical 8-plane histogram is unchanged; at sf10 the
+    histogram widens to 11 planes — matching the buckets ann_topk_join
+    actually joins on at that scale."""
+    from gfe_db_spark.sources.tables import table_rowcount
+
     emb = table(spark, sf_dir, "embeddings")
+    p = SIM.lsh_plane_count(
+        table_rowcount(spark, sf_dir, "embeddings"), target_bucket=ANN_TARGET_BUCKET
+    )
     return (
-        SIM.random_hyperplane_buckets(emb, n_planes=8, dim=64)
+        SIM.random_hyperplane_buckets(emb, n_planes=p, dim=64)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("bucket")
@@ -184,36 +202,39 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_bucket_sql() -> str:
-    """Mirror the deterministic hyperplanes as SQL literals (the planes are
-    hash-derived, so the oracle regenerates the identical numbers)."""
-    import hashlib
+    """Mirror the deterministic hyperplanes as SQL literals (the planes
+    are hash-derived, so the oracle regenerates the identical numbers)
+    and derive the SAME plane count from COUNT(*) as `lsh_plane_count`:
+    all 16 possible sign bits are concatenated once, then `left(fb, np)`
+    keeps the derived prefix — bit p of the string is plane p, so the
+    prefix IS the np-plane bucket string."""
+    from gfe_db_spark.operators.similarity import hyperplane
 
     bits = []
-    for p in range(8):
-        vals = []
-        for d in range(64):
-            h = hashlib.md5(f"{p}:{d}".encode()).digest()
-            vals.append(repr(int.from_bytes(h[:8], "big") / float(1 << 63) - 1.0))
-        plane = ", ".join(vals)
+    for p in range(16):
+        plane = ", ".join(repr(x) for x in hyperplane(p, 64))
         bits.append(
-            f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [{plane}]) >= 0 THEN '1' ELSE '0' END"
+            f"CASE WHEN list_dot_product(v, [{plane}]) >= 0 THEN '1' ELSE '0' END"
         )
     concat = " || ".join(bits)
     return f"""
-SELECT ({concat}) AS bucket, COUNT(*) AS n_vectors
-FROM embeddings GROUP BY 1 ORDER BY bucket
+WITH v0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), nrows AS (
+  SELECT COUNT(*) AS n FROM v0
+), np AS (
+  SELECT CAST(COALESCE(MIN(p), 16) AS INT) AS np
+  FROM range(8, 17) r(p), nrows
+  WHERE nrows.n <= {ANN_TARGET_BUCKET} * (CAST(1 AS BIGINT) << CAST(p AS INT))
+), fb AS (
+  SELECT ({concat}) AS full_bits FROM v0
+)
+SELECT left(full_bits, np.np) AS bucket, COUNT(*) AS n_vectors
+FROM fb, np GROUP BY 1 ORDER BY bucket
 """
 
 
 ANN_LSH_SQL = _lsh_bucket_sql()
-
-
-#: expected bucket occupancy the adaptive sizing holds: planes = smallest
-#: p >= 8 with N <= ANN_TARGET_BUCKET * 2**p (lsh_plane_count). At the
-#: bench scales: sf<=1 -> 8 planes (unchanged plans), sf10 (200k) -> 11
-#: (the setting the r7 sf10 probe demonstrated at 173.7 s vs 718 s for
-#: the then-registered constant 8).
-ANN_TARGET_BUCKET = 100
 
 
 def ann_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,11 +268,17 @@ def _ann_topk_sql(k: int = 3) -> str:
 WITH v0 AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), {adaptive_lsh_ctes(ANN_TARGET_BUCKET)}, cand AS (
-  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+  -- dedup on the ID pair ONLY, then join the vectors back: carrying both
+  -- DOUBLE[64] payloads through the DISTINCT materializes ~1 KB per
+  -- probe-expanded candidate and OOM-killed the single-process oracle at
+  -- sf10 (~235M candidates); the id-only hash table is 16 B per pair
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM a JOIN b ON a.bucket = b.bucket
   WHERE a.vec_id <> b.vec_id
 ), scored AS (
-  SELECT id_a, id_b, round(list_cosine_similarity(va, vb), 9) AS cos FROM cand
+  SELECT c.id_a, c.id_b,
+         round(list_cosine_similarity(x.v, y.v), 9) AS cos
+  FROM cand c JOIN v0 x ON x.vec_id = c.id_a JOIN v0 y ON y.vec_id = c.id_b
 )
 SELECT id_a AS vec_id, id_b AS neighbor_id, cos,
        CAST(row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS INT) AS rank
