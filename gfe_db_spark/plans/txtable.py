@@ -290,6 +290,64 @@ def tx_read(
     return out.drop("__bucket") if drop_bucket else out
 
 
+def tx_changes(
+    spark: SparkSession,
+    root: str,
+    since_generation: int,
+    keys: list[str],
+    generation: int | None = None,
+) -> DataFrame:
+    """CDC read between two committed snapshots — the `table_changes`
+    surface of the manifest-pointer layout: every key inserted, updated,
+    or deleted between `since_generation` and `generation` (default: the
+    current manifest), tagged `change_type` with the new row image in the
+    table's own columns and the old image as `old_<col>`.
+
+    Scale: each manifest maps bucket → the generation dir that owns it; a
+    bucket whose dir is IDENTICAL in both manifests cannot contain a
+    change (generation dirs are immutable), so both snapshot reads are
+    restricted to the changed buckets at PATH level — untouched buckets
+    are never listed, let alone scanned, and the diff's full-outer join is
+    co-keyed on the table's MERGE keys, so its shuffle is bounded by the
+    touched buckets, not the table. On a MERGE-only table `delete` never
+    fires; it is emitted for completeness (a future delete commit shows up
+    with no new image)."""
+    from functools import reduce
+
+    m_old = read_manifest(spark, root, generation=since_generation)
+    m_new = read_manifest(spark, root, generation=generation)
+    if m_old is None or m_new is None:
+        raise FileNotFoundError(f"missing manifest under {root}")
+    changed = sorted(
+        int(b)
+        for b in set(m_old["buckets"]) | set(m_new["buckets"])
+        if m_old["buckets"].get(b) != m_new["buckets"].get(b)
+    )
+    old = tx_read(spark, root, buckets=changed, generation=m_old["generation"])
+    new = tx_read(spark, root, buckets=changed, generation=m_new["generation"])
+    non_keys = [c for c in new.columns if c not in keys]
+    o = old.select(
+        *keys, *[F.col(c).alias(f"old_{c}") for c in non_keys]
+    ).withColumn("__in_old", F.lit(True))
+    n = new.select(*keys, *non_keys).withColumn("__in_new", F.lit(True))
+    j = n.join(o, keys, "full_outer")
+    unchanged = reduce(
+        lambda x, y: x & y,
+        [F.col(c).eqNullSafe(F.col(f"old_{c}")) for c in non_keys],
+        F.lit(True),
+    )
+    change_type = (
+        F.when(F.col("__in_old").isNull(), F.lit("insert"))
+        .when(F.col("__in_new").isNull(), F.lit("delete"))
+        .when(~unchanged, F.lit("update"))
+    )
+    return (
+        j.withColumn("change_type", change_type)
+        .filter(F.col("change_type").isNotNull())
+        .select(*keys, "change_type", *non_keys, *[f"old_{c}" for c in non_keys])
+    )
+
+
 def _snapshot_schema(spark: SparkSession, root: str, m: dict):
     """Schema for an empty bucket-restricted read: sample any one
     referenced bucket path."""

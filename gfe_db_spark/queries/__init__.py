@@ -40,6 +40,7 @@ PRIORITY: tuple[str, ...] = (
     # 3), and 17 full-table entries across streaming/warehouse/
     # multimodal/bpe lost their zero-semantics trailing global sorts
     # (r8 verdict item 2)
+    "txtable_time_travel_diff",
     "dedup_lsh_pairs",
     "dedup_minhash_est",
     "ann_lsh_buckets",
@@ -91,9 +92,9 @@ PRIORITY: tuple[str, ...] = (
     "q19_disjunctive_predicates",
     "q22_global_sales_opportunity",
     "w_lead_lag_delta",
-    "w_running_total",
     # ---- past the window: prior ordering preserved (most recently
     # driver-checked last)
+    "w_running_total",
     "cypher_validation_node_counts",
     "cypher_validation_release_histogram",
     "cypher_validation_accession_counts",

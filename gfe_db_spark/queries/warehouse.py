@@ -225,7 +225,13 @@ def blocked_match_pairs(
     if max_block_size is not None:
         a = a.filter(F.col("__rk") <= max_block_size)
     a, b = a.alias("a"), df.alias("b")
-    dist = F.levenshtein(F.col(f"a.{name_col}"), F.col(f"b.{name_col}"))
+    # the threshold form early-terminates the DP at max_dist (returns -1
+    # past it): O(len·max_dist) per pair instead of O(len²), and the
+    # capped Σ|block|·cap pair volume is exactly where that constant
+    # lives at scale. Kept rows carry the identical exact distance.
+    dist = F.levenshtein(
+        F.col(f"a.{name_col}"), F.col(f"b.{name_col}"), max_dist
+    )
     return (
         a.join(
             b,
@@ -233,7 +239,7 @@ def blocked_match_pairs(
             & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
         )
         .select(F.col(f"a.{block_col}").alias("block"), dist.alias("dist"))
-        .filter(F.col("dist") <= max_dist)
+        .filter(F.col("dist") >= 0)
     )
 
 
@@ -585,6 +591,67 @@ ORDER BY user_id
 """
 
 
+def txtable_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel CDC read executed end to end (plans/txtable.tx_changes
+    — the `table_changes` surface of the manifest-pointer layout): commit
+    the even-event half of `events` as generation 1, then one MERGE commit
+    of the odd half (inserts) plus the even click rows at doubled value
+    (updates), and diff the two PINNED snapshots. The hash check proves
+    three things at once: the pinned generation-1 read still resolves the
+    pre-MERGE state (snapshot isolation across commits), the diff
+    classifies exactly the odd half as `insert` and exactly the even
+    clicks with value <> 0 as `update` (a doubled zero is not a change),
+    and nothing else leaked between the snapshots. The oracle recomputes
+    both change sets from the source directly. Value travels as integer
+    cents (float-order-proof; value*2 is exact in binary FP)."""
+    import os
+    import shutil
+    import tempfile
+
+    from gfe_db_spark.plans import txtable as TX
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    # same scratch discipline as txtable_upsert: fixed pid-suffixed root,
+    # wiped on entry (the lazy result outlives this function)
+    scratch = f"{tempfile.gettempdir()}/gfe_txtable_tt_{os.getpid()}"
+    shutil.rmtree(scratch, ignore_errors=True)
+    root = scratch + "/events_tt"
+    TX.tx_upsert(ev.filter(F.col("event_id") % 2 == 0), root, ["event_id"], n_buckets=8)
+    g1 = TX.current_manifest_number(spark, root)
+    clicks2x = (
+        table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "click") & (F.col("event_id") % 2 == 0))
+        .select("event_id", "user_id", (F.col("value") * 2).alias("value"))
+    )
+    batch2 = ev.filter(F.col("event_id") % 2 == 1).unionByName(clicks2x)
+    TX.tx_upsert(batch2, root, ["event_id"], on_match="update", n_buckets=8)
+    return (
+        TX.tx_changes(spark, root, since_generation=g1, keys=["event_id"])
+        .groupBy("user_id", "change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("new_cents"),
+        )
+    )
+
+
+TXTABLE_TIME_TRAVEL_DIFF_SQL = """
+SELECT user_id, 'insert' AS change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS new_cents
+FROM events WHERE event_id % 2 = 1
+GROUP BY user_id
+UNION ALL
+SELECT user_id, 'update' AS change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(value * 2 * 100, 0) AS BIGINT)) AS BIGINT) AS new_cents
+FROM events
+WHERE event_id % 2 = 0 AND event_type = 'click' AND value <> 0
+GROUP BY user_id
+ORDER BY user_id, change_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "table_profile": QuerySpec(
         table_profile,
@@ -620,6 +687,11 @@ QUERIES: dict[str, QuerySpec] = {
         txtable_upsert,
         TXTABLE_UPSERT_SQL,
         "reader-isolated manifest-pointer MERGE + compaction + vacuum, executed",
+    ),
+    "txtable_time_travel_diff": QuerySpec(
+        txtable_time_travel_diff,
+        TXTABLE_TIME_TRAVEL_DIFF_SQL,
+        "table_changes CDC diff between pinned generations, bucket-pruned",
     ),
     "table_content_checksum": QuerySpec(
         table_content_checksum,

@@ -362,3 +362,66 @@ def test_tx_model_based_random_op_sequences(spark, tmp_path):
                 assert got[k] == v, (k, v, got[k])
 
     run()
+
+
+def test_tx_changes_classifies_insert_update_and_skips_unchanged(spark, tmp_path):
+    """The table_changes CDC read: between two generations, inserted keys
+    tag `insert` with a NULL old image, rewritten keys whose non-key
+    columns actually changed tag `update` with both images, and rows a
+    MERGE rewrote to an IDENTICAL value are not changes at all."""
+    root = str(tmp_path / "t")
+    TX.tx_upsert(
+        spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, val long"),
+        root, ["k"], n_buckets=4,
+    )
+    g1 = TX.current_manifest_number(spark, root)
+    TX.tx_upsert(
+        # k=2 updated, k=3 rewritten unchanged, k=4 inserted
+        spark.createDataFrame([(2, 99), (3, 30), (4, 40)], "k long, val long"),
+        root, ["k"], on_match="update", n_buckets=4,
+    )
+    got = {
+        r.k: (r.change_type, r.val, r.old_val)
+        for r in TX.tx_changes(spark, root, since_generation=g1, keys=["k"]).collect()
+    }
+    assert got == {2: ("update", 99, 20), 4: ("insert", 40, None)}
+
+
+def test_tx_changes_prunes_untouched_buckets_at_path_level(spark, tmp_path):
+    """The scale contract: a bucket whose generation dir is identical in
+    both manifests is never read — the diff's scan set (inputFiles on
+    both join legs) touches ONLY the buckets the second commit rewrote.
+    At 100 TB that is the difference between a diff that scans the delta
+    and one that scans the table."""
+    root = str(tmp_path / "t")
+    TX.tx_upsert(_mk(spark, 64, 1), root, ["k"], n_buckets=8)
+    g1 = TX.current_manifest_number(spark, root)
+    # one key -> exactly one touched bucket in generation 2
+    one = spark.createDataFrame([(7, 2)], "k long, val long")
+    TX.tx_upsert(one, root, ["k"], on_match="update", n_buckets=8)
+    m1 = TX.read_manifest(spark, root, generation=g1)
+    m2 = TX.read_manifest(spark, root)
+    changed = {b for b in m2["buckets"] if m1["buckets"].get(b) != m2["buckets"][b]}
+    assert len(changed) == 1
+    diff = TX.tx_changes(spark, root, since_generation=g1, keys=["k"])
+    files = diff.inputFiles()
+    assert files, "diff plan lists no input files"
+    want = {f"__bucket={int(b)}" for b in changed}
+    for f in files:
+        assert any(w in f for w in want), f"diff scans untouched bucket: {f}"
+    # and the diff itself is exactly the one rewritten key
+    assert [(r.k, r.change_type, r.val, r.old_val) for r in diff.collect()] == [
+        (7, "update", 2, 1)
+    ]
+
+
+def test_tx_changes_empty_when_nothing_changed(spark, tmp_path):
+    """An idempotent replay commits nothing, so the diff across it is
+    empty (and typed)."""
+    root = str(tmp_path / "t")
+    TX.tx_upsert(_mk(spark, 16, 1), root, ["k"], n_buckets=4)
+    g1 = TX.current_manifest_number(spark, root)
+    TX.tx_upsert(_mk(spark, 16, 1), root, ["k"], n_buckets=4)  # replay
+    diff = TX.tx_changes(spark, root, since_generation=g1, keys=["k"])
+    assert diff.count() == 0
+    assert set(diff.columns) == {"k", "change_type", "val", "old_val"}
