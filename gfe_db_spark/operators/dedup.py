@@ -1110,6 +1110,29 @@ def duplicated_span_stats(
     )
 
 
+def bloom_m_bits(
+    n_items: int,
+    bits_per_item: int = 16,
+    min_pow: int = 16,
+    max_pow: int = 26,
+) -> int:
+    """Data-dependent Bloom sizing: the smallest power-of-two bit count
+    2**p in [2**min_pow, 2**max_pow] with n_items * bits_per_item <=
+    2**p. At 16 bits/item and k=3 probes the false-positive rate is
+    ~0.5%; a CONSTANT m is a scale-killer the same way a constant LSH
+    plane count was (r9 sf10 probe: the fixed 64 Ki-bit benchmark filter
+    saturated at ~250k benchmark shingles — every corpus doc probed
+    'contaminated' and the decontamination pipeline emptied itself).
+    Pure integer arithmetic (no float log2) so the Spark plan and the
+    DuckDB oracle derive the SAME width from the same count. Floors at
+    2**16 so every historical bench-scale plan (benchmark sets well
+    under 4k shingles) is bit-identical."""
+    for p in range(min_pow, max_pow + 1):
+        if n_items * bits_per_item <= (1 << p):
+            return 1 << p
+    return 1 << max_pow
+
+
 def bloom_bitset(
     terms: DataFrame,
     term_col: str = "shingle",

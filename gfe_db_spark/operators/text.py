@@ -270,29 +270,46 @@ def strip_boilerplate(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    distinct_texts: bool = False,
 ) -> DataFrame:
     """CCNet-style line-level boilerplate removal: drop every line that
     appears verbatim in ``min_docs`` or more distinct documents (cookie
     banners, nav bars, license footers), reassemble the survivors in
     original order.
 
+    ``distinct_texts=True`` computes the line frequency over DISTINCT
+    document TEXTS instead of raw docs — the digest-gate insight applied
+    to the df signal: on a corpus with k exact copies of every document
+    (the replicated-crawl case), the raw-doc df calls every line of every
+    duplicated doc "boilerplate" (each appears in k >= min_docs docs) and
+    the pipeline strips the whole corpus empty (the r9 sf10 probe:
+    corpus_prep_pipeline_v3 returned 0 rows on the 100-way-duplicated
+    slice). Counting a line once per distinct text makes the boilerplate
+    verdict duplication-invariant: exact dups belong to the dedup stage,
+    not the boilerplate stage.
+
     Shape at scale: one keyed agg computes per-line document frequency
-    (map-side combinable), the corpus then LEFT-joins only against the
-    *boilerplate* subset — lines over the threshold — which is orders of
-    magnitude smaller than the line table and typically broadcastable;
-    the hottest lines (highest df) are exactly the ones in the dim side,
-    so the big side never self-joins and skew stays on the small side.
-    Reassembly is a per-doc agg: collect (pos, line) structs for kept
-    lines, array_sort (struct ordering sorts by pos first), join with the
-    newline back.
+    (map-side combinable — under the distinct-texts gate the partial
+    aggregation collapses (line, digest) duplicates before the shuffle),
+    the corpus then LEFT-joins only against the *boilerplate* subset —
+    lines over the threshold — which is orders of magnitude smaller than
+    the line table and typically broadcastable; the hottest lines
+    (highest df) are exactly the ones in the dim side, so the big side
+    never self-joins and skew stays on the small side. Reassembly is a
+    per-doc agg: collect (pos, line) structs for kept lines, array_sort
+    (struct ordering sorts by pos first), join with the newline back.
     """
+    freq_key = (
+        F.md5(F.col(text_col)) if distinct_texts else F.col(id_col)
+    ).alias("__freq_key")
     lines = docs.select(
         F.col(id_col).alias("doc_id"),
+        freq_key,
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     )
     boiler = (
         lines.groupBy("line")
-        .agg(F.countDistinct("doc_id").alias("line_df"))
+        .agg(F.countDistinct("__freq_key").alias("line_df"))
         .filter(F.col("line_df") >= min_docs)
         .select("line", F.lit(1).alias("__boiler"))
     )

@@ -32,18 +32,24 @@ class QuerySpec:
 # earned driver-green rows in CORRECTNESS_r01.json (generic SQL forms and
 # the classic TPC-H suite).
 PRIORITY: tuple[str, ...] = (
-    # ---- Round-9 window, positions 1-50 (driver checks a ~50-entry
-    # prefix; everything regardless of position is checked by the full
-    # sf0.01 oracle sweep in the pytest parity mirror each run).
-    # (a) PLAN-CHANGED this round: the two banded MinHash entries now run
-    # digest-gated (band self-join over DISTINCT texts, r8 verdict item
-    # 3), and 17 full-table entries across streaming/warehouse/
-    # multimodal/bpe lost their zero-semantics trailing global sorts
-    # (r8 verdict item 2)
+    # ---- Round-9 window, positions 1-50. (a) PLAN-CHANGED this round:
+    # the new time-travel CDC diff entry; the digest-gated banded-LSH
+    # pair entries; the count-derived-width Bloom entries; the
+    # distinct-text boilerplate entries; the adaptive bucket histogram;
+    # and the 17 entries whose zero-semantics trailing sorts were
+    # stripped (streaming/warehouse/multimodal/bpe). (b) stalest driver
+    # rows: the r5/r6 cohort (near-dup cluster family, sketches, TPC-H
+    # rest). Everything past the window is checked by the full sf0.01
+    # oracle sweep inside pytest each run; most recently driver-checked
+    # entries (the r8 window) sit last.
     "txtable_time_travel_diff",
     "dedup_lsh_pairs",
     "dedup_minhash_est",
     "ann_lsh_buckets",
+    "bloom_decontaminate",
+    "corpus_prep_pipeline_v2",
+    "text_boilerplate_strip",
+    "corpus_prep_pipeline_v3",
     "sessionize",
     "stream_user_totals",
     "stream_upsert_sink",
@@ -61,8 +67,6 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_dedup",
     "multimodal_phash_dedup",
     "bpe_encode_corpus",
-    # (b) stalest driver rows: the r5/r6 cohort (near-dup cluster family,
-    # sketches, TPC-H rest, window/percentile shapes) — r8 verdict item 6
     "dedup_simhash_hamming",
     "entity_match_blocking",
     "dedup_clusters",
@@ -88,12 +92,10 @@ PRIORITY: tuple[str, ...] = (
     "q14_promo_effect",
     "q15_top_supplier",
     "q17_small_quantity",
-    "q18_large_volume_customer",
-    "q19_disjunctive_predicates",
-    "q22_global_sales_opportunity",
     "w_lead_lag_delta",
-    # ---- past the window: prior ordering preserved (most recently
-    # driver-checked last)
+    "q22_global_sales_opportunity",
+    "q19_disjunctive_predicates",
+    "q18_large_volume_customer",
     "w_running_total",
     "cypher_validation_node_counts",
     "cypher_validation_release_histogram",
@@ -163,9 +165,7 @@ PRIORITY: tuple[str, ...] = (
     "stratified_sample",
     "fixed_k_per_group_sample",
     "benchmark_contamination",
-    "bloom_decontaminate",
     "pack_sequences",
-    "corpus_prep_pipeline_v2",
     "stream_dedup",
     "rolling_distinct_users_7d",
     "rolling_distinct_users_7d_approx",
@@ -192,7 +192,6 @@ PRIORITY: tuple[str, ...] = (
     "j1_broadcast_lookup",
     "f1_processability_filter",
     "so1_except",
-    # ---- the round-8 window (most recently driver-checked)
     "ann_topk_join",
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
@@ -203,7 +202,6 @@ PRIORITY: tuple[str, ...] = (
     "bpe_train_merges",
     "bpe_vocab_stats",
     "chisq_independence",
-    "corpus_prep_pipeline_v3",
     "corpus_shuffle",
     "dedup_exact_substrings",
     "dedup_incremental",
@@ -230,7 +228,6 @@ PRIORITY: tuple[str, ...] = (
     "stream_static_enrich",
     "stream_stream_join",
     "table_profile",
-    "text_boilerplate_strip",
     "text_ngram_novelty",
     "text_repetition_stats",
     "w_relative_rank",

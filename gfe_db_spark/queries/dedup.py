@@ -698,6 +698,29 @@ ORDER BY b.doc_id
 """
 
 
+#: (abs sf_dir) -> distinct benchmark-shingle count. Sizing the Bloom
+#: bitset needs the benchmark cardinality at query-CONSTRUCTION time;
+#: the benchmark is derived (filter + shingle + distinct), so its count is
+#: a real (small) Spark job — memoized per sf_dir like table_rowcount.
+_BENCH_SHINGLE_COUNT: dict[str, int] = {}
+
+
+def _bench_bloom_bits(spark: SparkSession, sf_dir: str, bench_sh: DataFrame) -> int:
+    """Count-derived Bloom width for the benchmark shingle set
+    (`DD.bloom_m_bits`): 16 bits per distinct benchmark shingle, floored
+    at the historical 64 Ki so every bench-scale plan is unchanged. The
+    oracle derives the SAME width from COUNT(*) over its own benchmark
+    CTE — a fixed width saturates under corpus growth (the r9 sf10 probe
+    measured the 64 Ki filter at ~250k benchmark shingles flagging EVERY
+    doc as contaminated, emptying corpus_prep_pipeline_v2)."""
+    import os as _os
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _BENCH_SHINGLE_COUNT:
+        _BENCH_SHINGLE_COUNT[key] = bench_sh.count()
+    return DD.bloom_m_bits(_BENCH_SHINGLE_COUNT[key], bits_per_item=16)
+
+
 def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination: the benchmark set's distinct 3-gram
     shingles compile into a 64 Ki-bit (2 KB) broadcast bitset (operators/dedup
@@ -715,8 +738,9 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_sh = (
         DD.shingles(docs.filter("doc_id % 97 = 0"), n=3).select("shingle").distinct()
     )
-    bloom = DD.bloom_bitset(bench_sh, m_bits=65536, k=3)
-    probed = DD.bloom_probe(DD.shingles(docs, n=3), bloom, m_bits=65536, k=3)
+    m = _bench_bloom_bits(spark, sf_dir, bench_sh)
+    bloom = DD.bloom_bitset(bench_sh, m_bits=m, k=3)
+    probed = DD.bloom_probe(DD.shingles(docs, n=3), bloom, m_bits=m, k=3)
     exact = probed.join(
         F.broadcast(bench_sh.withColumn("__exact", F.lit(1))), "shingle", "left"
     )
@@ -744,13 +768,17 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 BLOOM_DECONTAMINATE_SQL = _SHINGLE_CTE + """
 , bsh AS (
   SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+), mb AS (
+  SELECT CAST((CAST(1 AS BIGINT) << CAST(COALESCE(MIN(p), 26) AS INT)) AS BIGINT) AS m
+  FROM range(16, 27) r(p), (SELECT COUNT(*) AS n FROM bsh) nb
+  WHERE nb.n * 16 <= (CAST(1 AS BIGINT) << CAST(p AS INT))
 ), probes AS (
   SELECT unnest(range(0, 3)) AS i
 ), bpos AS (
   SELECT DISTINCT
     CAST((md5_number_upper(b.shingle || ':bloom' || CAST(p.i AS VARCHAR))
-          & 4294967295) % 65536 AS BIGINT) AS pos
-  FROM bsh b CROSS JOIN probes p
+          & 4294967295) % mb.m AS BIGINT) AS pos
+  FROM bsh b CROSS JOIN probes p CROSS JOIN mb
 ), bloom AS (
   SELECT pos // 32 AS word,
          bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
@@ -758,8 +786,8 @@ BLOOM_DECONTAMINATE_SQL = _SHINGLE_CTE + """
 ), pr AS (
   SELECT s.doc_id, s.shingle,
          CAST((md5_number_upper(s.shingle || ':bloom' || CAST(p.i AS VARCHAR))
-               & 4294967295) % 65536 AS BIGINT) AS pos
-  FROM sh s CROSS JOIN probes p
+               & 4294967295) % mb.m AS BIGINT) AS pos
+  FROM sh s CROSS JOIN probes p CROSS JOIN mb
 ), tested AS (
   SELECT pr.doc_id, pr.shingle,
          bool_and((COALESCE(b.bits, 0)
@@ -804,8 +832,9 @@ def corpus_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_sh = (
         DD.shingles(docs.filter("doc_id % 97 = 0"), n=3).select("shingle").distinct()
     )
-    bloom = DD.bloom_bitset(bench_sh, m_bits=65536, k=3)
-    probed = DD.bloom_probe(DD.shingles(survivors, n=3), bloom, m_bits=65536, k=3)
+    m = _bench_bloom_bits(spark, sf_dir, bench_sh)
+    bloom = DD.bloom_bitset(bench_sh, m_bits=m, k=3)
+    probed = DD.bloom_probe(DD.shingles(survivors, n=3), bloom, m_bits=m, k=3)
     flagged = probed.filter("bloom_hit").select("doc_id").distinct()
     clean = survivors.join(flagged, "doc_id", "left_anti")
     # leakage-safe split over the decontaminated corpus
@@ -843,7 +872,7 @@ def corpus_prep_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gfe_db_spark.operators.text import strip_boilerplate, tokenize
 
     docs = table(spark, sf_dir, "documents")
-    cleaned = strip_boilerplate(docs, min_docs=2).select(
+    cleaned = strip_boilerplate(docs, min_docs=2, distinct_texts=True).select(
         "doc_id", F.col("cleaned").alias("text")
     )
     n_tok = F.size(F.filter(tokenize(F.col("text")), lambda t: t != "")).cast("long")
@@ -870,10 +899,11 @@ _SIMHASH_OVER_GATED = _SIMHASH_SIG_CTES.replace("FROM documents", "FROM gated")
 
 CORPUS_PREP_V3_SQL = rf"""
 WITH lines AS (
-  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS line
-  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents)
+  SELECT doc_id, dg, generate_subscripts(l, 1) AS pos, unnest(l) AS line
+  FROM (SELECT doc_id, md5(text) AS dg, string_split(text, chr(10)) AS l
+        FROM documents)
 ), boiler AS (
-  SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+  SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT dg) >= 2
 ), cleaned AS (
   SELECT l.doc_id,
          COALESCE(string_agg(CASE WHEN b.line IS NULL THEN l.line END,
@@ -926,13 +956,17 @@ WITH RECURSIVE q AS (
            i -> array_to_string(toks[i:i+2], ' '))) AS shingle
     FROM bt
   )
+), mb AS (
+  SELECT CAST((CAST(1 AS BIGINT) << CAST(COALESCE(MIN(p), 26) AS INT)) AS BIGINT) AS m
+  FROM range(16, 27) r(p), (SELECT COUNT(*) AS n FROM bsh) nb
+  WHERE nb.n * 16 <= (CAST(1 AS BIGINT) << CAST(p AS INT))
 ), probes AS (
   SELECT unnest(range(0, 3)) AS i
 ), bpos AS (
   SELECT DISTINCT
     CAST((md5_number_upper(b.shingle || ':bloom' || CAST(p.i AS VARCHAR))
-          & 4294967295) % 65536 AS BIGINT) AS pos
-  FROM bsh b CROSS JOIN probes p
+          & 4294967295) % mb.m AS BIGINT) AS pos
+  FROM bsh b CROSS JOIN probes p CROSS JOIN mb
 ), bloom AS (
   SELECT pos // 32 AS word,
          bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
@@ -949,8 +983,8 @@ WITH RECURSIVE q AS (
 ), pr AS (
   SELECT ssh.doc_id, ssh.shingle,
          CAST((md5_number_upper(ssh.shingle || ':bloom' || CAST(p.i AS VARCHAR))
-               & 4294967295) % 65536 AS BIGINT) AS pos
-  FROM ssh CROSS JOIN probes p
+               & 4294967295) % mb.m AS BIGINT) AS pos
+  FROM ssh CROSS JOIN probes p CROSS JOIN mb
 ), tested AS (
   SELECT pr.doc_id, pr.shingle,
          bool_and((COALESCE(b.bits, 0)

@@ -796,22 +796,26 @@ LOGREG_TRAIN_SQL = _logreg_unrolled_sql(steps=3, lr=0.5)
 
 def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level boilerplate removal (CCNet preprocessing): lines seen in
-    ≥2 distinct documents are stripped, survivors reassembled in order.
-    The synthetic corpus has no repeated lines, so this checks the
-    explode → df-count → broadcast-dim anti-filter → ordered-reassembly
-    plumbing end to end; the removal semantics are covered by the planted
-    multi-line test in tests/test_operators.py."""
+    ≥2 distinct document TEXTS are stripped, survivors reassembled in
+    order. The frequency is digest-gated (r9): counting a line once per
+    distinct text makes the boilerplate verdict invariant under exact
+    duplication — on the raw-doc df, a 100-way-replicated corpus calls
+    EVERY line boilerplate and strips itself empty (exact dups are the
+    dedup stage's job, not a boilerplate signal). The removal semantics
+    are covered by the planted multi-line tests in
+    tests/test_operators.py."""
     docs = table(spark, sf_dir, "documents")
-    return TX.strip_boilerplate(docs, min_docs=2)
+    return TX.strip_boilerplate(docs, min_docs=2, distinct_texts=True)
 
 
 TEXT_BOILERPLATE_SQL = """
 WITH lines AS (
-  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS line
-  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents)
+  SELECT doc_id, dg, generate_subscripts(l, 1) AS pos, unnest(l) AS line
+  FROM (SELECT doc_id, md5(text) AS dg, string_split(text, chr(10)) AS l
+        FROM documents)
 ),
 boiler AS (
-  SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+  SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT dg) >= 2
 )
 SELECT l.doc_id,
        COUNT(*) AS n_lines,

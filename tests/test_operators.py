@@ -1273,6 +1273,66 @@ def test_strip_boilerplate_within_doc_repeats_not_boilerplate(spark):
     assert (row.n_lines, row.n_kept, row.cleaned) == (3, 3, "la\nla\nbody")
 
 
+def test_strip_boilerplate_distinct_texts_is_duplication_invariant(spark):
+    """The digest-gated df (r9): exact copies of a document must not turn
+    its lines into boilerplate (each line counts once per distinct TEXT),
+    while a line genuinely shared by two DIFFERENT texts is still
+    stripped — on the raw-doc df the duplicated corpus strips itself
+    empty (the sf10 probe's corpus_prep_pipeline_v3 rows=0)."""
+    from gfe_db_spark.operators import text as TX
+
+    docs = spark.createDataFrame(
+        [
+            (1, "SHARED FOOTER\nunique body one"),
+            (2, "SHARED FOOTER\nunique body one"),   # exact copy of 1
+            (3, "SHARED FOOTER\nunique body one"),   # exact copy of 1
+            (4, "SHARED FOOTER\nunique body two"),   # different text, same footer
+        ],
+        "doc_id long, text string",
+    )
+    gated = {
+        r.doc_id: r
+        for r in TX.strip_boilerplate(docs, min_docs=2, distinct_texts=True).collect()
+    }
+    # footer IS boilerplate (2 distinct texts share it); bodies survive
+    # in every copy — duplication did not empty the corpus
+    for d in (1, 2, 3):
+        assert (gated[d].n_kept, gated[d].cleaned) == (1, "unique body one")
+    assert (gated[4].n_kept, gated[4].cleaned) == (1, "unique body two")
+    # raw-doc df on the same corpus: copies 1-3 make BOTH their lines
+    # df>=2, so the duplicated docs strip to empty — the failure mode the
+    # gate exists to prevent
+    raw = {r.doc_id: r for r in TX.strip_boilerplate(docs, min_docs=2).collect()}
+    assert raw[1].cleaned == ""
+
+
+def test_bloom_m_bits_sizing_and_oracle_derivation():
+    """Count-derived Bloom width: floors at 2^16 (bench-scale plans
+    unchanged), grows as the smallest power of two holding 16 bits per
+    item, clamps at 2^26 — and DuckDB derives the SAME width from
+    COUNT(*) with the same integer ladder the oracles embed."""
+    import duckdb
+
+    from gfe_db_spark.operators.dedup import bloom_m_bits
+
+    assert bloom_m_bits(1) == 65536
+    assert bloom_m_bits(4096) == 65536          # 4096*16 == 2^16 exactly
+    assert bloom_m_bits(4097) == 131072         # first width past the floor
+    assert bloom_m_bits(250_000) == 4194304     # the sf10 benchmark scale
+    assert bloom_m_bits(10**9) == 1 << 26       # clamp
+    con = duckdb.connect()
+    for n in (1, 4096, 4097, 250_000, 262_144, 262_145, 10**9):
+        sql = f"""
+        WITH nb AS (SELECT CAST({n} AS BIGINT) AS n),
+        mb AS (
+          SELECT CAST((CAST(1 AS BIGINT) << CAST(COALESCE(MIN(p), 26) AS INT)) AS BIGINT) AS m
+          FROM range(16, 27) r(p), nb
+          WHERE nb.n * 16 <= (CAST(1 AS BIGINT) << CAST(p AS INT))
+        ) SELECT m FROM mb
+        """
+        assert con.execute(sql).fetchone()[0] == bloom_m_bits(n), n
+
+
 def test_shard_by_token_budget_matches_naive_global_cumsum(spark):
     """The two-phase prefix sum (bucket cumsum + exclusive bucket
     offsets) must equal the naive global running sum for every row,
