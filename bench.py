@@ -92,6 +92,23 @@ def main() -> None:
     # inputs); drop them so no query is timed under another's memory.
     spark.catalog.clearCache()
 
+    # Warm the TIMED scale factor too (the sweep tool's r9 fix, commit
+    # 0e4b6bf, applied here): the sf0.001 pass above compiles the plans,
+    # but the SF_DIR parquet footers / FS client / shuffle service are
+    # first touched by whichever query runs first, so q1 carried
+    # first-in-suite warmup in two consecutive driver rounds. One small
+    # shuffle plus a one-row read per table moves that cost outside the
+    # timed section; results unchanged.
+    from gfe_db_spark.sources.tables import TABLES, table
+
+    spark.range(100_000).selectExpr("sum(id)").collect()
+    for t in TABLES:
+        try:
+            table(spark, SF_DIR, t).limit(1).collect()
+        except Exception:
+            pass
+    spark.catalog.clearCache()
+
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     total = 0.0

@@ -325,6 +325,21 @@ def tx_changes(
     )
     old = tx_read(spark, root, buckets=changed, generation=m_old["generation"])
     new = tx_read(spark, root, buckets=changed, generation=m_new["generation"])
+    # column sets must agree between the two generations: non_keys comes
+    # from the NEW snapshot, so a schema-evolved table would otherwise hit
+    # an opaque resolution error on the old-side select (column added) or
+    # silently drop old-only columns from the diff (column removed). Fail
+    # loud with the actual asymmetry instead (r9 advice).
+    if set(old.columns) != set(new.columns):
+        only_old = sorted(set(old.columns) - set(new.columns))
+        only_new = sorted(set(new.columns) - set(old.columns))
+        raise ValueError(
+            f"tx_changes: schema mismatch between generation "
+            f"{m_old['generation']} and {m_new['generation']} of {root}: "
+            f"only in old={only_old}, only in new={only_new}; diff across "
+            f"a schema change is not defined — migrate or align columns "
+            f"first"
+        )
     non_keys = [c for c in new.columns if c not in keys]
     o = old.select(
         *keys, *[F.col(c).alias(f"old_{c}") for c in non_keys]

@@ -32,22 +32,67 @@ class QuerySpec:
 # earned driver-green rows in CORRECTNESS_r01.json (generic SQL forms and
 # the classic TPC-H suite).
 PRIORITY: tuple[str, ...] = (
-    # ---- Round-9 window, positions 1-50. (a) PLAN-CHANGED this round:
-    # the new time-travel CDC diff entry; the digest-gated banded-LSH
-    # pair entries; the count-derived-width Bloom entries; the
-    # distinct-text boilerplate entries; the adaptive bucket histogram;
-    # and the 17 entries whose zero-semantics trailing sorts were
-    # stripped (streaming/warehouse/multimodal/bpe). (b) stalest driver
-    # rows: the r5/r6 cohort (near-dup cluster family, sketches, TPC-H
-    # rest). Everything past the window is checked by the full sf0.01
-    # oracle sweep inside pytest each run; most recently driver-checked
-    # entries (the r8 window) sit last.
-    "txtable_time_travel_diff",
+    # ---- Round-10 window, positions 1-50. (a) PLAN-CHANGED this round:
+    # the duplication-adaptive LSH pair entries (stats-based gated/ungated
+    # choice), the length-band-prefiltered entity matching, the
+    # memo-refactored Bloom entries, the broadcast-gate-estimated
+    # semdedup, and the schema-validated time-travel diff. (b) the
+    # stalest driver rows: the r7-era cohort (Cypher validation texts,
+    # the graph family, tx layout, GFE domain) then the full r8 window —
+    # neither has been driver-checked since its own round. Everything
+    # past the window is checked by the full sf0.001 oracle sweep inside
+    # pytest each run; the r9 window (freshest driver rows) sits last.
     "dedup_lsh_pairs",
     "dedup_minhash_est",
-    "ann_lsh_buckets",
+    "entity_match_blocking",
     "bloom_decontaminate",
     "corpus_prep_pipeline_v2",
+    "semdedup_prune",
+    "txtable_time_travel_diff",
+    "cypher_validation_node_counts",
+    "cypher_validation_release_histogram",
+    "cypher_validation_accession_counts",
+    "cypher_front_end",
+    "graph_3hop_motif",
+    "graph_degree_distribution",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "graph_undirected_2hop",
+    "graph_bfs_hops",
+    "txtable_upsert",
+    "gfe_end_to_end",
+    "gfe_naming",
+    "w6_dense_rank_accession",
+    "alignment_join",
+    "ann_topk_join",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "tumbling_window",
+    "ann_index_append",
+    "association_rules_lift",
+    "bpe_train_merges",
+    "bpe_vocab_stats",
+    "chisq_independence",
+    "corpus_shuffle",
+    "dedup_exact_substrings",
+    "dedup_incremental",
+    "doc_chunk_overlap",
+    "dsir_importance_weights",
+    "embedding_standardize",
+    "event_crosstab",
+    "incremental_agg_merge",
+    "knn_ivf_pq",
+    "knn_ivf_trained",
+    "knn_pq_adc",
+    "logreg_quality_train",
+    "mixture_resample",
+    "mode_per_group",
+    "q12_priority_class",
+    "q21_waiting_suppliers",
+    "regression_moments_by_flag",
+    "retention_cohorts",
+    "rfm_segmentation",
+    "ann_lsh_buckets",
     "text_boilerplate_strip",
     "corpus_prep_pipeline_v3",
     "sessionize",
@@ -61,14 +106,12 @@ PRIORITY: tuple[str, ...] = (
     "stream_cdc_apply",
     "scd2_point_in_time_join",
     "cdc_apply_changelog",
-    "txtable_upsert",
     "multimodal_frame_sample",
     "multimodal_real_decode",
     "multimodal_dedup",
     "multimodal_phash_dedup",
     "bpe_encode_corpus",
     "dedup_simhash_hamming",
-    "entity_match_blocking",
     "dedup_clusters",
     "dedup_keep_list",
     "leakage_safe_split",
@@ -97,14 +140,6 @@ PRIORITY: tuple[str, ...] = (
     "q19_disjunctive_predicates",
     "q18_large_volume_customer",
     "w_running_total",
-    "cypher_validation_node_counts",
-    "cypher_validation_release_histogram",
-    "cypher_validation_accession_counts",
-    "gfe_end_to_end",
-    "gfe_naming",
-    "w6_dense_rank_accession",
-    "alignment_join",
-    "cypher_front_end",
     "asof_last_purchase",
     "c_scalar_suite",
     "pctl_quantity_by_flag",
@@ -115,11 +150,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "embedding_quantize",
     "event_funnel",
-    "graph_3hop_motif",
-    "graph_degree_distribution",
-    "graph_pagerank",
-    "graph_triangle_count",
-    "graph_undirected_2hop",
     "knn_brute_force",
     "knn_ivf",
     "multimodal_features",
@@ -192,36 +222,6 @@ PRIORITY: tuple[str, ...] = (
     "j1_broadcast_lookup",
     "f1_processability_filter",
     "so1_except",
-    "ann_topk_join",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "semdedup_prune",
-    "tumbling_window",
-    "ann_index_append",
-    "association_rules_lift",
-    "bpe_train_merges",
-    "bpe_vocab_stats",
-    "chisq_independence",
-    "corpus_shuffle",
-    "dedup_exact_substrings",
-    "dedup_incremental",
-    "doc_chunk_overlap",
-    "dsir_importance_weights",
-    "embedding_standardize",
-    "event_crosstab",
-    "graph_bfs_hops",
-    "incremental_agg_merge",
-    "knn_ivf_pq",
-    "knn_ivf_trained",
-    "knn_pq_adc",
-    "logreg_quality_train",
-    "mixture_resample",
-    "mode_per_group",
-    "q12_priority_class",
-    "q21_waiting_suppliers",
-    "regression_moments_by_flag",
-    "retention_cohorts",
-    "rfm_segmentation",
     "rolling_spend_7d",
     "set_similarity_join",
     "shard_by_token_budget",

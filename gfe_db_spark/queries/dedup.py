@@ -57,15 +57,46 @@ FROM sh GROUP BY doc_id ORDER BY doc_id
 )
 
 
+#: distinct/total threshold for the duplication-adaptive gate: above it
+#: the corpus is essentially duplicate-free and the exact-digest gate's
+#: fixed overhead (distinct-text window + two expansion joins) buys
+#: nothing — use the direct ungated plan. Below it, duplication is real
+#: and the gate bounds the band self-join by distinct texts. Both plans
+#: are proven row-identical (within-class pairs collide in every band;
+#: copies inherit the representative's signature), so this is a
+#: stats-based PHYSICAL choice — like Catalyst picking broadcast vs
+#: shuffle join from size stats — never a semantics fork.
+GATE_DISTINCT_RATIO = 0.95
+
+
+def _use_digest_gate(spark: SparkSession, sf_dir: str) -> bool:
+    """True iff `documents` at sf_dir has enough exact duplication for the
+    digest-gated plan to pay for itself. One memoized sizing job
+    (`corpus_stats`: count + approx distinct digest in a single agg); the
+    HLL++ distinct estimate (~2% error) is fine because both branches
+    return identical rows."""
+    from gfe_db_spark.sources.tables import corpus_stats
+
+    n_rows, n_distinct = corpus_stats(spark, sf_dir, "documents")
+    return n_distinct < GATE_DISTINCT_RATIO * n_rows
+
+
 def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs, digest-gated (r8 verdict item 3): banding runs
-    over DISTINCT texts and the declared candidate set is expanded back
-    through the exact-dup classes — row-identical to the ungated
-    shingles→minhash→band self-join (identical texts band identically),
-    but the shuffle is bounded by distinct texts instead of going k² per
-    band bucket under k-way duplication."""
+    """LSH candidate pairs, duplication-adaptive (r9 verdict item 2): one
+    memoized count-vs-distinct-digest stat picks the plan. Duplicated
+    corpus → digest-gated (r8 item 3): banding runs over DISTINCT texts
+    and the declared candidate set is expanded back through the exact-dup
+    classes, bounding the band self-join shuffle that otherwise goes k²
+    per bucket under k-way duplication. Near-distinct corpus → direct
+    shingles→minhash→band self-join, skipping the gate's fixed overhead.
+    Row-identical either way (identical texts band identically)."""
     docs = table(spark, sf_dir, "documents")
-    return DD.lsh_candidate_pairs_gated(docs, bands=4, rows_per_band=2, n=3, num_hashes=8)
+    if _use_digest_gate(spark, sf_dir):
+        return DD.lsh_candidate_pairs_gated(
+            docs, bands=4, rows_per_band=2, n=3, num_hashes=8
+        )
+    sigs = DD.minhash_signatures(DD.shingles(docs, n=3, distinct=False), num_hashes=8)
+    return DD.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
 
 
 _BAND_EXPRS = ", ".join(
@@ -101,13 +132,21 @@ ORDER BY doc_a, doc_b
 
 def dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimated Jaccard over the LSH candidate pairs from the MinHash
-    signatures alone — the O(pairs) verification shortcut. Digest-gated
-    like `dedup_lsh_pairs` (same band-join exposure): signatures, banding,
-    and the estimate run over DISTINCT texts; member pairs inherit the
+    signatures alone — the O(pairs) verification shortcut.
+    Duplication-adaptive like `dedup_lsh_pairs` (same band-join exposure,
+    same memoized stat): on a duplicated corpus the signatures, banding,
+    and estimate run over DISTINCT texts — member pairs inherit the
     representative estimate (identical texts ⇒ identical signatures) and
-    within-class pairs are est = 1.0 by identity."""
+    within-class pairs are est = 1.0 by identity; on a near-distinct
+    corpus the direct plan skips the gate overhead. Row-identical."""
     docs = table(spark, sf_dir, "documents")
-    return DD.minhash_est_pairs_gated(docs, bands=4, rows_per_band=2, n=3, num_hashes=8)
+    if _use_digest_gate(spark, sf_dir):
+        return DD.minhash_est_pairs_gated(
+            docs, bands=4, rows_per_band=2, n=3, num_hashes=8
+        )
+    sigs = DD.minhash_signatures(DD.shingles(docs, n=3, distinct=False), num_hashes=8)
+    pairs = DD.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    return DD.minhash_jaccard_estimate(sigs, pairs, num_hashes=8)
 
 
 _EST_MATCHES = " + ".join(
@@ -698,35 +737,42 @@ ORDER BY b.doc_id
 """
 
 
-#: (abs sf_dir) -> distinct benchmark-shingle count. Sizing the Bloom
-#: bitset needs the benchmark cardinality at query-CONSTRUCTION time;
-#: the benchmark is derived (filter + shingle + distinct), so its count is
-#: a real (small) Spark job — memoized per sf_dir like table_rowcount.
-_BENCH_SHINGLE_COUNT: dict[str, int] = {}
-
-
-def _bench_bloom_bits(spark: SparkSession, sf_dir: str, bench_sh: DataFrame) -> int:
+def _bench_bloom_bits(
+    spark: SparkSession,
+    sf_dir: str,
+    bench_sh: DataFrame,
+    bench_tag: str = "mod97:3gram",
+) -> int:
     """Count-derived Bloom width for the benchmark shingle set
     (`DD.bloom_m_bits`): 16 bits per distinct benchmark shingle, floored
     at the historical 64 Ki so every bench-scale plan is unchanged. The
     oracle derives the SAME width from COUNT(*) over its own benchmark
     CTE — a fixed width saturates under corpus growth (the r9 sf10 probe
     measured the 64 Ki filter at ~250k benchmark shingles flagging EVERY
-    doc as contaminated, emptying corpus_prep_pipeline_v2)."""
-    import os as _os
+    doc as contaminated, emptying corpus_prep_pipeline_v2).
 
-    key = _os.path.abspath(sf_dir)
-    if key not in _BENCH_SHINGLE_COUNT:
-        _BENCH_SHINGLE_COUNT[key] = bench_sh.count()
-    return DD.bloom_m_bits(_BENCH_SHINGLE_COUNT[key], bits_per_item=16)
+    Sizing the bitset needs the benchmark cardinality at
+    query-CONSTRUCTION time; the benchmark is derived (filter + shingle +
+    distinct), so its count is a real (small) Spark job — memoized via
+    `memo_sizing` keyed on (sf_dir, table fingerprint, `bench_tag`). The
+    tag names the benchmark DEFINITION (r9 advice): a caller with a
+    different benchmark over the same sf_dir must pass a different tag or
+    it would inherit this one's count."""
+    from gfe_db_spark.sources.tables import memo_sizing
+
+    n = memo_sizing(
+        sf_dir, "documents", f"bench_shingles:{bench_tag}", bench_sh.count
+    )
+    return DD.bloom_m_bits(n, bits_per_item=16)
 
 
 def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination: the benchmark set's distinct 3-gram
-    shingles compile into a 64 Ki-bit (2 KB) broadcast bitset (operators/dedup
-    `bloom_bitset`); every corpus shingle probes it with pure column
-    arithmetic — no benchmark join key ever touches the corpus side
-    (`bloom_probe`). Reports per-document bloom hits next to exact hits so
+    shingles compile into a broadcast bitset whose width is COUNT-DERIVED
+    from the benchmark cardinality (`_bench_bloom_bits`: 16 bits/item,
+    power-of-2, floored at 64 Ki bits = 8 KB); every corpus shingle probes
+    it with pure column arithmetic — no benchmark join key ever touches
+    the corpus side (`bloom_probe`). Reports per-document bloom hits next to exact hits so
     the Bloom contract is visible in the output: exact_hits <= bloom_hits
     (no false negatives), n_false_pos bounds the filter's error.
 

@@ -398,19 +398,25 @@ def cluster_head_pairs(
         # whose cardinality is k (small by design): at k=4 the whole
         # Σ|cluster|·cap cosine work landed on 4 tasks (the r7 sf1 split
         # measured 156 s spark-side for 20 k vectors — 28 idle cores).
-        # When the caller supplies n_clusters, the hint is GATED on the
-        # estimated head payload (k·cap·dim·8 bytes): SemDeDup's k grows
-        # with the corpus, and an unconditional F.broadcast would force a
-        # driver collect into Spark's 8 GB broadcast hard limit at large
-        # k. Past the gate, leave the strategy to AQE. Callers that don't
-        # know k keep the r7 broadcast behavior (r8 advice: requiring
-        # n_clusters silently re-opened the 156 s hot-cluster plan for
-        # them) — at unknown large k they should pass n_clusters.
-        head_bytes = (
-            n_clusters * max_cluster_size * dim * 8
-            if n_clusters is not None
-            else 0
-        )
+        # The hint is GATED on the estimated head payload
+        # (k·cap·dim·8 bytes): SemDeDup's k grows with the corpus, and an
+        # unconditional F.broadcast would force a driver collect into
+        # Spark's 8 GB broadcast hard limit at large k. Past the gate,
+        # leave the strategy to AQE. When the caller doesn't know k
+        # (n_clusters=None), ESTIMATE it with one cheap sizing job
+        # (approx_count_distinct on centroid_id) instead of assuming it's
+        # small — the r9 advice caught the 0-sentinel here re-opening the
+        # unconditional-broadcast exposure that the gate exists to
+        # prevent. The registered entries all pass n_clusters, so the
+        # extra job only runs for ad-hoc callers, for whom one count is
+        # the right price for a safe plan.
+        if n_clusters is None:
+            n_clusters = int(
+                assigned.agg(
+                    F.approx_count_distinct("centroid_id").alias("k")
+                ).first()["k"]
+            )
+        head_bytes = n_clusters * max_cluster_size * dim * 8
         if head_bytes <= BROADCAST_HEAD_MAX_BYTES:
             a = F.broadcast(a)
     return a.join(b, "centroid_id").filter(F.col("id_a") < F.col("id_b"))

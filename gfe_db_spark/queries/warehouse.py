@@ -232,11 +232,24 @@ def blocked_match_pairs(
     dist = F.levenshtein(
         F.col(f"a.{name_col}"), F.col(f"b.{name_col}"), max_dist
     )
+    # length-band prefilter: |len(a)−len(b)| is a levenshtein lower bound
+    # (each edit changes the length by at most 1), so pairs outside the
+    # band can never pass `dist <= max_dist` — pruning them in the join
+    # condition is provably output-identical and skips the DP entirely
+    # for the pruned pairs. On the Σ|block|·cap pair volume this is the
+    # cheapest comparison that can run before the distance kernel.
+    band = (
+        F.abs(
+            F.length(F.col(f"a.{name_col}")) - F.length(F.col(f"b.{name_col}"))
+        )
+        <= max_dist
+    )
     return (
         a.join(
             b,
             (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
+            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
+            & band,
         )
         .select(F.col(f"a.{block_col}").alias("block"), dist.alias("dist"))
         .filter(F.col("dist") >= 0)
@@ -279,7 +292,9 @@ WITH c AS (
 SELECT a.block,
        CAST(COUNT(*) AS BIGINT) AS n_matches,
        CAST(SUM(levenshtein(a.name, b.name)) AS BIGINT) AS total_dist
-FROM h a JOIN c b ON a.block = b.block AND a.k < b.k
+FROM h a JOIN c b
+  ON a.block = b.block AND a.k < b.k
+ AND abs(length(a.name) - length(b.name)) <= 1
 WHERE a.rk <= {MAX_BLOCK_SIZE} AND levenshtein(a.name, b.name) <= 1
 GROUP BY a.block
 ORDER BY a.block

@@ -75,22 +75,85 @@ def _normalize_timestamps(df: DataFrame) -> DataFrame:
     return df.select(*cols) if changed else df
 
 
-#: (abs sf_dir, table) -> row count. The count on a raw parquet table is
-#: footer-metadata cheap, but the adaptive-sizing queries call it at
-#: CONSTRUCTION time (plan-contract tests, repeated bench invocations run
-#: the same (sf_dir, table) many times per process), so memoize it. Raw
-#: driver testdata is immutable within a session; anything derived or
-#: mutable must go through `DataFrame.count()` directly.
-_ROWCOUNT_CACHE: dict[tuple[str, str], int] = {}
+def _table_fingerprint(sf_dir: str, name: str) -> str:
+    """Cheap content fingerprint of one parquet table's on-disk files:
+    sorted (relative name, size, mtime_ns) triples. Regenerating or
+    swapping the parquet at the same path (test fixtures, re-materialized
+    .testdata slices) changes the fingerprint, so memoized sizing stats
+    can never serve a stale count for new data (r9 advice). Listing a
+    parquet directory is a handful of stat() calls — far cheaper than the
+    Spark job the memo avoids."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        parts = []
+        for fn in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, fn))
+            parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+        return ";".join(parts)
+    if os.path.exists(path):
+        st = os.stat(path)
+        return f"{st.st_size}:{st.st_mtime_ns}"
+    return "<missing>"
+
+
+#: (abs sf_dir, table, fingerprint) -> sizing stat. The count on a raw
+#: parquet table is footer-metadata cheap, but the adaptive-sizing queries
+#: call it at CONSTRUCTION time (plan-contract tests, repeated bench
+#: invocations run the same (sf_dir, table) many times per process), so
+#: memoize it. The on-disk fingerprint in the key means a regenerated
+#: table at the same path misses the cache instead of serving stale stats;
+#: anything derived from a transformed DataFrame must go through
+#: `DataFrame.count()` directly.
+_SIZING_CACHE: dict[tuple, object] = {}
+
+
+def memo_sizing(sf_dir: str, name: str, tag: str, compute):
+    """Shared memo for sizing pre-jobs (row counts, distinct-digest
+    counts, benchmark cardinalities): at most one Spark job per
+    (table contents, statistic) per process. `tag` names the statistic —
+    two different stats over the same table never collide (r9 advice on
+    the bench-set memo)."""
+    key = (os.path.abspath(sf_dir), name, tag, _table_fingerprint(sf_dir, name))
+    if key not in _SIZING_CACHE:
+        _SIZING_CACHE[key] = compute()
+    return _SIZING_CACHE[key]
 
 
 def table_rowcount(spark: SparkSession, sf_dir: str, name: str) -> int:
     """Cached row count of one raw parquet table (r8 advice: don't pay a
     Spark job per query-construction for a number that cannot change)."""
-    key = (os.path.abspath(sf_dir), name)
-    if key not in _ROWCOUNT_CACHE:
-        _ROWCOUNT_CACHE[key] = table(spark, sf_dir, name).count()
-    return _ROWCOUNT_CACHE[key]
+    return memo_sizing(
+        sf_dir, name, "rowcount", lambda: table(spark, sf_dir, name).count()
+    )
+
+
+def corpus_stats(
+    spark: SparkSession, sf_dir: str, name: str = "documents", text_col: str = "text"
+) -> tuple[int, int]:
+    """(n_rows, approx distinct md5(text)) of one raw table in ONE
+    aggregation job, memoized like `table_rowcount`. This is the shared
+    sizing input for duplication-adaptive physical-plan choices (gated vs
+    ungated dedup plans): the distinct count is approximate (HLL++) —
+    fine, because the choice it drives is a stats-based physical decision
+    between two row-identical plans, never a semantics fork."""
+
+    def _compute():
+        from pyspark.sql import functions as F
+
+        # rsd=0.01: the default 5% error straddles the gate threshold on a
+        # near-distinct corpus (e.g. true ratio 0.998 could estimate under
+        # 0.95); 1% keeps the decision stable and HLL at 1% is still tiny
+        row = (
+            table(spark, sf_dir, name)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.approx_count_distinct(F.md5(F.col(text_col)), 0.01).alias("d"),
+            )
+            .first()
+        )
+        return (int(row["n"]), int(row["d"]))
+
+    return memo_sizing(sf_dir, name, f"corpus_stats:{text_col}", _compute)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -846,3 +846,68 @@ def test_cluster_head_pairs_broadcast_gate(spark):
     ungated = cluster_head_pairs(df, max_cluster_size=4, dim=2, n_clusters=k_huge)
     analyzed = ungated._jdf.queryExecution().analyzed().toString()
     assert "broadcast" not in analyzed.lower()
+
+
+def test_lsh_gate_choice_is_duplication_adaptive(spark, specs, tmp_path_factory):
+    """r10 (r9 verdict item 2): the registered LSH pair entries pick
+    their physical plan from the corpus duplication stat. On the
+    near-distinct smoke corpus the digest gate must be ABSENT (no
+    class-collapse Window — the ungated minhash/banding plan has none),
+    reclaiming the gate's fixed overhead; on a mass-duplicated corpus the
+    gate must be PRESENT (the md5-class Window), bounding the band
+    self-join by distinct texts."""
+    plan = plan_of(run(specs, spark, "dedup_lsh_pairs"))
+    assert "Window" not in plan, "distinct corpus should take the ungated plan"
+    plan_est = plan_of(run(specs, spark, "dedup_minhash_est"))
+    assert "Window" not in plan_est
+
+    d = str(tmp_path_factory.mktemp("dupcorpus"))
+    base = [f"some text about topic {i} with filler words {i*7%13}" for i in range(20)]
+    rows = [(k * 20 + i, t) for k in range(10) for i, t in enumerate(base)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    plan_dup = plan_of(all_queries()["dedup_lsh_pairs"].fn(spark, d))
+    assert "Window" in plan_dup, "duplicated corpus should take the gated plan"
+
+
+def test_sizing_prejobs_memoized_once_per_table_stat(spark, specs, monkeypatch):
+    """r10 (r9 verdict item 6): every adaptive-sizing surface
+    (ann plane counts via table_rowcount, Bloom width via the benchmark
+    cardinality, the LSH gate chooser via corpus_stats) routes through
+    the shared fingerprint-keyed memo — constructing the six
+    sizing-dependent entries TWICE each must compute each distinct
+    (table, statistic) at most once, and the whole suite needs at most
+    three distinct statistics. A regression here (a sizing count running
+    per-invocation) is invisible to correctness tests but multiplies
+    driver jobs at scale."""
+    import gfe_db_spark.sources.tables as T
+
+    calls: list[tuple] = []
+    orig = T.memo_sizing
+
+    def counting(sf_dir, name, tag, compute):
+        def compute2():
+            calls.append((name, tag))
+            return compute()
+
+        return orig(sf_dir, name, tag, compute2)
+
+    monkeypatch.setattr(T, "memo_sizing", counting)
+    T._SIZING_CACHE.clear()
+    entries = [
+        "ann_topk_join",
+        "ann_lsh_buckets",
+        "bloom_decontaminate",
+        "corpus_prep_pipeline_v2",
+        "dedup_lsh_pairs",
+        "dedup_minhash_est",
+    ]
+    for _ in range(2):
+        for nm in entries:
+            specs[nm].fn(spark, SF_SMOKE)  # construction only
+    from collections import Counter
+
+    recomputed = {k: c for k, c in Counter(calls).items() if c > 1}
+    assert not recomputed, f"sizing stats computed more than once: {recomputed}"
+    assert len(set(calls)) <= 3, sorted(set(calls))

@@ -425,3 +425,27 @@ def test_tx_changes_empty_when_nothing_changed(spark, tmp_path):
     diff = TX.tx_changes(spark, root, since_generation=g1, keys=["k"])
     assert diff.count() == 0
     assert set(diff.columns) == {"k", "change_type", "val", "old_val"}
+
+
+def test_tx_changes_rejects_schema_mismatch_between_generations(spark, tmp_path):
+    """r10 (r9 advice): non_keys is derived from the NEW snapshot, so a
+    schema change between the compared generations must fail LOUD with
+    the column asymmetry, not with an opaque old-side resolution error
+    (column added) or a silently incomplete diff (column removed).
+
+    The manifest layout itself permits per-generation schemas (generation
+    dirs are immutable and self-describing), so the mismatch is only
+    detectable — and only meaningful — at diff time."""
+    root = str(tmp_path / "t")
+    TX.tx_upsert(_mk(spark, 8, 1), root, ["k"], n_buckets=4)
+    g1 = TX.current_manifest_number(spark, root)
+    widened = spark.createDataFrame(
+        [(i, 2, "x") for i in range(8)], "k long, val long, extra string"
+    )
+    # merge_fn ignores the existing image so the mixed-schema merge itself
+    # succeeds; only the diff is expected to refuse
+    TX.tx_upsert(
+        widened, root, ["k"], n_buckets=4, merge_fn=lambda ex, b: b
+    )
+    with pytest.raises(ValueError, match="schema mismatch.*only in new.*extra"):
+        TX.tx_changes(spark, root, since_generation=g1, keys=["k"]).collect()

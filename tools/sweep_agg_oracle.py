@@ -1,0 +1,189 @@
+#!/usr/bin/env python3
+"""Aggregate-form oracle sweep for pair-heavy entries (r9 verdict item 3).
+
+The full-row referee (tools/sweep_parity.py) fetches both engines' result
+sets into pandas and compares values — infeasible for the sf10 entries
+whose DECLARED output is tens of millions of pair rows (the referee is a
+single process). This sweep instead reduces BOTH engines' results to 16
+tiny aggregate rows and compares those:
+
+    shard    = md5_le32(rowstr) % 16
+    n_rows   = COUNT(*)
+    checksum = bit_xor(md5_le32(rowstr || ':agg'))   -- order-insensitive
+    hashsum  = SUM(md5_le32(rowstr || ':agg'))        -- duplicate-sensitive
+
+where ``rowstr`` is the '|'-joined canonical rendering of every output
+column, columns sorted by name (the same convention testing.compare uses
+before hashing). Doubles are rendered as round(x*1e9) cast to BIGINT —
+every registered double in these entries is already round(_, 9), so the
+scaled value is an exact integer in both engines; NULLs render '<NULL>'.
+md5_le32 is the repo's engine-portable hash contract
+(operators/text.hash_le32_expr == DuckDB md5_number_upper & 0xFFFFFFFF),
+pinned by its own unit test. XOR alone would cancel even-multiplicity
+duplicate rows; the hashsum + per-shard counts close that hole.
+
+Equality of the 16 (shard, n_rows, checksum, hashsum) rows holds iff the
+result MULTISETS agree up to md5 collision — this upgrades the sf10
+"spark-only" rows (engine-wall-only evidence) to value-checked without
+ever materializing the pair set in the referee.
+
+Usage:
+    python tools/sweep_agg_oracle.py --sf-dir .testdata/sf10 \
+        --out .testdata/PARITY_sf10_agg_r10.json --names dedup_lsh_pairs,...
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: rendering templates per Spark dtype — (spark_expr_fmt, duckdb_expr_fmt)
+_NULL = "<NULL>"
+
+
+def _spark_render(name: str, dtype: str) -> str:
+    if dtype == "double" or dtype == "float":
+        base = f"CAST(CAST(round(`{name}` * 1e9) AS BIGINT) AS STRING)"
+    elif dtype == "boolean":
+        base = f"CASE WHEN `{name}` THEN '1' ELSE '0' END"
+    elif dtype in ("date", "timestamp"):
+        base = f"date_format(`{name}`, 'yyyy-MM-dd HH:mm:ss')"
+    else:  # integral / string / decimal-free entries
+        base = f"CAST(`{name}` AS STRING)"
+    return f"coalesce({base}, '{_NULL}')"
+
+
+def _duck_render(name: str, dtype: str) -> str:
+    if dtype == "double" or dtype == "float":
+        base = f'CAST(CAST(round("{name}" * 1e9) AS BIGINT) AS VARCHAR)'
+    elif dtype == "boolean":
+        base = f"CASE WHEN \"{name}\" THEN '1' ELSE '0' END"
+    elif dtype in ("date", "timestamp"):
+        base = f"strftime(\"{name}\", '%Y-%m-%d %H:%M:%S')"
+    else:
+        base = f'CAST("{name}" AS VARCHAR)'
+    return f"coalesce({base}, '{_NULL}')"
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--names", required=True, help="comma-separated entries")
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument("--driver-memory", default="48g")
+    args = ap.parse_args()
+
+    out = json.load(open(args.out)) if os.path.exists(args.out) else {}
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .config("spark.sql.shuffle.partitions", args.cpus)
+        .config("spark.driver.memory", args.driver_memory)
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from gfe_db_spark.operators.text import hash_le32_expr
+    from gfe_db_spark.queries import all_queries
+    from gfe_db_spark.sources.tables import table
+    from gfe_db_spark.testing import duckdb_connection
+
+    # warm the session before the first timed entry (r9 sweep fix)
+    spark.range(100_000).selectExpr("sum(id)").collect()
+    table(spark, args.sf_dir, "documents").limit(1).collect()
+
+    con = duckdb_connection(args.sf_dir)
+    specs = all_queries()
+    for name in args.names.split(","):
+        if name not in specs:
+            print(f"{name}\tSKIP unknown", flush=True)
+            continue
+        spec = specs[name]
+        if spec.sql is None:
+            print(f"{name}\tSKIP no oracle", flush=True)
+            continue
+        try:
+            t0 = time.perf_counter()
+            df = spec.fn(spark, args.sf_dir)
+            cols = sorted(df.columns)
+            dtypes = dict(df.dtypes)
+            rowstr = F.concat_ws(
+                "|", *[F.expr(_spark_render(c, dtypes[c])) for c in cols]
+            )
+            h = hash_le32_expr(rowstr)
+            h2 = hash_le32_expr(F.concat(rowstr, F.lit(":agg")))
+            spark_rows = sorted(
+                tuple(r)
+                for r in df.select(
+                    (h % 16).alias("shard"), h2.alias("h2")
+                )
+                .groupBy("shard")
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.bit_xor("h2").alias("checksum"),
+                    F.sum("h2").alias("hashsum"),
+                )
+                .collect()
+            )
+            t1 = time.perf_counter()
+            duck_render = ", ".join(
+                _duck_render(c, dtypes[c]) for c in cols
+            )
+            agg_sql = f"""
+            WITH __q AS ({spec.sql}),
+            __r AS (
+              SELECT concat_ws('|', {duck_render}) AS rowstr FROM __q
+            ), __h AS (
+              SELECT CAST(md5_number_upper(rowstr) & 4294967295 AS BIGINT) AS h,
+                     CAST(md5_number_upper(rowstr || ':agg') & 4294967295 AS BIGINT) AS h2
+              FROM __r
+            )
+            SELECT CAST(h % 16 AS BIGINT) AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   bit_xor(h2) AS checksum,
+                   CAST(SUM(h2) AS BIGINT) AS hashsum
+            FROM __h GROUP BY 1 ORDER BY 1
+            """
+            oracle_rows = sorted(tuple(r) for r in con.execute(agg_sql).fetchall())
+            t2 = time.perf_counter()
+            ok = spark_rows == oracle_rows
+            n_total = sum(r[1] for r in spark_rows)
+            out[name] = {
+                "ok": ok,
+                "mode": "aggregate-checksum (shard/count/xor/sum)",
+                "rows": int(n_total),
+                "spark_s": round(t1 - t0, 1),
+                "oracle_s": round(t2 - t1, 1),
+                "sec": round(t2 - t0, 1),
+            }
+            if not ok:
+                out[name]["detail"] = {
+                    "spark": [list(r) for r in spark_rows],
+                    "oracle": [list(r) for r in oracle_rows],
+                }
+            print(
+                f"{name}\t{'OK' if ok else 'MISMATCH'}\trows={n_total}\t"
+                f"spark={t1-t0:.1f}s oracle={t2-t1:.1f}s",
+                flush=True,
+            )
+        except Exception as e:
+            out[name] = {"ok": False, "err": f"{type(e).__name__}: {e}"}
+            print(f"{name}\tERR {type(e).__name__}: {e}", flush=True)
+            traceback.print_exc()
+        json.dump(out, open(args.out, "w"), indent=1)
+    n_ok = sum(1 for v in out.values() if v.get("ok"))
+    print(f"DONE {len(out)} recorded, {n_ok} ok", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
