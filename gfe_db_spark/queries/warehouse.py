@@ -204,6 +204,34 @@ ORDER BY l_returnflag
 MAX_BLOCK_SIZE = 256
 
 
+#: names longer than this take the direct banded join; at or under it the
+#: delete-neighborhood candidate join applies (its variant fan-out is
+#: len+1 rows per name — linear and tiny for entity names, but a caller
+#: feeding documents as "names" must not explode len× the corpus).
+VARIANT_NAME_MAX_LEN = 64
+
+
+def _del1_variants(name):
+    """{name} ∪ all single-character deletions — the FastSS/SymSpell
+    candidate key set for edit distance 1: lev(a, b) <= 1 implies a and b
+    share at least one key (equality for dist 0; b ∈ del1(a) for a
+    deletion; a ∈ del1(b) for an insertion; del1 at the edited position
+    for a substitution). The converse does NOT hold (shared deletion keys
+    can be distance 2, e.g. "ab"/"ba" both delete to "a"/"b"), so
+    candidates are verified with the exact threshold levenshtein."""
+    n = F.length(name)
+    dels = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat(
+                F.substr(name, F.lit(1), i - 1), F.substr(name, i + 1, n - i)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_union(F.array(name), dels)
+
+
 def blocked_match_pairs(
     df: DataFrame,
     key_col: str = "k",
@@ -211,12 +239,34 @@ def blocked_match_pairs(
     block_col: str = "block",
     max_dist: int = 1,
     max_block_size: int | None = MAX_BLOCK_SIZE,
+    variant_max_len: int = VARIANT_NAME_MAX_LEN,
 ) -> DataFrame:
     """Capped within-block fuzzy match core of `entity_match_blocking`,
     exposed so the planted hot-block test can drive it directly. Returns
     (block, dist) rows for every matched pair; the a-side is restricted
     to the block's `max_block_size`-member head (row_number by key), the
-    explicit Σ|block|·cap cost bound the round-5 verdict asked for."""
+    explicit Σ|block|·cap cost bound the round-5 verdict asked for.
+    `key_col` must be row-unique (it is the pair identity — the
+    registered entry uses the customer PK).
+
+    Physical strategy by threshold (both output-identical, pinned by the
+    planted + hypothesis brute-force tests):
+
+    - ``max_dist == 1`` (the registered entry): delete-neighborhood
+      candidate join (FastSS/SymSpell on DataFrames). Each name under
+      ``variant_max_len`` explodes to its len+1 single-deletion keys and
+      candidates come from an equi-join on (block, variant) — two names
+      within distance 1 MUST share a key, so nothing is lost — then the
+      exact threshold levenshtein verifies each candidate. Cost is
+      O(n·len) join rows + a DP only per candidate (≈ per true match),
+      instead of a DP per head×block pair: the r9 sf1 wall was 7.5M
+      threshold-DPs on 150k customers for 150 matches. Pairs with a name
+      over ``variant_max_len`` fall back to the direct join below (a
+      distance-1 pair differs in length by ≤1, so both sides of such a
+      pair sit at or above the cutoff — no pair straddles the paths).
+    - ``max_dist > 1``: direct within-block join, length-band prefilter
+      (|len(a)−len(b)| is a levenshtein lower bound) ahead of the
+      threshold DP (early-terminated at max_dist: O(len·max_dist))."""
     from pyspark.sql.window import Window as W
 
     a = df.withColumn(
@@ -224,36 +274,188 @@ def blocked_match_pairs(
     )
     if max_block_size is not None:
         a = a.filter(F.col("__rk") <= max_block_size)
-    a, b = a.alias("a"), df.alias("b")
-    # the threshold form early-terminates the DP at max_dist (returns -1
-    # past it): O(len·max_dist) per pair instead of O(len²), and the
-    # capped Σ|block|·cap pair volume is exactly where that constant
-    # lives at scale. Kept rows carry the identical exact distance.
-    dist = F.levenshtein(
-        F.col(f"a.{name_col}"), F.col(f"b.{name_col}"), max_dist
-    )
-    # length-band prefilter: |len(a)−len(b)| is a levenshtein lower bound
-    # (each edit changes the length by at most 1), so pairs outside the
-    # band can never pass `dist <= max_dist` — pruning them in the join
-    # condition is provably output-identical and skips the DP entirely
-    # for the pruned pairs. On the Σ|block|·cap pair volume this is the
-    # cheapest comparison that can run before the distance kernel.
-    band = (
-        F.abs(
-            F.length(F.col(f"a.{name_col}")) - F.length(F.col(f"b.{name_col}"))
+
+    def _direct(a_side: DataFrame, b_side: DataFrame, extra=None) -> DataFrame:
+        aa, bb = a_side.alias("a"), b_side.alias("b")
+        dist = F.levenshtein(
+            F.col(f"a.{name_col}"), F.col(f"b.{name_col}"), max_dist
         )
-        <= max_dist
-    )
-    return (
-        a.join(
-            b,
+        cond = (
             (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
             & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
-            & band,
+            & (
+                F.abs(
+                    F.length(F.col(f"a.{name_col}"))
+                    - F.length(F.col(f"b.{name_col}"))
+                )
+                <= max_dist
+            )
         )
-        .select(F.col(f"a.{block_col}").alias("block"), dist.alias("dist"))
+        if extra is not None:
+            cond = cond & extra
+        return (
+            aa.join(bb, cond)
+            .select(F.col(f"a.{block_col}").alias("block"), dist.alias("dist"))
+            .filter(F.col("dist") >= 0)
+        )
+
+    if max_dist != 1:
+        return _direct(a, df)
+
+    nlen = F.length(F.col(name_col))
+
+    def _explode_variants(side: DataFrame, kc: str, nc: str) -> DataFrame:
+        return side.filter(nlen <= variant_max_len).select(
+            F.col(block_col).alias("block"),
+            F.col(key_col).alias(kc),
+            F.col(name_col).alias(nc),
+            F.explode(_del1_variants(F.col(name_col))).alias("__vk"),
+        )
+
+    cand = (
+        _explode_variants(a, "__ka", "__na")
+        .join(_explode_variants(df, "__kb", "__nb"), ["block", "__vk"])
+        .filter(F.col("__ka") < F.col("__kb"))
+        .select("block", "__ka", "__kb", "__na", "__nb")
+        .distinct()  # two names can share several variant keys
+    )
+    vdist = F.levenshtein(F.col("__na"), F.col("__nb"), 1)
+    short_pairs = cand.select("block", vdist.alias("dist")).filter(
+        F.col("dist") >= 0
+    )
+    # long tail: any pair with a name over the cutoff has BOTH names at
+    # or above it (distance 1 bounds the length gap to 1 — and the
+    # greatest() guard excludes the both-exactly-at-cutoff pairs the
+    # variant path already produced)
+    long_pairs = _direct(
+        a.filter(nlen >= variant_max_len),
+        df.filter(nlen >= variant_max_len),
+        extra=(
+            F.greatest(
+                F.length(F.col(f"a.{name_col}")),
+                F.length(F.col(f"b.{name_col}")),
+            )
+            > variant_max_len
+        ),
+    )
+    return short_pairs.unionByName(long_pairs)
+
+
+def blocked_match_pairs_gated(
+    df: DataFrame,
+    key_col: str = "k",
+    name_col: str = "name",
+    block_col: str = "block",
+    max_block_size: int | None = MAX_BLOCK_SIZE,
+    variant_max_len: int = VARIANT_NAME_MAX_LEN,
+) -> DataFrame:
+    """Digest-gated form of `blocked_match_pairs` for max_dist=1 — the
+    dedup-family exact-duplicate gate applied to entity matching: the
+    delete-neighborhood candidate join and the per-candidate levenshtein
+    run over DISTINCT (block, name) classes only, and the declared
+    row-level pair multiset is reconstructed by expanding each matched
+    class pair through its member rows under the original qualifying
+    rule (the lower-key side must sit in the block's
+    `max_block_size`-member head).
+
+    Row-multiset-identical to the ungated form: levenshtein depends only
+    on the name pair, so every member combination of a matched class
+    pair carries the class distance verbatim, identical names are
+    distance 0 (within-class pairs), and a NULL name never matches on
+    either path (NULL levenshtein is NULL). What changes is cost: under
+    k-way name duplication the ungated candidate join holds k copies of
+    every variant key per bucket (k² candidates, k² DPs — the r10 sf1
+    profile measured 11.4M candidates for 150k rows at 10-way
+    duplication); gated, candidates and DPs are bounded by distinct
+    names and only the DECLARED output stays duplication-quadratic."""
+    from pyspark.sql.window import Window as W
+
+    m = (
+        df.filter(F.col(name_col).isNotNull())
+        .withColumn(
+            "__rk", F.row_number().over(W.partitionBy(block_col).orderBy(key_col))
+        )
+        .withColumn(
+            "__head",
+            F.col("__rk") <= max_block_size
+            if max_block_size is not None
+            else F.lit(True),
+        )
+        .select(
+            F.col(block_col).alias("block"),
+            F.col(name_col).alias("__name"),
+            F.col(key_col).alias("__k"),
+            "__head",
+        )
+    )
+    reps = m.select("block", "__name").distinct()
+    nlen = F.length("__name")
+
+    def _ex(side: DataFrame, nc: str) -> DataFrame:
+        return side.filter(nlen <= variant_max_len).select(
+            "block",
+            F.col("__name").alias(nc),
+            F.explode(_del1_variants(F.col("__name"))).alias("__vk"),
+        )
+
+    cand_short = (
+        _ex(reps, "__na")
+        .join(_ex(reps, "__nb"), ["block", "__vk"])
+        .filter(F.col("__na") < F.col("__nb"))
+        .select("block", "__na", "__nb")
+        .distinct()
+    )
+    # long-name classes: direct banded class join (same split rule as the
+    # ungated path — a distance-1 pair never straddles the cutoff)
+    la = reps.filter(nlen >= variant_max_len).alias("a")
+    lb = reps.filter(nlen >= variant_max_len).alias("b")
+    cand_long = la.join(
+        lb,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.__name") < F.col("b.__name"))
+        & (F.abs(F.length("a.__name") - F.length("b.__name")) <= 1)
+        & (F.greatest(F.length("a.__name"), F.length("b.__name")) > variant_max_len),
+    ).select(
+        F.col("a.block").alias("block"),
+        F.col("a.__name").alias("__na"),
+        F.col("b.__name").alias("__nb"),
+    )
+    cls_pairs = (
+        cand_short.unionByName(cand_long)
+        .withColumn("dist", F.levenshtein(F.col("__na"), F.col("__nb"), 1))
         .filter(F.col("dist") >= 0)
     )
+    ma = m.select(
+        "block",
+        F.col("__name").alias("__na"),
+        F.col("__k").alias("__ka"),
+        F.col("__head").alias("__ha"),
+    )
+    mb = m.select(
+        "block",
+        F.col("__name").alias("__nb"),
+        F.col("__k").alias("__kb"),
+        F.col("__head").alias("__hb"),
+    )
+    # a member pair qualifies iff its lower-key side is in the head —
+    # exactly the ungated rule (key uniqueness makes the OR exclusive)
+    cross = (
+        cls_pairs.join(ma, ["block", "__na"])
+        .join(mb, ["block", "__nb"])
+        .filter(
+            (F.col("__ha") & (F.col("__ka") < F.col("__kb")))
+            | (F.col("__hb") & (F.col("__kb") < F.col("__ka")))
+        )
+        .select("block", "dist")
+    )
+    w1 = m.select("block", "__name", F.col("__k").alias("__ka"), "__head")
+    w2 = m.select("block", "__name", F.col("__k").alias("__kb"))
+    within = (
+        w1.join(w2, ["block", "__name"])
+        .filter(F.col("__head") & (F.col("__ka") < F.col("__kb")))
+        .select("block", F.lit(0).alias("dist"))
+    )
+    return cross.unionByName(within)
 
 
 def entity_match_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,15 +464,27 @@ def entity_match_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles on the block, bounding pair cost to Σ|block|² instead of n²,
     with `MAX_BLOCK_SIZE` hard-capping even that to Σ|block|·cap), then
     scored with edit distance (levenshtein ≤ 1 → same entity,
-    typo-tolerant). Per-block match counts + total distance keep the
-    output profile-sized; AQE's skew-join splits any hot block."""
+    typo-tolerant). Candidates come from the delete-neighborhood
+    (FastSS/SymSpell) equi-join, not a block self-join, so the DP runs
+    per candidate instead of per head×block pair; under name duplication
+    (the adversarial sf1/sf10 slices) the same duplication-adaptive
+    chooser as the LSH dedup entries flips to the digest-gated form,
+    bounding candidates by DISTINCT names. Per-block match counts +
+    total distance keep the output profile-sized; AQE's skew-join splits
+    any hot block."""
+    from gfe_db_spark.sources.tables import corpus_stats
+
     cust = table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("k"),
         F.col("c_name").alias("name"),
         F.substring("c_name", 1, 16).alias("block"),
     )
+    n_rows, n_distinct = corpus_stats(spark, sf_dir, "customer", "c_name")
+    pair_fn = (
+        blocked_match_pairs_gated if n_distinct < 0.95 * n_rows else blocked_match_pairs
+    )
     return (
-        blocked_match_pairs(cust)
+        pair_fn(cust)
         .groupBy("block")
         .agg(
             F.count(F.lit(1)).alias("n_matches"),

@@ -1961,3 +1961,80 @@ def test_sizing_memo_fingerprint_invalidates_on_rewrite(spark, tmp_path):
     n, dist = corpus_stats(spark, d, "documents")
     assert n == 25
     assert dist < 10  # ~5 distinct texts: the distinct stat refreshed too
+
+
+def test_entity_match_variant_cutoff_boundary_is_lossless(spark):
+    """r10: the delete-neighborhood path handles names up to
+    variant_max_len and the direct path everything longer; a distance-1
+    pair can straddle lengths (L, L+1), so the split must not lose pairs
+    at the cutoff. Drive a tiny cutoff (4) with name lengths 2..7 so
+    pairs land under, over, and exactly across the boundary, and compare
+    to the Python brute force."""
+    from gfe_db_spark.queries.warehouse import blocked_match_pairs
+
+    names = ["ab", "abc", "abcd", "abcde", "abcdef", "abcdXf", "abXd",
+             "xy", "xyz", "xyzaaaa"]
+    rows = [(i, nm, "blk") for i, nm in enumerate(names)]
+    df = spark.createDataFrame(rows, "k long, name string, block string")
+    got = sorted(
+        (r.block, r.dist)
+        for r in blocked_match_pairs(
+            df, max_dist=1, max_block_size=None, variant_max_len=4
+        ).collect()
+    )
+    want = sorted(
+        ("blk", _py_lev(na, nb))
+        for ka, na, _ in rows
+        for kb, nb, _ in rows
+        if ka < kb and _py_lev(na, nb) <= 1
+    )
+    assert got == want
+    # fixture sanity: at least one kept pair crosses the cutoff (4,5)
+    assert ("blk", _py_lev("abcd", "abcde")) == ("blk", 1)
+
+
+def test_entity_match_gated_equals_ungated_under_duplication(spark):
+    """r10: the digest-gated entity matcher (distinct-name candidate join
+    + member expansion under the head rule) must reproduce the ungated
+    (block, dist) pair MULTISET exactly on a corpus with duplicated
+    names, near-matches, NULLs, and a head cap that actually bites —
+    and both must agree with the Python brute force."""
+    from collections import Counter
+
+    from gfe_db_spark.queries.warehouse import (
+        blocked_match_pairs,
+        blocked_match_pairs_gated,
+    )
+
+    base = ["anna", "annb", "anXa", "bob", "bobb", "zed"]
+    rows = []
+    for copy in range(4):  # 4-way duplication, interleaved keys
+        for i, nm in enumerate(base):
+            rows.append((copy + 10 * i, nm, "blk" if i % 2 else "blk2"))
+    rows.append((999, None, "blk"))
+    df = spark.createDataFrame(rows, "k long, name string, block string")
+    cap = 5  # binds: blocks have 12 rows each
+
+    ungated = Counter(
+        (r.block, r.dist)
+        for r in blocked_match_pairs(df, max_dist=1, max_block_size=cap).collect()
+    )
+    gated = Counter(
+        (r.block, r.dist)
+        for r in blocked_match_pairs_gated(df, max_block_size=cap).collect()
+    )
+    # brute force with the head rule
+    by_block: dict = {}
+    for k, nm, blk in rows:
+        by_block.setdefault(blk, []).append((k, nm))
+    want: Counter = Counter()
+    for blk, mem in by_block.items():
+        head = {k for k, _ in sorted(mem)[:cap]}
+        for ka, na in mem:
+            for kb, nb in mem:
+                if ka < kb and ka in head and na is not None and nb is not None:
+                    d = _py_lev(na, nb)
+                    if d <= 1:
+                        want[(blk, d)] += 1
+    assert gated == ungated == want
+    assert sum(want.values()) > 10  # fixture produces real volume

@@ -938,3 +938,40 @@ def test_length_band_prefilter_is_lossless_on_random_names(spark, names, max_dis
         if ba == bb and ka < kb and lev(na, nb) <= max_dist
     )
     assert got == want
+
+
+@given(
+    classes=st.lists(
+        st.tuples(name_st, st.integers(min_value=1, max_value=3)),
+        min_size=1,
+        max_size=8,
+    ),
+    cap=st.integers(min_value=1, max_value=6),
+)
+@settings(**SETTINGS)
+def test_entity_gate_equals_ungated_on_random_duplicated_names(spark, classes, cap):
+    """r10: the digest-gated entity matcher must equal the ungated pair
+    MULTISET on random names at random duplication multiplicities with a
+    random (often-binding) head cap — the gate is a cost transformation
+    of the candidate join, never a semantics change."""
+    from collections import Counter
+
+    from gfe_db_spark.queries.warehouse import (
+        blocked_match_pairs,
+        blocked_match_pairs_gated,
+    )
+
+    rows = []
+    for name, copies in classes:
+        for _ in range(copies):
+            rows.append((len(rows), name, f"b{len(rows) % 2}"))
+    df = spark.createDataFrame(rows, "k long, name string, block string")
+    ungated = Counter(
+        (r.block, r.dist)
+        for r in blocked_match_pairs(df, max_dist=1, max_block_size=cap).collect()
+    )
+    gated = Counter(
+        (r.block, r.dist)
+        for r in blocked_match_pairs_gated(df, max_block_size=cap).collect()
+    )
+    assert gated == ungated

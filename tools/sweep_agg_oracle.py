@@ -46,6 +46,78 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _NULL = "<NULL>"
 
 
+#: referee-feasibility oracle overrides. The REGISTERED oracle stays the
+#: formulation-independent one (and is what every full-row parity run
+#: checks at sf0.001/0.01/0.1/1); an override here is an algebraically
+#: equivalent reformulation used ONLY when the registered formulation is
+#: infeasible for the single-process referee at sf10. dedup_ngram_jaccard:
+#: the ungated shingle self-join explodes k²-per-bucket under the sf10
+#: corpus's 100-way duplication (the same mechanism that ENOSPC'd the r7
+#: Spark-side probe and OOM-killed the r10 referee) — this override
+#: applies the exact-digest gate IN SQL: shingle-join over distinct texts
+#: only, doc-level pairs expanded back through the md5(text) classes.
+#: Row-identity of gated vs ungated is pinned independently by
+#: tests/test_operators.py::test_ngram_jaccard_gated_equals_ungated and
+#: the hypothesis random-corpus test, plus full-row parity against the
+#: UNGATED SQL at every smaller SF.
+AGG_SQL_OVERRIDES = {
+    "dedup_ngram_jaccard": r"""
+WITH t AS (
+  SELECT doc_id, text,
+         (text IS NOT NULL
+          AND len(string_split_regex(text, '\s+')) >= 3) AS elig
+  FROM documents
+), cls AS (
+  SELECT doc_id,
+         CASE WHEN elig THEN MIN(doc_id) OVER (PARTITION BY md5(text))
+              ELSE doc_id END AS rep_id,
+         text
+  FROM t
+), reps AS (
+  SELECT doc_id, text FROM cls WHERE doc_id = rep_id
+), rt AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM reps
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                  i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+    FROM rt
+  )
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS ra, b.doc_id AS rb, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), rep_pairs AS (
+  SELECT ra, rb, n_common,
+         round(n_common / (sa.sz + sb.sz - n_common), 9) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = ra
+  JOIN sizes sb ON sb.doc_id = rb
+  WHERE round(n_common / (sa.sz + sb.sz - n_common), 9) >= 0.5
+), cross_pairs AS (
+  SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+         greatest(ma.doc_id, mb.doc_id) AS doc_b,
+         p.n_common, p.jaccard
+  FROM rep_pairs p
+  JOIN cls ma ON ma.rep_id = p.ra
+  JOIN cls mb ON mb.rep_id = p.rb
+), within AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         sz.sz AS n_common, 1.0 AS jaccard
+  FROM cls x
+  JOIN cls y ON x.rep_id = y.rep_id AND x.doc_id < y.doc_id
+  JOIN sizes sz ON sz.doc_id = x.rep_id
+)
+SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common, jaccard
+FROM (SELECT * FROM cross_pairs UNION ALL SELECT * FROM within)
+""",
+}
+
+
 def _spark_render(name: str, dtype: str) -> str:
     if dtype == "double" or dtype == "float":
         base = f"CAST(CAST(round(`{name}` * 1e9) AS BIGINT) AS STRING)"
@@ -102,6 +174,10 @@ def main() -> int:
     table(spark, args.sf_dir, "documents").limit(1).collect()
 
     con = duckdb_connection(args.sf_dir)
+    # spill to disk instead of dying to the OOM killer: the first r10 run
+    # was SIGKILLed during the ungated ngram-jaccard oracle
+    con.execute("PRAGMA memory_limit='32GB'")
+    con.execute("PRAGMA temp_directory='/tmp/duck_spill'")
     specs = all_queries()
     for name in args.names.split(","):
         if name not in specs:
@@ -138,8 +214,9 @@ def main() -> int:
             duck_render = ", ".join(
                 _duck_render(c, dtypes[c]) for c in cols
             )
+            oracle_sql = AGG_SQL_OVERRIDES.get(name, spec.sql)
             agg_sql = f"""
-            WITH __q AS ({spec.sql}),
+            WITH __q AS ({oracle_sql}),
             __r AS (
               SELECT concat_ws('|', {duck_render}) AS rowstr FROM __q
             ), __h AS (
@@ -159,7 +236,12 @@ def main() -> int:
             n_total = sum(r[1] for r in spark_rows)
             out[name] = {
                 "ok": ok,
-                "mode": "aggregate-checksum (shard/count/xor/sum)",
+                "mode": "aggregate-checksum (shard/count/xor/sum)"
+                + (
+                    ", gated-form oracle (see AGG_SQL_OVERRIDES)"
+                    if name in AGG_SQL_OVERRIDES
+                    else ""
+                ),
                 "rows": int(n_total),
                 "spark_s": round(t1 - t0, 1),
                 "oracle_s": round(t2 - t1, 1),
