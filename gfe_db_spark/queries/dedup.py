@@ -170,14 +170,19 @@ ORDER BY doc_a, doc_b
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs, digest-gated: the shingle self-join
-    runs over DISTINCT texts only and the doc-level pair set is expanded
-    back through the exact-dup classes (within-class pairs are
-    jaccard = 1.0 by identity) — row-identical to the ungated form, but
-    the shuffle is bounded by distinct texts (the ungated entry ENOSPC'd
-    the r7 sf10 probe on a 100-way-duplicated corpus)."""
+    """Exact n-gram Jaccard pairs, duplication-adaptive like the banded
+    LSH entries (same memoized stat, same rationale). Duplicated corpus →
+    digest-gated: the shingle self-join runs over DISTINCT texts only and
+    the doc-level pair set is expanded back through the exact-dup classes
+    (within-class pairs are jaccard = 1.0 by identity), bounding the
+    shuffle that ENOSPC'd the r7 sf10 probe on a 100-way-duplicated
+    corpus. Near-distinct corpus → direct shingle self-join, skipping the
+    gate's class window + expansion joins. Row-identical either way
+    (pinned by the planted + hypothesis equivalence tests)."""
     docs = table(spark, sf_dir, "documents")
-    return DD.ngram_jaccard_pairs_gated(docs, n=3, threshold=0.5)
+    if _use_digest_gate(spark, sf_dir):
+        return DD.ngram_jaccard_pairs_gated(docs, n=3, threshold=0.5)
+    return DD.ngram_jaccard_pairs(DD.shingles(docs, n=3), threshold=0.5)
 
 
 DEDUP_JACCARD_SQL = (

@@ -713,21 +713,32 @@ def test_set_similarity_prefix_build_single_scan(spark, specs):
     assert "CartesianProduct" not in plan
 
 
-def test_ngram_jaccard_is_digest_gated(spark, specs):
-    # r8: the registered entry runs the shingle self-join over DISTINCT
-    # texts only (exact-digest gate, ngram_jaccard_pairs_gated) — the
-    # md5-keyed class window must appear in the plan, the shingle explode
-    # is evaluated only inside the representative subtrees (3 references:
-    # the two join sides + the rep-size agg — identical subtrees whose
-    # window exchanges ReuseExchange dedupes at runtime; the class-mapping
-    # side contributes the other 3), sizes still ride the join as window
-    # columns (no size-dim re-join), and there is no cartesian fallback.
+def test_ngram_jaccard_is_digest_gated(spark, specs, tmp_path_factory):
+    # r8 gate, r10 adaptive: on the near-distinct smoke corpus the
+    # registered entry takes the UNGATED shingle self-join (no md5 class
+    # window — the gate's overhead buys nothing at distinct≈total); on a
+    # duplicated corpus the exact-digest gate must appear (self-join over
+    # DISTINCT texts, md5-keyed class window). Neither plan may fall back
+    # to a cartesian product or carry a trailing global sort.
+    # (the ungated form still has a Window — the per-doc size count — so
+    # the md5 class key, not Window, is the gate discriminator here)
     plan = plan_of(run(specs, spark, "dedup_ngram_jaccard"))
-    assert "md5" in plan, "exact-digest gate missing from the plan"
-    assert _n_nodes(plan, "Generate") <= 6, plan
+    assert "md5" not in plan, "distinct corpus should take the ungated plan"
     assert "CartesianProduct" not in plan
     # non-semantic trailing global sort stripped (r7 verdict item 3)
     assert "rangepartitioning" not in plan
+
+    d = str(tmp_path_factory.mktemp("ngramdup"))
+    base = [f"text on topic {i} padded with words {i*3%11}" for i in range(20)]
+    rows = [(k * 20 + i, t) for k in range(10) for i, t in enumerate(base)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    plan_dup = plan_of(all_queries()["dedup_ngram_jaccard"].fn(spark, d))
+    assert "md5" in plan_dup, "exact-digest gate missing from the plan"
+    assert "Window" in plan_dup
+    assert _n_nodes(plan_dup, "Generate") <= 6, plan_dup
+    assert "CartesianProduct" not in plan_dup
 
 
 def test_domain_cap_uses_window_group_limit(spark, specs):
