@@ -2038,3 +2038,69 @@ def test_entity_match_gated_equals_ungated_under_duplication(spark):
                         want[(blk, d)] += 1
     assert gated == ungated == want
     assert sum(want.values()) > 10  # fixture produces real volume
+
+
+def test_aggregate_checksum_referee_render_contract(spark, tmp_path):
+    """r10: the sf10 aggregate-checksum referee (tools/sweep_agg_oracle)
+    compares engines through a canonical row rendering — bigints verbatim,
+    doubles as round(x*1e9) BIGINT, booleans as 1/0, NULL as a sentinel —
+    hashed with the md5-LE32 contract and reduced to
+    (shard, count, xor, sum). Pin that Spark and DuckDB produce IDENTICAL
+    aggregate rows for a fixture that exercises every rendered dtype,
+    NULLs included; a drift here would silently turn sf10 value checks
+    into false mismatches (or worse, false agreements)."""
+    import importlib.util
+    import duckdb
+    from pyspark.sql import functions as F
+
+    spec = importlib.util.spec_from_file_location(
+        "sweep_agg_oracle", "/root/repo/tools/sweep_agg_oracle.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from gfe_db_spark.operators.text import hash_le32_expr
+
+    rows = [
+        (1, 0.123456789, "plain", True),
+        (2, None, None, False),
+        (3, -0.5, "pipe|inside", None),
+        (4, 1.0, "", True),
+        (5, 0.999999999, "dup", True),
+        (6, 0.999999999, "dup", True),  # exact duplicate row except id
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, s string, b boolean")
+    cols = sorted(df.columns)
+    dtypes = dict(df.dtypes)
+    rowstr = F.concat_ws("|", *[F.expr(mod._spark_render(c, dtypes[c])) for c in cols])
+    h = hash_le32_expr(rowstr)
+    h2 = hash_le32_expr(F.concat(rowstr, F.lit(":agg")))
+    got = sorted(
+        tuple(r)
+        for r in df.select((h % 16).alias("shard"), h2.alias("h2"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor("h2").alias("cksum"),
+            F.sum("h2").alias("hsum"),
+        )
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    duck_render = ", ".join(mod._duck_render(c, dtypes[c]) for c in cols)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH r AS (SELECT concat_ws('|', {duck_render}) AS rowstr FROM t),
+            hh AS (SELECT CAST(md5_number_upper(rowstr) & 4294967295 AS BIGINT) AS h,
+                          CAST(md5_number_upper(rowstr || ':agg') & 4294967295 AS BIGINT) AS h2
+                   FROM r)
+            SELECT CAST(h % 16 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+                   bit_xor(h2), CAST(SUM(h2) AS BIGINT)
+            FROM hh GROUP BY 1
+            """
+        ).fetchall()
+    )
+    assert got == want
