@@ -52,20 +52,26 @@ def shingles(
     `distinct=True` (needed for Jaccard set semantics) costs a shuffle;
     min-hashing is multiplicity-insensitive, so the minhash path passes
     `distinct=False` and skips that shuffle entirely."""
-    toks = F.split(F.col(text_col), "\\s+")
-    n_sh = F.size(toks) - F.lit(n - 1)
-    sh = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), n_sh - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     # shingling fans out ~50× per doc — spread compact inputs first
     from gfe_db_spark.operators import spread_small_input
 
     docs = spread_small_input(docs)
-    out = docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+    # Tokenize into a PROJECTED column before the sliding window: Catalyst
+    # does not subexpression-eliminate a split() referenced inside a
+    # transform() lambda, so the inline form re-runs the regex split once
+    # PER SHINGLE INDEX — O(tokens²) per doc, measured 4-7× slower at sf1.
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), "\\s+").alias("toks")
+    )
+    tk = F.col("toks")
+    sh = F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - F.lit(n)),
+            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = toked.select("doc_id", F.explode(sh).alias("shingle"))
     return out.distinct() if distinct else out
 
 
@@ -1140,20 +1146,26 @@ def bloom_bitset(
     k: int = 3,
     salt: str = "bloom",
 ) -> DataFrame:
-    """Compile a term set into a Bloom-filter bitset: a 1-row DataFrame
-    ``{bloom_arr: array<long>}`` of ``m_bits/32`` 32-bit words (stored in
-    longs so the bit arithmetic is sign-safe in every engine).
+    """Compile a term set into a SPARSE Bloom-filter bitset: a DataFrame
+    ``{word: int, bits: long}`` holding only the non-zero 32-bit words of
+    the m_bits-wide filter (stored in longs so the bit arithmetic is
+    sign-safe in every engine).
 
     This is the decontamination scale path: instead of joining a 100 TB
     corpus against the benchmark term table, the benchmark compiles into a
-    bitset a few KB–MB wide that rides along as a broadcast row — the
-    corpus side never shuffles and never sees a join key. The k probe
-    positions use the portable md5-LE32 hash (`hash_le32_expr`) so a SQL
-    oracle can rebuild the identical filter.
+    word table at most ``m_bits/32`` rows tall that broadcasts to every
+    executor — the corpus side never shuffles and never sees a benchmark
+    join key. The k probe positions use the portable md5-LE32 hash
+    (`hash_le32_expr`) so a SQL oracle can rebuild the identical filter.
+
+    The sparse form (not a 1-row ``array<long>``): a dense array column
+    cross-joined onto the corpus is copied into EVERY output row by the
+    join — at m_bits=2**19 that is 128 KB per shingle row, measured 250 s
+    for a 0.5 M-row probe at sf1 vs ~2 s for the word-table hash joins
+    `bloom_probe` now runs.
     """
     from gfe_db_spark.operators.text import hash_le32_expr
 
-    n_words = m_bits // 32
     pos_rows = terms.select(
         F.explode(
             F.array(
@@ -1169,7 +1181,7 @@ def bloom_bitset(
             )
         ).alias("pos")
     )
-    words = (
+    return (
         pos_rows.select(
             F.floor(F.col("pos") / 32).cast("int").alias("word"),
             # 2^bit is exact in double up to bit 31; stays in codegen
@@ -1179,14 +1191,6 @@ def bloom_bitset(
         )
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
-    )
-    return words.agg(
-        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("m")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_words - 1)),
-            lambda w: F.coalesce(F.element_at(F.col("m"), w), F.lit(0).cast("long")),
-        ).alias("bloom_arr")
     )
 
 
@@ -1199,23 +1203,41 @@ def bloom_probe(
     salt: str = "bloom",
 ) -> DataFrame:
     """Add a boolean ``bloom_hit`` per row: true iff all k probe bits for
-    the term are set in the broadcast bitset built by `bloom_bitset` (same
-    m_bits/k/salt). A 1-row broadcast nested-loop attach + pure column
-    arithmetic — no join key, no shuffle, no Python. Bloom guarantee: a
-    term in the build set always hits (no false negatives); a miss is
-    definitive."""
+    the term are set in the sparse word table built by `bloom_bitset`
+    (same m_bits/k/salt). k broadcast HASH joins on the probed word id —
+    each attaches one long to the row; a probe into an absent word is a
+    definitive miss (left join null -> 0 bits). No shuffle on the corpus
+    side, no Python, no wide array column. Bloom guarantee: a term in the
+    build set always hits (no false negatives); a miss is definitive."""
     from gfe_db_spark.operators.text import hash_le32_expr
 
-    probed = doc_terms.crossJoin(F.broadcast(bloom))
+    probed = doc_terms
     hit = F.lit(True)
     for i in range(k):
         pos = (
             hash_le32_expr(F.concat(F.col(term_col), F.lit(f":{salt}{i}")))
             % m_bits
         )
-        word = F.floor(pos / 32).cast("int")
-        mask = F.pow(F.lit(2.0), (pos % 32).cast("double")).cast("long")
-        hit = hit & (
-            F.element_at(F.col("bloom_arr"), word + 1).bitwiseAND(mask) != 0
+        probed = probed.withColumn(f"_bloom_w{i}", F.floor(pos / 32).cast("int"))
+        probed = probed.withColumn(
+            f"_bloom_m{i}",
+            F.pow(F.lit(2.0), (pos % 32).cast("double")).cast("long"),
         )
-    return probed.withColumn("bloom_hit", hit).drop("bloom_arr")
+        probed = probed.join(
+            F.broadcast(
+                bloom.select(
+                    F.col("word").alias(f"_bloom_w{i}"),
+                    F.col("bits").alias(f"_bloom_b{i}"),
+                )
+            ),
+            f"_bloom_w{i}",
+            "left",
+        )
+        hit = hit & (
+            F.coalesce(F.col(f"_bloom_b{i}"), F.lit(0).cast("long")).bitwiseAND(
+                F.col(f"_bloom_m{i}")
+            )
+            != 0
+        )
+    drop_cols = [c for i in range(k) for c in (f"_bloom_w{i}", f"_bloom_m{i}", f"_bloom_b{i}")]
+    return probed.withColumn("bloom_hit", hit).drop(*drop_cols)

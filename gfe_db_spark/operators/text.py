@@ -544,14 +544,22 @@ def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 4) -> DataFram
     from gfe_db_spark.operators import spread_small_input
 
     docs = spread_small_input(docs)
-    toks = tokenize(F.col(text_col))
-    n_w = F.size(toks) - F.lit(k - 1)
+    # Project the token array before the window transform: Catalyst does
+    # not subexpression-eliminate a tokenize() referenced inside the
+    # lambda, so the inline form re-ran the regex split once PER WINDOW
+    # INDEX — O(tokens²) per doc (same fix as operators/dedup.shingles).
+    tk = F.col("__fp_toks")
     windows = F.transform(
-        F.sequence(F.lit(0), n_w - 1), lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k)))
+        F.sequence(F.lit(0), F.size(tk) - F.lit(k)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i + 1, k))),
     )
-    return docs.withColumn(
-        "fingerprint",
-        F.when(F.size(toks) >= k, F.array_min(windows)).otherwise(F.lit(None)),
+    return (
+        docs.withColumn("__fp_toks", tokenize(F.col(text_col)))
+        .withColumn(
+            "fingerprint",
+            F.when(F.size(tk) >= k, F.array_min(windows)).otherwise(F.lit(None)),
+        )
+        .drop("__fp_toks")
     )
 
 

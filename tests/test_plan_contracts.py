@@ -634,15 +634,18 @@ def test_leakage_safe_split_no_cartesian_no_python(spark, specs):
 
 def test_bloom_probe_is_broadcast_only(spark, specs):
     # The decontamination probe must never shuffle the corpus against the
-    # benchmark: the bitset attaches as a 1-row broadcast (IdentityBroadcast
-    # NLJ) and the exact-verification channel is a BroadcastHashJoin; the
-    # only shuffle is the final doc-keyed agg. No sort-merge anywhere.
+    # benchmark: the sparse (word, bits) bitset attaches via broadcast HASH
+    # joins on the probed word id (one long per probe — NOT a dense array
+    # column cross-joined onto every corpus row, which copies m_bits/8
+    # bytes per shingle: measured 250 s vs ~2 s at sf1's m=2**19), and the
+    # exact-verification channel is a BroadcastHashJoin too; the only
+    # shuffle is the final doc-keyed agg. No sort-merge, no NLJ anywhere.
     plan = plan_of(run(specs, spark, "bloom_decontaminate"))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan, (
-        "bitset should ride along as a 1-row broadcast"
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "dense-array bitset attach is the scale-killer the sparse form removed"
     )
-    assert "BroadcastHashJoin" in plan, "exact channel should broadcast"
+    assert "BroadcastHashJoin" in plan, "probe + exact channel should broadcast"
     assert not re.search(r"SortMergeJoin|ShuffledHashJoin", plan)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 

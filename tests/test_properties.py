@@ -775,9 +775,11 @@ def test_bloom_filter_no_false_negatives(spark, texts):
     # property is that false NEGATIVES still never happen.
     for m_bits in (64, 4096):
         bloom = bloom_bitset(bench_sh, m_bits=m_bits, k=3)
-        arr = bloom.collect()[0].bloom_arr
-        assert len(arr) == m_bits // 32
-        assert all(0 <= w <= 0xFFFFFFFF for w in arr), "bits outside the 32-bit word"
+        words = {r.word: r.bits for r in bloom.collect()}
+        assert all(0 <= w < m_bits // 32 for w in words), "word id out of range"
+        assert all(0 <= b <= 0xFFFFFFFF for b in words.values()), (
+            "bits outside the 32-bit word"
+        )
         probed = bloom_probe(doc_sh, bloom, m_bits=m_bits, k=3)
         missed = (
             probed.join(bench_sh, "shingle", "left_semi")
