@@ -422,6 +422,102 @@ def cluster_head_pairs(
     return a.join(b, "centroid_id").filter(F.col("id_a") < F.col("id_b"))
 
 
+def _use_embedding_gate(spark: SparkSession, sf_dir: str) -> bool:
+    """True iff `embeddings` at sf_dir has enough exact duplication for
+    the class-gated prune plan to pay for itself — the embeddings twin of
+    queries.dedup._use_digest_gate (same memoized one-job sizing stat,
+    same threshold, same physical-choice-not-semantics-fork contract)."""
+    from gfe_db_spark.queries.dedup import GATE_DISTINCT_RATIO
+    from gfe_db_spark.sources.tables import corpus_stats
+
+    n_rows, n_distinct = corpus_stats(spark, sf_dir, "embeddings", "embedding")
+    return n_distinct < GATE_DISTINCT_RATIO * n_rows
+
+
+def cluster_prune_flags_gated(
+    assigned: DataFrame,
+    threshold: float,
+    max_cluster_size: int = MAX_CLUSTER_SIZE,
+    n_clusters: int | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """The digest-gated twin of the cluster_head_pairs → threshold →
+    distinct prune path: identical (vec_id, is_pruned) rows, but the
+    pairwise cosine work runs over DISTINCT embedding classes only — the
+    duplication-adaptive scale plan for a k-way exact-duplicated corpus
+    (Σ|cluster-classes|² cosines instead of Σ|cluster|·cap).
+
+    Row-identity argument (pinned by planted + hypothesis tests):
+    identical embeddings assign to the same centroid (ivf_assign is a
+    deterministic per-row expression), so exact-dup classes nest inside
+    clusters. The ungated rule prunes b iff some head member a (rank ≤ cap
+    by vec_id within the cluster) has a.vec_id < b.vec_id and
+    round(cos(a, b), 9) ≥ τ. cos() depends only on the payload CLASS of
+    each side, and the head is an id-prefix of the cluster, so the class
+    X of a is head-resident iff its min id is (rank(min X) ≤ cap) and the
+    strongest witness in X is min(X). Hence: pruned(b) ⟺ ∃ class X in
+    cluster(b) with rank(min X) ≤ cap, round(cos(X, class(b)), 9) ≥ τ and
+    min(X) < b — i.e. b.vec_id > MIN over passing X of min(X). The
+    per-pair cosine reuses the exact expression shape of the ungated plan
+    (hoisted norms, one dot), so the doubles are bit-identical.
+    """
+    from pyspark.sql.window import Window as W
+
+    from gfe_db_spark.operators.dedup import _dot
+
+    w_cluster = W.partitionBy("centroid_id").orderBy("vec_id")
+    m = assigned.withColumn(
+        "__rep", F.min("vec_id").over(W.partitionBy("centroid_id", "embedding"))
+    ).withColumn("__rk", F.row_number().over(w_cluster))
+    members = m.select("vec_id", F.col("__rep").alias("rep_id"))
+    reps = (
+        m.filter(F.col("vec_id") == F.col("__rep"))
+        .withColumn("__v", F.col("embedding").cast("array<double>"))
+        .withColumn("__norm", F.sqrt(_dot(F.col("__v"), F.col("__v"))))
+    )
+    a = reps
+    if max_cluster_size is not None:
+        a = a.filter(F.col("__rk") <= max_cluster_size)
+    a = a.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_a"),
+        F.col("__v").alias("va"),
+        F.col("__norm").alias("na"),
+    )
+    b = reps.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_b"),
+        F.col("__v").alias("vb"),
+        F.col("__norm").alias("nb"),
+    )
+    # same broadcast gate as cluster_head_pairs: with a cap the a-side is
+    # ≤ k·cap class reps by construction (uncapped, leave it to AQE)
+    if max_cluster_size is not None:
+        if n_clusters is None:
+            n_clusters = int(
+                assigned.agg(
+                    F.approx_count_distinct("centroid_id").alias("k")
+                ).first()["k"]
+            )
+        if n_clusters * max_cluster_size * dim * 8 <= BROADCAST_HEAD_MAX_BYTES:
+            a = F.broadcast(a)
+    pair_cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # NO id_a < id_b filter: a higher-min class can still prune the upper
+    # members of a lower-min class — ordering is enforced per MEMBER below
+    mstar = (
+        a.join(b, "centroid_id")
+        .filter(F.round(pair_cos, 9) >= threshold)
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("__mstar"))
+    )
+    return (
+        members.join(mstar, members["rep_id"] == mstar["id_b"])
+        .filter(F.col("vec_id") > F.col("__mstar"))
+        .select("vec_id")
+        .withColumn("is_pruned", F.lit(True))
+    )
+
+
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: cluster embeddings with the
     deterministic DataFrame k-means (ivf_train), then mark near-duplicates
@@ -440,6 +536,19 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster_head_pairs broadcast-gate payload estimate (r8 advice)
     cents = SIM.ivf_train(emb, k=K, iters=2)
     assigned = SIM.ivf_assign(emb, cents)
+    if _use_embedding_gate(spark, sf_dir):
+        # duplicated corpus: cosine work over DISTINCT embedding classes
+        # only (row-identical — see cluster_prune_flags_gated)
+        pruned = cluster_prune_flags_gated(assigned, threshold=0.44, n_clusters=K)
+        return (
+            assigned.select("vec_id", "centroid_id")
+            .join(pruned, "vec_id", "left")
+            .select(
+                "vec_id",
+                "centroid_id",
+                F.coalesce(F.col("is_pruned"), F.lit(False)).alias("pruned"),
+            )
+        )
     # ONE dot per pair; norms were hoisted per vector in
     # cluster_head_pairs (identical doubles to cosine(va, vb) — same
     # multiply-add sequence, same order)

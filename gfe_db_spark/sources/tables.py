@@ -142,12 +142,18 @@ def corpus_stats(
 
         # rsd=0.01: the default 5% error straddles the gate threshold on a
         # near-distinct corpus (e.g. true ratio 0.998 could estimate under
-        # 0.95); 1% keeps the decision stable and HLL at 1% is still tiny
+        # 0.95); 1% keeps the decision stable and HLL at 1% is still tiny.
+        # cast("string") makes the digest well-defined for non-string
+        # payload columns too (e.g. embeddings' array<float> — Spark's
+        # double->string is shortest-round-trip, so distinct arrays map to
+        # distinct strings); it is a no-op for text columns.
         row = (
             table(spark, sf_dir, name)
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.approx_count_distinct(F.md5(F.col(text_col)), 0.01).alias("d"),
+                F.approx_count_distinct(
+                    F.md5(F.col(text_col).cast("string")), 0.01
+                ).alias("d"),
             )
             .first()
         )

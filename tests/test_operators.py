@@ -1683,6 +1683,70 @@ def test_semdedup_hot_cluster_pair_cost_is_capped(spark):
     assert {r.id_b for r in hits} == set(dup_ids) - {0}
 
 
+def test_semdedup_gated_prune_equals_ungated(spark):
+    """The class-gated SemDeDup prune (r10: the duplication-adaptive plan
+    in semdedup_prune) must produce the IDENTICAL pruned vec_id set as
+    the ungated head-pair rule, including where the head cap cuts the
+    middle of a duplicate class, where a class's min id falls outside the
+    head (its copies must not prune anything), and where a HIGHER-min
+    class prunes the upper members of a LOWER-min class (the no-
+    id_a<id_b-on-classes subtlety)."""
+    from pyspark.sql import functions as SF
+
+    from gfe_db_spark.operators.dedup import _dot
+    from gfe_db_spark.queries.similarity import (
+        cluster_head_pairs,
+        cluster_prune_flags_gated,
+    )
+
+    def ungated_pruned(df, cap, tau):
+        pair_cos = _dot(SF.col("va"), SF.col("vb")) / (SF.col("na") * SF.col("nb"))
+        return {
+            r.id_b
+            for r in cluster_head_pairs(df, max_cluster_size=cap)
+            .filter(SF.round(pair_cos, 9) >= tau)
+            .select("id_b")
+            .distinct()
+            .collect()
+        }
+
+    def gated_pruned(df, cap, tau):
+        return {
+            r.vec_id
+            for r in cluster_prune_flags_gated(
+                df, threshold=tau, max_cluster_size=cap
+            ).collect()
+        }
+
+    # two clusters; cluster 0 mixes: class A (5 copies, ids straddling the
+    # cap), class B (near-dup of A, cos ~0.995), class C (orthogonal),
+    # class D whose min id is past the cap (never a pruner), and a
+    # higher-min class E near-parallel to C (E prunes C's upper members).
+    A = [1.0, 0.0, 0.0]
+    B = [0.995, 0.0998749217771909, 0.0]  # cos(A,B) ~ 0.995
+    C = [0.0, 0.0, 1.0]
+    E = [0.0, 0.01, 0.9999499987499375]  # cos(C,E) ~ 0.99995
+    D = [0.0, 1.0, 0.0]
+    rows = [
+        (0, 0, A), (2, 0, C), (3, 0, A), (4, 0, B), (5, 0, E),
+        (6, 0, A), (7, 0, C), (8, 0, D), (9, 0, A), (10, 0, D),
+        (11, 0, A), (12, 0, C),
+        # cluster 1: lone class + its copies
+        (20, 1, [0.5, 0.5, 0.5]), (21, 1, [0.5, 0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, centroid_id int, embedding array<double>"
+    )
+    for cap in (2, 4, 8, None):
+        u = ungated_pruned(df, cap, 0.9)
+        g = gated_pruned(df, cap, 0.9)
+        assert u == g, f"cap={cap}: ungated {sorted(u)} != gated {sorted(g)}"
+    # sanity at cap=4 (head ids 0,2,3,4): D's min (8) is outside the head,
+    # so D's copy 10 must NOT be pruned; E(5) outside head too, but C's own
+    # min (2) IS in the head, so 7 and 12 prune via C; 5 prunes via C too.
+    assert gated_pruned(df, 4, 0.9) == {3, 4, 5, 6, 7, 9, 11, 12, 21}
+
+
 def test_ngram_jaccard_gated_equals_ungated(spark):
     """The digest-gated exact-Jaccard path (r8: the registered
     dedup_ngram_jaccard) must be ROW-IDENTICAL to the ungated self-join on

@@ -885,6 +885,26 @@ def test_lsh_gate_choice_is_duplication_adaptive(spark, specs, tmp_path_factory)
     assert "Window" in plan_dup, "duplicated corpus should take the gated plan"
 
 
+def test_semdedup_gate_choice_is_duplication_adaptive(spark, specs, tmp_path_factory):
+    """r10: semdedup_prune picks its physical plan from the embeddings
+    duplication stat. On the near-distinct smoke corpus the class gate
+    must be ABSENT (no __mstar per-class prune attribute — the ungated
+    head-pair plan), so bench-scale plans are unchanged; on a
+    mass-duplicated embedding corpus the gate must be PRESENT, bounding
+    the pairwise cosine scan by DISTINCT embedding classes."""
+    plan = plan_of(run(specs, spark, "semdedup_prune"))
+    assert "__mstar" not in plan, "distinct corpus should take the ungated plan"
+
+    d = str(tmp_path_factory.mktemp("dupemb"))
+    base = [[float(i + 1), float((i * 3) % 7), 1.0, 0.5 * i] for i in range(8)]
+    rows = [(k * 8 + i, v, "x") for k in range(10) for i, v in enumerate(base)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    plan_dup = plan_of(all_queries()["semdedup_prune"].fn(spark, d))
+    assert "__mstar" in plan_dup, "duplicated corpus should take the gated plan"
+
+
 def test_sizing_prejobs_memoized_once_per_table_stat(spark, specs, monkeypatch):
     """r10 (r9 verdict item 6): every adaptive-sizing surface
     (ann plane counts via table_rowcount, Bloom width via the benchmark
@@ -916,6 +936,7 @@ def test_sizing_prejobs_memoized_once_per_table_stat(spark, specs, monkeypatch):
         "corpus_prep_pipeline_v2",
         "dedup_lsh_pairs",
         "dedup_minhash_est",
+        "semdedup_prune",
     ]
     for _ in range(2):
         for nm in entries:
@@ -924,4 +945,7 @@ def test_sizing_prejobs_memoized_once_per_table_stat(spark, specs, monkeypatch):
 
     recomputed = {k: c for k, c in Counter(calls).items() if c > 1}
     assert not recomputed, f"sizing stats computed more than once: {recomputed}"
-    assert len(set(calls)) <= 3, sorted(set(calls))
+    # 4 distinct stats: embeddings rowcount (ann planes), documents
+    # benchmark-shingle count (Bloom), documents corpus_stats (LSH gate),
+    # embeddings corpus_stats (semdedup gate)
+    assert len(set(calls)) <= 4, sorted(set(calls))

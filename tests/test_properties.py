@@ -977,3 +977,62 @@ def test_entity_gate_equals_ungated_on_random_duplicated_names(spark, classes, c
         for r in blocked_match_pairs_gated(df, max_block_size=cap).collect()
     )
     assert gated == ungated
+
+
+@given(
+    classes=st.lists(
+        st.tuples(
+            st.lists(
+                st.integers(min_value=-3, max_value=3), min_size=3, max_size=3
+            ),
+            st.integers(min_value=1, max_value=4),  # copies
+            st.integers(min_value=0, max_value=1),  # cluster
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    cap=st.integers(min_value=1, max_value=6),
+    tau=st.sampled_from([0.3, 0.7, 0.95]),
+)
+@settings(**SETTINGS)
+def test_semdedup_gate_equals_ungated_on_random_duplicated_vectors(
+    spark, classes, cap, tau
+):
+    """r10: the class-gated SemDeDup prune must equal the ungated
+    head-pair prune SET on random small-integer vectors at random
+    duplication multiplicities, random cluster assignment, and a random
+    (often-binding) head cap — the gate is a cost transformation of the
+    pairwise cosine scan, never a semantics change. Small-integer
+    coordinates make exact-duplicate classes and cross-class collisions
+    likely; the zero vector is excluded (cosine undefined)."""
+    from gfe_db_spark.operators.dedup import _dot
+    from gfe_db_spark.queries.similarity import (
+        cluster_head_pairs,
+        cluster_prune_flags_gated,
+    )
+
+    rows = []
+    for vec, copies, cluster in classes:
+        if all(x == 0 for x in vec):
+            vec = [1, 0, 0]
+        for _ in range(copies):
+            rows.append((len(rows), cluster, [float(x) for x in vec]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, centroid_id int, embedding array<double>"
+    )
+    pair_cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    ungated = {
+        r.id_b
+        for r in cluster_head_pairs(df, max_cluster_size=cap)
+        .filter(F.round(pair_cos, 9) >= tau)
+        .select("id_b")
+        .distinct()
+        .collect()
+    }
+    gated = {
+        r.vec_id
+        for r in cluster_prune_flags_gated(
+            df, threshold=tau, max_cluster_size=cap
+        ).collect()
+    }
+    assert gated == ungated
