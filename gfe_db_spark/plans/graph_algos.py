@@ -42,6 +42,12 @@ def connected_components(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .distinct()
+        # materialize the edge list ONCE before the loop: every iteration
+        # joins against it, and without the checkpoint each of those jobs
+        # re-derives the caller's full edge lineage (for the corpus
+        # pipelines that lineage is the shingle→Jaccard pair computation —
+        # re-run per iteration, it dominated corpus_prep_pipeline's wall)
+        .localCheckpoint(True)
     )
     labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(True)
 
@@ -106,6 +112,7 @@ def pagerank(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .localCheckpoint(True)  # joined every round — see connected_components
     )
     degree = arcs.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     n_nodes = nodes.count()  # model-scale scalar (the 1/N teleport term)
@@ -152,6 +159,7 @@ def bfs_distances(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .localCheckpoint(True)  # joined every round — see connected_components
     )
     dist = arcs.sparkSession.createDataFrame([(source, 0)], "node long, dist long")
     for _ in range(iters):
