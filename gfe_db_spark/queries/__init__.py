@@ -34,20 +34,28 @@ class QuerySpec:
 PRIORITY: tuple[str, ...] = (
     # ---- Round-10 window, positions 1-50. (a) PLAN-CHANGED this round:
     # the duplication-adaptive LSH pair entries (stats-based gated/ungated
-    # choice), the length-band-prefiltered entity matching, the
-    # memo-refactored Bloom entries, the broadcast-gate-estimated
-    # semdedup, and the schema-validated time-travel diff. (b) the
-    # stalest driver rows: the r7-era cohort (Cypher validation texts,
-    # the graph family, tx layout, GFE domain) then the full r8 window —
-    # neither has been driver-checked since its own round. Everything
-    # past the window is checked by the full sf0.001 oracle sweep inside
-    # pytest each run; the r9 window (freshest driver rows) sits last.
+    # choice), the length-band/delete-neighborhood entity matching, the
+    # sparse-word-table Bloom entries, the hoisted-tokenize shingle/
+    # fingerprint consumers, the class-gated semdedup + norm-hoisted IVF
+    # family, the edge-checkpointed CC/pagerank/BFS consumers, and the
+    # schema-validated time-travel diff. (b) the stalest driver rows: the
+    # r7-era cohort (Cypher validation texts, the graph family, tx
+    # layout, GFE domain) then the r8 window. Everything past the window
+    # is checked by the full sf0.001 oracle sweep inside pytest each run.
     "dedup_lsh_pairs",
     "dedup_minhash_est",
     "entity_match_blocking",
     "bloom_decontaminate",
     "corpus_prep_pipeline_v2",
     "semdedup_prune",
+    "benchmark_contamination",
+    "corpus_prep_pipeline",
+    "leakage_safe_split",
+    "dedup_keep_list",
+    "dedup_clusters",
+    "text_fingerprint",
+    "dedup_minhash_signatures",
+    "set_similarity_join",
     "txtable_time_travel_diff",
     "cypher_validation_node_counts",
     "cypher_validation_release_histogram",
@@ -112,9 +120,6 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_phash_dedup",
     "bpe_encode_corpus",
     "dedup_simhash_hamming",
-    "dedup_clusters",
-    "dedup_keep_list",
-    "leakage_safe_split",
     "sketch_distinct_accuracy",
     "sketch_quantile_accuracy",
     "sketch_heavy_hitters",
@@ -143,10 +148,8 @@ PRIORITY: tuple[str, ...] = (
     "asof_last_purchase",
     "c_scalar_suite",
     "pctl_quantity_by_flag",
-    "corpus_prep_pipeline",
     "corpus_sample",
     "dedup_exact",
-    "dedup_minhash_signatures",
     "dedup_simhash",
     "embedding_quantize",
     "event_funnel",
@@ -157,7 +160,6 @@ PRIORITY: tuple[str, ...] = (
     "q20_quantity_threshold_suppliers",
     "skew_salted_count_distinct",
     "text_bigram_lm",
-    "text_fingerprint",
     "text_lang_id",
     "text_quality_scores",
     "text_redact_pii",
@@ -194,7 +196,6 @@ PRIORITY: tuple[str, ...] = (
     "domain_cap_sample",
     "stratified_sample",
     "fixed_k_per_group_sample",
-    "benchmark_contamination",
     "pack_sequences",
     "stream_dedup",
     "rolling_distinct_users_7d",
@@ -223,7 +224,6 @@ PRIORITY: tuple[str, ...] = (
     "f1_processability_filter",
     "so1_except",
     "rolling_spend_7d",
-    "set_similarity_join",
     "shard_by_token_budget",
     "stream_static_enrich",
     "stream_stream_join",
