@@ -109,6 +109,37 @@ def main() -> None:
             pass
     spark.catalog.clearCache()
 
+    # Host-noise calibration anchor (r10 verdict item 1): time a fixed
+    # CPU-bound job so any reader can normalize this run's walls against
+    # other rounds/hosts without hand A/Bs. Two components: a
+    # codegen-only range sum (pure CPU, no shuffle) and a fixed
+    # 32-partition hash aggregation (the shuffle path the suite leans
+    # on). The calib plan shape is warmed once untimed, then timed
+    # best-of-2. Measured quiet-host value on the 32-vCPU builder VM in
+    # a full bench run (r11): calib_s ~= 0.8 (range_sum ~0.3s +
+    # hash_agg ~0.5s warm); readings over ~1.3 indicate a host-slow
+    # phase (the same code/data swung 43-55s suite walls within one
+    # day, AB_BENCH_r10.md) — scale cross-round comparisons by the
+    # calib ratio before reading any per-query delta as a regression.
+    def _calib_job():
+        spark.range(200_000_000).selectExpr("sum(id)").collect()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .selectExpr("id % 100000 AS k")
+            .groupBy("k")
+            .agg({"k": "count"})
+            .selectExpr("sum(`count(k)`)")
+            .collect()
+        )
+
+    _calib_job()  # untimed: compile the calib plan shape itself
+    calib = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _calib_job()
+        dt = time.perf_counter() - t0
+        calib = dt if calib is None else min(calib, dt)
+
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     total = 0.0
@@ -140,6 +171,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+                "calib_s": round(calib, 4),
                 **extras,
             }
         )

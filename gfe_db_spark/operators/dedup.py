@@ -1207,10 +1207,30 @@ def bloom_probe(
     (same m_bits/k/salt). k broadcast HASH joins on the probed word id —
     each attaches one long to the row; a probe into an absent word is a
     definitive miss (left join null -> 0 bits). No shuffle on the corpus
-    side, no Python, no wide array column. Bloom guarantee: a term in the
-    build set always hits (no false negatives); a miss is definitive."""
+    side, no Python, no wide array column. All k joins reference ONE
+    broadcast subtree, so Spark's ReuseExchange plans a single
+    BroadcastExchange (the word table can be ~m_bits/32 rows — up to
+    ~2 M at m=2**26 — so building/holding it k times would triple the
+    broadcast cost for nothing). Bloom guarantee: a term in the build
+    set always hits (no false negatives); a miss is definitive."""
     from gfe_db_spark.operators.text import hash_le32_expr
 
+    reserved = {
+        c
+        for i in range(k)
+        for c in (f"_bloom_w{i}", f"_bloom_m{i}", f"_bloom_b{i}")
+    } | {"word", "bits"}
+    clash = reserved.intersection(doc_terms.columns)
+    if clash:
+        raise ValueError(
+            f"bloom_probe: doc_terms columns {sorted(clash)} collide with "
+            "internal working names; rename them before probing"
+        )
+
+    # One broadcast subtree shared by every probe join: each iteration
+    # joins the SAME DataFrame object, so the canonicalized exchange is
+    # identical and ReuseExchange collapses the k-1 duplicates.
+    bcast = F.broadcast(bloom.select("word", "bits"))
     probed = doc_terms
     hit = F.lit(True)
     for i in range(k):
@@ -1223,15 +1243,12 @@ def bloom_probe(
             f"_bloom_m{i}",
             F.pow(F.lit(2.0), (pos % 32).cast("double")).cast("long"),
         )
-        probed = probed.join(
-            F.broadcast(
-                bloom.select(
-                    F.col("word").alias(f"_bloom_w{i}"),
-                    F.col("bits").alias(f"_bloom_b{i}"),
-                )
-            ),
-            f"_bloom_w{i}",
-            "left",
+        probed = (
+            probed.join(
+                bcast, probed[f"_bloom_w{i}"] == bcast["word"], "left"
+            )
+            .withColumnRenamed("bits", f"_bloom_b{i}")
+            .drop("word")
         )
         hit = hit & (
             F.coalesce(F.col(f"_bloom_b{i}"), F.lit(0).cast("long")).bitwiseAND(

@@ -178,6 +178,7 @@ def ivf_train(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means for the IVF index, DataFrame-native and
     deterministic: init = the k lowest-id vectors; each iteration
@@ -192,10 +193,28 @@ def ivf_train(
     Centroid means are rounded to 9 decimals each iteration so the
     partial-aggregate merge order of the distributed F.avg (which can
     differ across runs at the last ulp) cannot leak into the model —
-    training is reproducible up to that rounding."""
+    training is reproducible up to that rounding.
+
+    ``sample_mod`` (r10 verdict item 6): train on the deterministic
+    subset ``id % sample_mod == 0`` instead of the full corpus — the
+    standard k-means-on-a-sample lever (centroid quality degrades
+    gracefully; assignment still covers every vector). The rule is a
+    single SQL-expressible predicate so an oracle can mirror the exact
+    training set; it CHANGES the centroids, so callers must opt in
+    explicitly and mirror their oracle (see KNN_IVF_TRAINED_SQL /
+    SEMDEDUP_SQL's `tr` CTE). Init = the k lowest-id vectors OF THE
+    SAMPLE. At 100 TB this is the difference between iterating Lloyd
+    over the corpus and over a fixed fraction of it."""
     v = F.col(vec_col).cast("array<double>")
     base = emb.select(F.col(id_col).alias("__id"), v.alias("__v"))
+    if sample_mod is not None and sample_mod > 1:
+        base = base.filter((F.col("__id") % sample_mod) == 0)
     init = base.orderBy("__id").limit(k).collect()
+    if len(init) < k:
+        raise ValueError(
+            f"ivf_train: training set has {len(init)} vectors < k={k}"
+            + (f" (sample_mod={sample_mod} too sparse)" if sample_mod else "")
+        )
     centroids = [(i, list(r["__v"])) for i, r in enumerate(init)]
 
     for _ in range(iters):

@@ -32,16 +32,63 @@ class QuerySpec:
 # earned driver-green rows in CORRECTNESS_r01.json (generic SQL forms and
 # the classic TPC-H suite).
 PRIORITY: tuple[str, ...] = (
-    # ---- Round-10 window, positions 1-50. (a) PLAN-CHANGED this round:
-    # the duplication-adaptive LSH pair entries (stats-based gated/ungated
-    # choice), the length-band/delete-neighborhood entity matching, the
-    # sparse-word-table Bloom entries, the hoisted-tokenize shingle/
-    # fingerprint consumers, the class-gated semdedup + norm-hoisted IVF
-    # family, the edge-checkpointed CC/pagerank/BFS consumers, and the
-    # schema-validated time-travel diff. (b) the stalest driver rows: the
-    # r7-era cohort (Cypher validation texts, the graph family, tx
-    # layout, GFE domain) then the r8 window. Everything past the window
-    # is checked by the full sf0.001 oracle sweep inside pytest each run.
+    # ---- Round-11 window, positions 1-50: the never-in-r10 cohort,
+    # stalest-first by last driver-window appearance (computed from
+    # CORRECTNESS_r1..r10 keys): the r5-era sampling/streaming/TPC-H/
+    # timeseries rows, then the r6-era generic-SQL and join/agg forms.
+    # Everything past the window is checked by the full sf0.001 oracle
+    # sweep inside pytest each run.
+    "imgt_stream_scan",
+    "domain_cap_sample",
+    "stratified_sample",
+    "fixed_k_per_group_sample",
+    "pack_sequences",
+    "stream_dedup",
+    "rolling_distinct_users_7d",
+    "rolling_distinct_users_7d_approx",
+    "timeseries_gapfill_locf",
+    "order_backlog_daily",
+    "nation_revenue_share",
+    "reorder_interval_stats",
+    "revenue_pareto_deciles",
+    "division_all_regions",
+    "copurchase_pairs",
+    "unpivot_measures",
+    "scd2_customer_history",
+    "quality_decile_stats",
+    "a_grouping_sets",
+    "text_lm_score",
+    "skew_salted_join",
+    "skew_stats_hot_keys",
+    "a8_explode_distinct_count",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "w2_topk_per_group",
+    "a1_dedup_distinct",
+    "j1_broadcast_lookup",
+    "f1_processability_filter",
+    "so1_except",
+    "w_lead_lag_delta",
+    "q22_global_sales_opportunity",
+    "q19_disjunctive_predicates",
+    "q18_large_volume_customer",
+    "w_running_total",
+    "pctl_quantity_by_flag",
+    "a_count_distinct",
+    "a_cube",
+    "a_having_filter",
+    "a_rollup",
+    "c5_version_format",
+    "c10_date_kit",
+    "c12_json_extraction",
+    "f2_skip_list_filter",
+    "f5_regex_predicate",
+    "f6_conditional_pivot",
+    "j2_dimension_chain",
+    "j4_composite_key_join",
+    "j6_cross_join_singleton",
+    # ---- prior-round windows follow (r10 cohort first), unchanged order
     "dedup_lsh_pairs",
     "dedup_minhash_est",
     "entity_match_blocking",
@@ -140,14 +187,8 @@ PRIORITY: tuple[str, ...] = (
     "q14_promo_effect",
     "q15_top_supplier",
     "q17_small_quantity",
-    "w_lead_lag_delta",
-    "q22_global_sales_opportunity",
-    "q19_disjunctive_predicates",
-    "q18_large_volume_customer",
-    "w_running_total",
     "asof_last_purchase",
     "c_scalar_suite",
-    "pctl_quantity_by_flag",
     "corpus_sample",
     "dedup_exact",
     "dedup_simhash",
@@ -167,19 +208,6 @@ PRIORITY: tuple[str, ...] = (
     "text_tfidf_top_terms",
     "text_token_stats",
     "text_vocab_top",
-    "a_count_distinct",
-    "a_cube",
-    "a_having_filter",
-    "a_rollup",
-    "c5_version_format",
-    "c10_date_kit",
-    "c12_json_extraction",
-    "f2_skip_list_filter",
-    "f5_regex_predicate",
-    "f6_conditional_pivot",
-    "j2_dimension_chain",
-    "j4_composite_key_join",
-    "j6_cross_join_singleton",
     "j7_anti_join",
     "j_full_outer_join",
     "j_semi_join",
@@ -192,37 +220,6 @@ PRIORITY: tuple[str, ...] = (
     "q9_profit_by_nation_year",
     "q11_important_balance",
     "q16_supplier_count_distribution",
-    "imgt_stream_scan",
-    "domain_cap_sample",
-    "stratified_sample",
-    "fixed_k_per_group_sample",
-    "pack_sequences",
-    "stream_dedup",
-    "rolling_distinct_users_7d",
-    "rolling_distinct_users_7d_approx",
-    "timeseries_gapfill_locf",
-    "order_backlog_daily",
-    "nation_revenue_share",
-    "reorder_interval_stats",
-    "revenue_pareto_deciles",
-    "division_all_regions",
-    "copurchase_pairs",
-    "unpivot_measures",
-    "scd2_customer_history",
-    "quality_decile_stats",
-    "a_grouping_sets",
-    "text_lm_score",
-    "skew_salted_join",
-    "skew_stats_hot_keys",
-    "a8_explode_distinct_count",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "w2_topk_per_group",
-    "a1_dedup_distinct",
-    "j1_broadcast_lookup",
-    "f1_processability_filter",
-    "so1_except",
     "rolling_spend_7d",
     "shard_by_token_budget",
     "stream_static_enrich",

@@ -811,11 +811,15 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Oracle independence: the SQL rebuilds the filter in join form (explode
-# probes -> word-grouped bit_or -> LEFT JOIN on word) rather than the
-# Spark side's dense-array broadcast — only the hash contract
-# (md5_number_upper & 0xFFFFFFFF = little-endian first 4 md5 bytes) is
-# shared, and that contract is pinned by its own unit test.
+# Oracle independence: both sides now build the filter in sparse join
+# form (explode probes -> word-grouped bit_or -> join on word) — since
+# r10 the Spark side uses a sparse (word, bits) table attached via k
+# broadcast hash joins rather than a dense-array broadcast. Independence
+# therefore rests on (a) the shared md5-LE32 hash contract
+# (md5_number_upper & 0xFFFFFFFF = little-endian first 4 md5 bytes),
+# pinned by its own unit test, and (b) the filter width m being derived
+# independently on each side (Spark: `_bench_bloom_bits`; SQL: the `mb`
+# CTE below) from the same count-vs-2^p rule.
 BLOOM_DECONTAMINATE_SQL = _SHINGLE_CTE + """
 , bsh AS (
   SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0

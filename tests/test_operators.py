@@ -2168,3 +2168,76 @@ def test_aggregate_checksum_referee_render_contract(spark, tmp_path):
         ).fetchall()
     )
     assert got == want
+
+
+def test_mixed_duplication_slice_pins_gate_choice_and_plan_identity(spark, tmp_path):
+    """r11 (r10 verdict item 3): the uniform scaled slices only exercise
+    the duplication-adaptive choosers at the extremes (all-distinct at
+    bench scale, massive exact duplication at sf1/sf10). This builds the
+    committed mixed-duplication slice (tools/make_scaled_sf.py --mode
+    mixed: Zipf head classes, every-5th-replica near-dup token edits,
+    distinct ratio targeted near the 0.95 gate threshold) at sf0.001 and
+    pins (a) that the slice really is skewed + near-duplicated, (b) that
+    each chooser's decision equals the documented rule applied to the
+    SAME memoized stats it consumes — so threshold behavior is pinned
+    against the slice's actual stats, not an assumed side — and (c) that
+    the registered entry's rows equal BOTH direct plans on this slice,
+    keeping the choice physical-only where it matters most (organic
+    near-dup families at the boundary)."""
+    import importlib.util
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gfe_db_spark.operators import dedup as DD
+    from gfe_db_spark.queries.dedup import (
+        GATE_DISTINCT_RATIO,
+        _use_digest_gate,
+        dedup_lsh_pairs,
+    )
+    from gfe_db_spark.sources.tables import corpus_stats
+
+    spec = importlib.util.spec_from_file_location(
+        "make_scaled_sf",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "make_scaled_sf.py"),
+    )
+    mk = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mk)
+
+    src = "/root/testdata/sf0.001"
+    if not os.path.isdir(src):
+        import pytest
+
+        pytest.skip("driver testdata not present")
+    dst = str(tmp_path / "sfmix")
+    stats = mk.make_mixed(src, dst, target_ratio=0.94)
+
+    # (a) the slice is genuinely mixed: skewed exact classes AND near-dup
+    # variants (distinct texts inside a head class's replica family)
+    docs = spark.read.parquet(f"{dst}/documents.parquet")
+    cls = docs.groupBy("text").count()
+    assert cls.agg(F.max("count")).collect()[0][0] >= 2, "no exact classes"
+    assert stats["documents"]["ratio"] < 1.0
+    n_rows, n_distinct_digest = corpus_stats(spark, dst, "documents")
+    assert n_rows == stats["documents"]["rows"]
+
+    # (b) chooser decision == rule applied to the stats it consumes: the
+    # HLL estimate may sit on either side of the threshold at a ratio
+    # this close, but the DECISION must be consistent with it
+    expected = n_distinct_digest < GATE_DISTINCT_RATIO * n_rows
+    assert _use_digest_gate(spark, dst) is expected
+
+    # (c) registered entry == both direct plans on the mixed slice
+    sigs = DD.minhash_signatures(DD.shingles(docs, n=3, distinct=False), num_hashes=8)
+    ungated = {
+        tuple(r)
+        for r in DD.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2).collect()
+    }
+    gated = {
+        tuple(r)
+        for r in DD.lsh_candidate_pairs_gated(
+            docs, bands=4, rows_per_band=2, n=3, num_hashes=8
+        ).collect()
+    }
+    chosen = {tuple(r) for r in dedup_lsh_pairs(spark, dst).collect()}
+    assert chosen == ungated == gated

@@ -26,6 +26,28 @@ Replication scheme (the one the committed evidence documents):
 
 DuckDB does the replication (columnar read -> cross join with a replica
 index -> parquet write); no Spark session needed.
+
+Mixed-duplication mode (r10 verdict item 3): `--mode mixed` builds a
+slice whose duplication is SKEWED and partly NEAR-duplicate instead of
+the uniform exact replication above — the adversarial case for the
+duplication-adaptive plan choosers (`queries.dedup._use_digest_gate`
+and friends), which the uniform slices only exercise at the extremes:
+
+  - `documents` / `customer` / `embeddings` get a Zipf head: the H
+    hash-ranked head rows are replicated max(2, C//rank) times (a few
+    large classes, a long all-distinct tail), with C solved so the
+    slice's distinct-text ratio lands near `--target-ratio` (default
+    0.94, just below the 0.95 gate threshold);
+  - every 5th replica of a head row is a NEAR-dup variant (token-level
+    edit for text/name, distinct digest) rather than an exact copy, so
+    MinHash/LSH/entity matching see organic near-duplicate families,
+    not just exact classes;
+  - keys are offset by `replica * stride` exactly like the uniform
+    mode; every other table is copied unchanged, so the dst dir is a
+    complete, FK-consistent sf dir any registered entry can run on.
+
+    python tools/make_scaled_sf.py --mode mixed \
+        --src /root/testdata/sf0.1 --dst .testdata/sfmix
 """
 from __future__ import annotations
 
@@ -65,8 +87,179 @@ def stride_of(con: duckdb.DuckDBPyConnection, src: str, table: str) -> dict[str,
         (mx,) = con.execute(
             f"SELECT MAX({c}) FROM read_parquet('{src}/{table}.parquet')"
         ).fetchone()
+        if mx is None:
+            raise SystemExit(
+                f"{table}.{c}: source table is empty (MAX is NULL) — "
+                "cannot derive a replication stride; remove the table from "
+                "KEYED or supply a non-empty source slice"
+            )
         strides[c] = int(mx) + 1
     return strides
+
+
+def check_fk_bounds(
+    con: duckdb.DuckDBPyConnection,
+    src: str,
+    table: str,
+    fk: str,
+    ref_table: str,
+    ref_stride: int,
+) -> None:
+    """The offset scheme assumes every FK value < the referenced table's
+    stride; a violated input would silently produce cross-replica key
+    collisions, so fail loudly instead."""
+    (mx,) = con.execute(
+        f"SELECT MAX({fk}) FROM read_parquet('{src}/{table}.parquet')"
+    ).fetchone()
+    if mx is not None and int(mx) >= ref_stride:
+        raise SystemExit(
+            f"{table}.{fk}: max FK value {mx} >= referenced {ref_table} "
+            f"stride {ref_stride}; replication would collide keys across "
+            "replicas"
+        )
+
+
+# mixed-mode per-table recipe: (key column, payload column to judge
+# distinctness by, SQL template for the near-dup variant of that payload,
+# extra SELECT rewrites applied to variant rows only)
+_MIXED = {
+    "documents": (
+        "doc_id",
+        "text",
+        # interior token edit: replace the 3rd whitespace token with a
+        # replica-indexed marker (regexp no-match on <3-token docs falls
+        # back to an exact copy — the achieved ratio is measured, not
+        # assumed)
+        r"regexp_replace(text, '^((?:\S+\s+){2})\S+', "
+        r"'\1nd' || CAST(r.i AS VARCHAR))",
+    ),
+    "customer": (
+        "c_custkey",
+        "c_name",
+        # last-character edit: levenshtein distance 1 from the head name,
+        # the shape entity matching's delete-neighborhood must catch
+        "substr(c_name, 1, len(c_name) - 1) || chr(CAST(65 + r.i % 26 AS INTEGER))",
+    ),
+    # embeddings: exact-copy classes only (no variant expression) — array
+    # payloads dedup by exact equality
+    "embeddings": ("vec_id", "embedding", None),
+}
+
+
+def zipf_head_scale(n_rows: int, head: int, target_ratio: float, with_variants: bool) -> int:
+    """Solve the Zipf scale C so distinct/total lands near target_ratio.
+
+    total T = (N - H) + S, distinct D = N + V where S = sum of head
+    class sizes and V ~= S/5 when every 5th replica is a distinct
+    variant (V = 0 for exact-only tables). From D = ratio * T:
+        S = (N*(1-r) + r*H) / (r - v)   with v = 1/5 or 0.
+    C then scales the harmonic head: S = C * H_head.
+    """
+    v = 0.2 if with_variants else 0.0
+    s = (n_rows * (1.0 - target_ratio) + target_ratio * head) / (target_ratio - v)
+    harmonic = sum(1.0 / j for j in range(1, head + 1))
+    return max(head + 1, int(s / harmonic))
+
+
+def make_mixed(
+    src: str,
+    dst: str,
+    target_ratio: float = 0.94,
+    head: int | None = None,
+    threads: int = 16,
+) -> dict[str, dict]:
+    """Build the mixed-duplication slice; returns per-table achieved stats
+    ({table: {rows, distinct_payload, ratio, head, zipf_c}}) so callers
+    (and the gate-chooser test) can pin behavior against ACTUAL stats."""
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads={threads}")
+    stats: dict[str, dict] = {}
+
+    src_tables = [t for t in list(KEYED) + list(DIMS)]
+    for t in src_tables:
+        if t not in _MIXED:
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+            continue
+        key, payload, variant_sql = _MIXED[t]
+        (n_rows,) = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{src}/{t}.parquet')"
+        ).fetchone()
+        if n_rows == 0:
+            raise SystemExit(f"{t}: empty source table")
+        h = head if head is not None else max(6, n_rows // 500)
+        c = zipf_head_scale(n_rows, h, target_ratio, variant_sql is not None)
+        (mx,) = con.execute(
+            f"SELECT MAX({key}) FROM read_parquet('{src}/{t}.parquet')"
+        ).fetchone()
+        stride = int(mx) + 1
+
+        cols = [
+            r[0]
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{src}/{t}.parquet')"
+            ).fetchall()
+        ]
+        exprs = []
+        for col in cols:
+            if col == key:
+                exprs.append(f"(d.{col} + r.i * {stride}) AS {col}")
+            elif col == payload and variant_sql is not None:
+                exprs.append(
+                    f"CASE WHEN r.i > 0 AND r.i % 5 = 1 THEN {variant_sql} "
+                    f"ELSE d.{col} END AS {col}"
+                )
+            elif col == "n_chars" and t == "documents":
+                # keep the derived length honest on variant rows
+                exprs.append(
+                    "len(CASE WHEN r.i > 0 AND r.i % 5 = 1 THEN "
+                    f"{variant_sql} ELSE d.text END) AS n_chars"
+                )
+            else:
+                exprs.append(f"d.{col}")
+        sel = ", ".join(exprs)
+        rg = max(1024, min(122_880, n_rows // 16))
+        con.execute(
+            f"""
+            COPY (
+              WITH ranked AS (
+                SELECT {key} AS k,
+                       row_number() OVER (
+                         ORDER BY md5(CAST({key} AS VARCHAR))) AS rnk
+                FROM read_parquet('{src}/{t}.parquet')
+              ), counts AS (
+                SELECT k,
+                       CASE WHEN rnk <= {h}
+                            THEN greatest(2, {c} // rnk)
+                            ELSE 1 END AS n_copies
+                FROM ranked
+              )
+              SELECT {sel}
+              FROM read_parquet('{src}/{t}.parquet') d
+              JOIN counts ON counts.k = d.{key}
+              CROSS JOIN LATERAL (
+                SELECT unnest(range(counts.n_copies)) AS i) r
+            ) TO '{dst}/{t}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE {rg})
+            """
+        )
+        pc = payload if payload != "embedding" else "CAST(embedding AS VARCHAR)"
+        n, nd = con.execute(
+            f"SELECT COUNT(*), COUNT(DISTINCT {pc}) "
+            f"FROM read_parquet('{dst}/{t}.parquet')"
+        ).fetchone()
+        stats[t] = {
+            "rows": int(n),
+            "distinct_payload": int(nd),
+            "ratio": round(nd / n, 4),
+            "head": h,
+            "zipf_c": c,
+        }
+        print(f"{t}: {n} rows, distinct({payload})={nd}, ratio={nd/n:.4f} "
+              f"(head={h}, C={c})")
+    return stats
 
 
 def main() -> int:
@@ -75,7 +268,19 @@ def main() -> int:
     ap.add_argument("--dst", required=True)
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--threads", type=int, default=16)
+    ap.add_argument("--mode", choices=["uniform", "mixed"], default="uniform")
+    ap.add_argument("--target-ratio", type=float, default=0.94)
+    ap.add_argument("--head", type=int, default=None)
     args = ap.parse_args()
+    if args.mode == "mixed":
+        stats = make_mixed(
+            args.src, args.dst, args.target_ratio, args.head, args.threads
+        )
+        with open(os.path.join(args.dst, "_mixed_stats.json"), "w") as f:
+            import json
+
+            json.dump(stats, f, indent=1)
+        return 0
     os.makedirs(args.dst, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads={args.threads}")
@@ -96,6 +301,8 @@ def main() -> int:
         print(f"{t}: copied (dim)")
 
     for t, (own, fks) in KEYED.items():
+        for fk, rt in fks.items():
+            check_fk_bounds(con, args.src, t, fk, rt, strides[rt][ref_key[rt]])
         cols = [
             r[0]
             for r in con.execute(

@@ -149,9 +149,26 @@ def main() -> int:
     ap.add_argument("--names", required=True, help="comma-separated entries")
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     ap.add_argument("--driver-memory", default="48g")
+    ap.add_argument(
+        "--best-of",
+        type=int,
+        default=1,
+        help="run the Spark side N times per entry, record the min wall",
+    )
+    ap.add_argument(
+        "--record",
+        help="prior sweep JSON: re-run the Spark side once when this "
+        "run's wall exceeds 1.5x the recorded spark_s (self-adjudicating "
+        "walls, r10 verdict item 4)",
+    )
     args = ap.parse_args()
 
     out = json.load(open(args.out)) if os.path.exists(args.out) else {}
+    record = (
+        json.load(open(args.record))
+        if args.record and os.path.exists(args.record)
+        else {}
+    )
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -189,27 +206,41 @@ def main() -> int:
             continue
         try:
             t0 = time.perf_counter()
-            df = spec.fn(spark, args.sf_dir)
-            cols = sorted(df.columns)
-            dtypes = dict(df.dtypes)
-            rowstr = F.concat_ws(
-                "|", *[F.expr(_spark_render(c, dtypes[c])) for c in cols]
-            )
-            h = hash_le32_expr(rowstr)
-            h2 = hash_le32_expr(F.concat(rowstr, F.lit(":agg")))
-            spark_rows = sorted(
-                tuple(r)
-                for r in df.select(
-                    (h % 16).alias("shard"), h2.alias("h2")
+
+            def _spark_side():
+                df = spec.fn(spark, args.sf_dir)
+                cols = sorted(df.columns)
+                dtypes = dict(df.dtypes)
+                rowstr = F.concat_ws(
+                    "|", *[F.expr(_spark_render(c, dtypes[c])) for c in cols]
                 )
-                .groupBy("shard")
-                .agg(
-                    F.count(F.lit(1)).alias("n_rows"),
-                    F.bit_xor("h2").alias("checksum"),
-                    F.sum("h2").alias("hashsum"),
+                h = hash_le32_expr(rowstr)
+                h2 = hash_le32_expr(F.concat(rowstr, F.lit(":agg")))
+                rows = sorted(
+                    tuple(r)
+                    for r in df.select(
+                        (h % 16).alias("shard"), h2.alias("h2")
+                    )
+                    .groupBy("shard")
+                    .agg(
+                        F.count(F.lit(1)).alias("n_rows"),
+                        F.bit_xor("h2").alias("checksum"),
+                        F.sum("h2").alias("hashsum"),
+                    )
+                    .collect()
                 )
-                .collect()
-            )
+                return rows, cols, dtypes
+
+            spark_walls = []
+            for _ in range(max(1, args.best_of)):
+                ts = time.perf_counter()
+                spark_rows, cols, dtypes = _spark_side()
+                spark_walls.append(round(time.perf_counter() - ts, 1))
+            prior = record.get(name, {}).get("spark_s")
+            if prior and len(spark_walls) == 1 and spark_walls[0] > 1.5 * prior:
+                ts = time.perf_counter()
+                spark_rows, cols, dtypes = _spark_side()
+                spark_walls.append(round(time.perf_counter() - ts, 1))
             t1 = time.perf_counter()
             duck_render = ", ".join(
                 _duck_render(c, dtypes[c]) for c in cols
@@ -243,10 +274,12 @@ def main() -> int:
                     else ""
                 ),
                 "rows": int(n_total),
-                "spark_s": round(t1 - t0, 1),
+                "spark_s": min(spark_walls),
                 "oracle_s": round(t2 - t1, 1),
-                "sec": round(t2 - t0, 1),
+                "sec": round(min(spark_walls) + (t2 - t1), 1),
             }
+            if len(spark_walls) > 1:
+                out[name]["spark_s_runs"] = spark_walls
             if not ok:
                 out[name]["detail"] = {
                     "spark": [list(r) for r in spark_rows],

@@ -19,6 +19,17 @@ are attributable without re-measurement:
   - sec       — end-to-end (the sum, kept for continuity with old sweeps).
 Slow rows are often oracle-dominated (the oracle is deliberately
 formulation-independent single-process SQL); judge the engine on spark_s.
+
+Self-adjudicating walls (r10 verdict item 4): single-run sweep rows carry
+per-entry cold cost and ±30% host noise on top of the true engine wall,
+which previously forced manual isolated re-measurement of any slow row.
+Two knobs close that:
+  --best-of N     always run the Spark side N times, record the min (all
+                  runs kept in spark_s_runs);
+  --record PATH   prior sweep JSON; if this run's Spark wall exceeds
+                  1.5x the recorded spark_s, the Spark side is re-run
+                  once and the min is recorded — so a PARITY table
+                  regenerates without a manual re-measure footnote.
 """
 from __future__ import annotations
 
@@ -46,6 +57,17 @@ def main() -> int:
         "default (every prior committed sweep ran at 48g)",
     )
     ap.add_argument(
+        "--best-of",
+        type=int,
+        default=1,
+        help="run the Spark side N times per entry and record the min wall",
+    )
+    ap.add_argument(
+        "--record",
+        help="prior sweep JSON: re-run the Spark side once when this "
+        "run's wall exceeds 1.5x the recorded spark_s for the entry",
+    )
+    ap.add_argument(
         "--spark-only",
         action="store_true",
         help="skip the DuckDB oracle: record rows + spark_s with ok=null "
@@ -55,6 +77,11 @@ def main() -> int:
     args = ap.parse_args()
 
     out = json.load(open(args.out)) if os.path.exists(args.out) else {}
+    record = (
+        json.load(open(args.record))
+        if args.record and os.path.exists(args.record)
+        else {}
+    )
 
     from pyspark.sql import SparkSession
 
@@ -111,12 +138,30 @@ def main() -> int:
 
         t0 = time.perf_counter()
         try:
-            spark_pdf = spec.fn(spark, args.sf_dir).toPandas()
+            spark_walls = []
+            for _ in range(max(1, args.best_of)):
+                ts = time.perf_counter()
+                spark_pdf = spec.fn(spark, args.sf_dir).toPandas()
+                spark_walls.append(round(time.perf_counter() - ts, 1))
+            prior = record.get(name, {}).get("spark_s")
+            if (
+                prior
+                and len(spark_walls) == 1
+                and spark_walls[0] > 1.5 * prior
+            ):
+                # wall exceeds the committed record: adjudicate in-sweep
+                # (warm re-run) instead of leaving it to a manual footnote
+                ts = time.perf_counter()
+                spark_pdf = spec.fn(spark, args.sf_dir).toPandas()
+                spark_walls.append(round(time.perf_counter() - ts, 1))
+            spark_s = min(spark_walls)
             t1 = time.perf_counter()
             if args.spark_only:
                 rec = {"ok": None, "sec": round(t1 - t0, 1),
-                       "spark_s": round(t1 - t0, 1), "rows": len(spark_pdf),
+                       "spark_s": spark_s, "rows": len(spark_pdf),
                        "detail": "spark-only (no oracle run)"}
+                if len(spark_walls) > 1:
+                    rec["spark_s_runs"] = spark_walls
                 out[name] = rec
                 print(f"{name}\tSPARK-ONLY\t{rec['sec']}s rows={rec['rows']}", flush=True)
                 tmp = args.out + ".tmp"
@@ -128,10 +173,12 @@ def main() -> int:
             t2 = time.perf_counter()
             r = compare(name, _Collected(spark_pdf), oracle_pdf)
             t3 = time.perf_counter()
-            rec = {"ok": bool(r.ok), "sec": round(t3 - t0, 1),
-                   "spark_s": round(t1 - t0, 1), "oracle_s": round(t2 - t1, 1),
+            rec = {"ok": bool(r.ok), "sec": round(spark_s + (t3 - t1), 1),
+                   "spark_s": spark_s, "oracle_s": round(t2 - t1, 1),
                    "compare_s": round(t3 - t2, 1),
                    "detail": None if r.ok else str(r)}
+            if len(spark_walls) > 1:
+                rec["spark_s_runs"] = spark_walls
         except Exception as e:  # recorded, sweep continues
             rec = {"ok": False, "sec": round(time.perf_counter() - t0, 1),
                    "detail": f"ERR {type(e).__name__}: {e}"}
