@@ -949,3 +949,48 @@ def test_sizing_prejobs_memoized_once_per_table_stat(spark, specs, monkeypatch):
     # benchmark-shingle count (Bloom), documents corpus_stats (LSH gate),
     # embeddings corpus_stats (semdedup gate)
     assert len(set(calls)) <= 4, sorted(set(calls))
+
+
+def test_iterative_graph_loops_checkpoint_edge_lineage(spark, tmp_path):
+    """r11 (r10 verdict item 7): the r10 scale fix localCheckpoints the
+    edge list (and per-round state) ONCE before every iterative graph
+    loop — without it each iteration's job re-executes the caller's full
+    upstream lineage (for the corpus pipelines that lineage is the
+    shingle→Jaccard pair computation, re-run per round). Pin the contract
+    mechanically: feed edges derived from a parquet scan, and assert the
+    RESULT's plan reads from the checkpointed RDD with the parquet scan
+    GONE from its lineage. A refactor that drops the checkpoint puts the
+    parquet scan back in the final plan and fails here."""
+    from pyspark.sql import functions as F
+
+    from gfe_db_spark.plans.graph_algos import (
+        bfs_distances,
+        connected_components,
+        pagerank,
+    )
+
+    epath = str(tmp_path / "edges.parquet")
+    spark.createDataFrame(
+        [(i, (i + 1) % 7) for i in range(7)] + [(10, 11)], "src long, dst long"
+    ).write.parquet(epath)
+    edges = spark.read.parquet(epath).filter(F.col("src") >= 0)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+
+    results = {
+        "connected_components": connected_components(nodes, edges, max_iter=3),
+        "pagerank": pagerank(nodes, edges, iters=2),
+        "bfs_distances": bfs_distances(edges, source=0, iters=2),
+    }
+    for name, df in results.items():
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "ExistingRDD" in plan or "LogicalRDD" in plan, (
+            f"{name}: no checkpointed RDD in final plan\n{plan}"
+        )
+        assert "parquet" not in plan.lower(), (
+            f"{name}: edge parquet scan leaked past the checkpoint — the "
+            f"loop would re-execute caller lineage per iteration\n{plan}"
+        )
