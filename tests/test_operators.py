@@ -2241,3 +2241,15 @@ def test_mixed_duplication_slice_pins_gate_choice_and_plan_identity(spark, tmp_p
     }
     chosen = {tuple(r) for r in dedup_lsh_pairs(spark, dst).collect()}
     assert chosen == ungated == gated
+
+    # prescale path (builds LARGE near-threshold slices from a small
+    # distinct source): payloads must stay all-distinct after the P-way
+    # expansion, and the Zipf head must apply on top of it
+    dst2 = str(tmp_path / "sfmix_pre")
+    stats2 = mk.make_mixed(src, dst2, target_ratio=0.94, prescale=3)
+    assert stats2["documents"]["rows"] > 3 * (stats["documents"]["rows"] // 2)
+    docs2 = spark.read.parquet(f"{dst2}/documents.parquet")
+    assert docs2.groupBy("text").count().agg(F.max("count")).collect()[0][0] >= 2
+    assert docs2.select("doc_id").distinct().count() == docs2.count()
+    n2, nd2 = corpus_stats(spark, dst2, "documents")
+    assert _use_digest_gate(spark, dst2) is (nd2 < GATE_DISTINCT_RATIO * n2)

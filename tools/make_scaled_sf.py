@@ -121,7 +121,7 @@ def check_fk_bounds(
 
 # mixed-mode per-table recipe: (key column, payload column to judge
 # distinctness by, SQL template for the near-dup variant of that payload,
-# extra SELECT rewrites applied to variant rows only)
+# SQL template for the --prescale distinctifying edit)
 _MIXED = {
     "documents": (
         "doc_id",
@@ -132,6 +132,10 @@ _MIXED = {
         # assumed)
         r"regexp_replace(text, '^((?:\S+\s+){2})\S+', "
         r"'\1nd' || CAST(r.i AS VARCHAR))",
+        # prescale edit: APPEND a marker token (position disjoint from the
+        # variant edit so prescale replicas of the same doc landing in two
+        # head classes cannot produce identical variants)
+        "text || ' u' || CAST(p.j AS VARCHAR)",
     ),
     "customer": (
         "c_custkey",
@@ -139,10 +143,18 @@ _MIXED = {
         # last-character edit: levenshtein distance 1 from the head name,
         # the shape entity matching's delete-neighborhood must catch
         "substr(c_name, 1, len(c_name) - 1) || chr(CAST(65 + r.i % 26 AS INTEGER))",
+        "c_name || ' u' || CAST(p.j AS VARCHAR)",
     ),
     # embeddings: exact-copy classes only (no variant expression) — array
-    # payloads dedup by exact equality
-    "embeddings": ("vec_id", "embedding", None),
+    # payloads dedup by exact equality; prescale perturbs one coordinate
+    "embeddings": (
+        "vec_id",
+        "embedding",
+        None,
+        "CAST(list_transform(range(1, len(embedding) + 1), "
+        "q -> CASE WHEN q = 1 THEN embedding[1] + 0.001 * p.j "
+        "ELSE embedding[q] END) AS FLOAT[])",
+    ),
 }
 
 
@@ -167,10 +179,18 @@ def make_mixed(
     target_ratio: float = 0.94,
     head: int | None = None,
     threads: int = 16,
+    prescale: int = 1,
 ) -> dict[str, dict]:
     """Build the mixed-duplication slice; returns per-table achieved stats
     ({table: {rows, distinct_payload, ratio, head, zipf_c}}) so callers
-    (and the gate-chooser test) can pin behavior against ACTUAL stats."""
+    (and the gate-chooser test) can pin behavior against ACTUAL stats.
+
+    ``prescale`` > 1 first expands each duplicated table P-way with
+    ALL-DISTINCT edited payloads (append-token / coordinate-perturb) and
+    P-offset keys, THEN applies the Zipf head on the expanded set — the
+    way to build a LARGE near-threshold slice from a small distinct
+    source (a 10x uniform slice like sf1 is already 10-way exact-dup, so
+    mixing on top of it can only reach ratio ~= 1/10)."""
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads={threads}")
@@ -184,12 +204,13 @@ def make_mixed(
                 f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
             )
             continue
-        key, payload, variant_sql = _MIXED[t]
-        (n_rows,) = con.execute(
+        key, payload, variant_sql, prescale_sql = _MIXED[t]
+        (n_src,) = con.execute(
             f"SELECT COUNT(*) FROM read_parquet('{src}/{t}.parquet')"
         ).fetchone()
-        if n_rows == 0:
+        if n_src == 0:
             raise SystemExit(f"{t}: empty source table")
+        n_rows = n_src * prescale
         h = head if head is not None else max(6, n_rows // 500)
         c = zipf_head_scale(n_rows, h, target_ratio, variant_sql is not None)
         (mx,) = con.execute(
@@ -203,10 +224,33 @@ def make_mixed(
                 f"DESCRIBE SELECT * FROM read_parquet('{src}/{t}.parquet')"
             ).fetchall()
         ]
+        # stage 1: the prescaled, all-distinct-payload base (`pre`)
+        pre_exprs = []
+        for col in cols:
+            if col == key:
+                pre_exprs.append(f"(s.{col} + p.j * {stride}) AS {col}")
+            elif col == payload and prescale > 1:
+                pre_exprs.append(
+                    f"CASE WHEN p.j = 0 THEN s.{col} ELSE {prescale_sql} "
+                    f"END AS {col}"
+                )
+            elif col == "n_chars" and t == "documents" and prescale > 1:
+                pre_exprs.append(
+                    f"len(CASE WHEN p.j = 0 THEN s.text ELSE {prescale_sql} "
+                    "END) AS n_chars"
+                )
+            else:
+                pre_exprs.append(f"s.{col}")
+        # bare payload names inside the templates resolve against the sole
+        # row source of each stage (parquet `s` / CTE `d`) — no aliasing
+        pre_sel = ", ".join(pre_exprs)
+        pre_stride = stride * prescale
+
+        # stage 2: Zipf replication with near-dup variants over `pre`
         exprs = []
         for col in cols:
             if col == key:
-                exprs.append(f"(d.{col} + r.i * {stride}) AS {col}")
+                exprs.append(f"(d.{col} + r.i * {pre_stride}) AS {col}")
             elif col == payload and variant_sql is not None:
                 exprs.append(
                     f"CASE WHEN r.i > 0 AND r.i % 5 = 1 THEN {variant_sql} "
@@ -225,11 +269,15 @@ def make_mixed(
         con.execute(
             f"""
             COPY (
-              WITH ranked AS (
+              WITH pre AS (
+                SELECT {pre_sel}
+                FROM read_parquet('{src}/{t}.parquet') s
+                CROSS JOIN (SELECT unnest(range({prescale})) AS j) p
+              ), ranked AS (
                 SELECT {key} AS k,
                        row_number() OVER (
                          ORDER BY md5(CAST({key} AS VARCHAR))) AS rnk
-                FROM read_parquet('{src}/{t}.parquet')
+                FROM pre
               ), counts AS (
                 SELECT k,
                        CASE WHEN rnk <= {h}
@@ -238,7 +286,7 @@ def make_mixed(
                 FROM ranked
               )
               SELECT {sel}
-              FROM read_parquet('{src}/{t}.parquet') d
+              FROM pre d
               JOIN counts ON counts.k = d.{key}
               CROSS JOIN LATERAL (
                 SELECT unnest(range(counts.n_copies)) AS i) r
@@ -271,10 +319,19 @@ def main() -> int:
     ap.add_argument("--mode", choices=["uniform", "mixed"], default="uniform")
     ap.add_argument("--target-ratio", type=float, default=0.94)
     ap.add_argument("--head", type=int, default=None)
+    ap.add_argument(
+        "--prescale",
+        type=int,
+        default=1,
+        help="mixed mode: expand the source P-way with all-distinct edited "
+        "payloads BEFORE the Zipf head (build large near-threshold slices "
+        "from a small distinct source)",
+    )
     args = ap.parse_args()
     if args.mode == "mixed":
         stats = make_mixed(
-            args.src, args.dst, args.target_ratio, args.head, args.threads
+            args.src, args.dst, args.target_ratio, args.head, args.threads,
+            args.prescale,
         )
         with open(os.path.join(args.dst, "_mixed_stats.json"), "w") as f:
             import json
