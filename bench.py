@@ -121,6 +121,12 @@ def main() -> None:
     # phase (the same code/data swung 43-55s suite walls within one
     # day, AB_BENCH_r10.md) — scale cross-round comparisons by the
     # calib ratio before reading any per-query delta as a regression.
+    #
+    # Runs AFTER the timed query loop (r11 advice): in r11 it ran
+    # before, which warmed the JVM ~2.4s beyond what r10-and-earlier
+    # suites saw and skewed cross-round suite-total comparisons. Host
+    # phases last hours, so an after-suite anchor measures the same
+    # phase; r11's calib_s (pre-suite) remains comparable within ~5%.
     def _calib_job():
         spark.range(200_000_000).selectExpr("sum(id)").collect()
         (
@@ -132,13 +138,15 @@ def main() -> None:
             .collect()
         )
 
-    _calib_job()  # untimed: compile the calib plan shape itself
-    calib = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        _calib_job()
-        dt = time.perf_counter() - t0
-        calib = dt if calib is None else min(calib, dt)
+    def _run_calib() -> float:
+        _calib_job()  # untimed: compile the calib plan shape itself
+        calib = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _calib_job()
+            dt = time.perf_counter() - t0
+            calib = dt if calib is None else min(calib, dt)
+        return calib
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
@@ -158,6 +166,8 @@ def main() -> None:
         timings[name] = round(best, 4)
         total += best
         spark.catalog.clearCache()
+
+    calib = _run_calib()
 
     extras = _bench_gfe_build(spark)
     extras.update(_bench_incremental_load(spark))

@@ -32,12 +32,69 @@ class QuerySpec:
 # earned driver-green rows in CORRECTNESS_r01.json (generic SQL forms and
 # the classic TPC-H suite).
 PRIORITY: tuple[str, ...] = (
-    # ---- Round-11 window, positions 1-50: the never-in-r10 cohort,
-    # stalest-first by last driver-window appearance (computed from
-    # CORRECTNESS_r1..r10 keys): the r5-era sampling/streaming/TPC-H/
-    # timeseries rows, then the r6-era generic-SQL and join/agg forms.
+    # ---- Round-12 window, positions 1-50: the four r11 plan-changed
+    # entries first (their plans changed in r11 and have only internal
+    # verification since), then the stalest driver cohort (last
+    # driver-checked r6, then r7, then the first 13 of r8 — computed
+    # from CORRECTNESS_r1..r11 keys, alphabetical within a round).
     # Everything past the window is checked by the full sf0.001 oracle
     # sweep inside pytest each run.
+    "knn_ivf_trained",
+    "semdedup_prune",
+    "bloom_decontaminate",
+    "corpus_prep_pipeline_v2",
+    "a12_bool_all_reduce",
+    "a13_monotonicity_guard",
+    "a6_array_set_union",
+    "a7_label_counts",
+    "j7_anti_join",
+    "j_full_outer_join",
+    "j_semi_join",
+    "q11_important_balance",
+    "q16_supplier_count_distribution",
+    "q9_profit_by_nation_year",
+    "range_band_join",
+    "so_intersect",
+    "asof_last_purchase",
+    "c_scalar_suite",
+    "corpus_sample",
+    "dedup_exact",
+    "dedup_simhash",
+    "embedding_quantize",
+    "event_funnel",
+    "knn_brute_force",
+    "knn_ivf",
+    "multimodal_features",
+    "multimodal_metadata",
+    "q20_quantity_threshold_suppliers",
+    "skew_salted_count_distinct",
+    "text_bigram_lm",
+    "text_lang_id",
+    "text_quality_scores",
+    "text_redact_pii",
+    "text_split_assign",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    "text_vocab_top",
+    "logreg_quality_train",
+    "mixture_resample",
+    "mode_per_group",
+    "q12_priority_class",
+    "q21_waiting_suppliers",
+    "regression_moments_by_flag",
+    "retention_cohorts",
+    "rfm_segmentation",
+    "rolling_spend_7d",
+    "shard_by_token_budget",
+    "stream_static_enrich",
+    "stream_stream_join",
+    "table_profile",
+    # ---- r8 remainder (leads the r13 window), then prior order
+    "text_ngram_novelty",
+    "text_repetition_stats",
+    "w_relative_rank",
+    "weighted_sample_priority",
+    "zorder_layout",
     "imgt_stream_scan",
     "domain_cap_sample",
     "stratified_sample",
@@ -88,13 +145,9 @@ PRIORITY: tuple[str, ...] = (
     "j2_dimension_chain",
     "j4_composite_key_join",
     "j6_cross_join_singleton",
-    # ---- prior-round windows follow (r10 cohort first), unchanged order
     "dedup_lsh_pairs",
     "dedup_minhash_est",
     "entity_match_blocking",
-    "bloom_decontaminate",
-    "corpus_prep_pipeline_v2",
-    "semdedup_prune",
     "benchmark_contamination",
     "corpus_prep_pipeline",
     "leakage_safe_split",
@@ -137,16 +190,7 @@ PRIORITY: tuple[str, ...] = (
     "event_crosstab",
     "incremental_agg_merge",
     "knn_ivf_pq",
-    "knn_ivf_trained",
     "knn_pq_adc",
-    "logreg_quality_train",
-    "mixture_resample",
-    "mode_per_group",
-    "q12_priority_class",
-    "q21_waiting_suppliers",
-    "regression_moments_by_flag",
-    "retention_cohorts",
-    "rfm_segmentation",
     "ann_lsh_buckets",
     "text_boilerplate_strip",
     "corpus_prep_pipeline_v3",
@@ -187,49 +231,6 @@ PRIORITY: tuple[str, ...] = (
     "q14_promo_effect",
     "q15_top_supplier",
     "q17_small_quantity",
-    "asof_last_purchase",
-    "c_scalar_suite",
-    "corpus_sample",
-    "dedup_exact",
-    "dedup_simhash",
-    "embedding_quantize",
-    "event_funnel",
-    "knn_brute_force",
-    "knn_ivf",
-    "multimodal_features",
-    "multimodal_metadata",
-    "q20_quantity_threshold_suppliers",
-    "skew_salted_count_distinct",
-    "text_bigram_lm",
-    "text_lang_id",
-    "text_quality_scores",
-    "text_redact_pii",
-    "text_split_assign",
-    "text_tfidf_top_terms",
-    "text_token_stats",
-    "text_vocab_top",
-    "j7_anti_join",
-    "j_full_outer_join",
-    "j_semi_join",
-    "range_band_join",
-    "so_intersect",
-    "a6_array_set_union",
-    "a7_label_counts",
-    "a12_bool_all_reduce",
-    "a13_monotonicity_guard",
-    "q9_profit_by_nation_year",
-    "q11_important_balance",
-    "q16_supplier_count_distribution",
-    "rolling_spend_7d",
-    "shard_by_token_budget",
-    "stream_static_enrich",
-    "stream_stream_join",
-    "table_profile",
-    "text_ngram_novelty",
-    "text_repetition_stats",
-    "w_relative_rank",
-    "weighted_sample_priority",
-    "zorder_layout",
 )
 
 

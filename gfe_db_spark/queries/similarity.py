@@ -104,7 +104,7 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrors the rule) — Lloyd's touches 1/4 of the corpus instead of
     training having to scan everything per iteration."""
     emb = table(spark, sf_dir, "embeddings")
-    cents = SIM.ivf_train(emb, k=4, iters=2, sample_mod=IVF_SAMPLE_MOD)
+    cents = SIM.ivf_train(emb, k=IVF_K, iters=2, sample_mod=IVF_SAMPLE_MOD)
     assigned = SIM.ivf_assign(emb, cents)
     query = emb.filter(F.col("vec_id") == 0).select("embedding")
     return SIM.ivf_topk(assigned, cents, query, k=10, n_probe=2)
@@ -119,16 +119,24 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: must train on the identical subset).
 IVF_SAMPLE_MOD = 4
 
+#: number of trained centroids for the registered trained-IVF entries
+#: (knn_ivf_trained, semdedup_prune). ONE source of truth shared by the
+#: Spark call sites AND the oracle CTE's LIMIT — changing k in one place
+#: without the other would silently diverge engine from oracle (r11
+#: advice).
+IVF_K = 4
+
 #: sampled-training CTE prefix shared by KNN_IVF_TRAINED_SQL and
-#: SEMDEDUP_SQL: `tr` = the training sample; c0 = the k lowest-id sample
-#: vectors with centroid_id 0..k-1 by id rank (ivf_train's enumerate()).
+#: SEMDEDUP_SQL: `tr` = the training sample; c0 = the IVF_K lowest-id
+#: sample vectors with centroid_id 0..k-1 by id rank (ivf_train's
+#: enumerate()).
 _SAMPLED_TRAIN_CTE = f"""
 WITH tr AS (
   SELECT vec_id, embedding FROM embeddings WHERE vec_id % {IVF_SAMPLE_MOD} = 0
 ), c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS centroid_id,
          CAST(embedding AS DOUBLE[]) AS centroid
-  FROM tr ORDER BY vec_id LIMIT 4
+  FROM tr ORDER BY vec_id LIMIT {IVF_K}
 ),"""
 
 
@@ -562,8 +570,9 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gfe_db_spark.operators.dedup import _dot
 
     emb = table(spark, sf_dir, "embeddings")
-    K = 4  # one source of truth: the trained k also sizes the
-    # cluster_head_pairs broadcast-gate payload estimate (r8 advice)
+    K = IVF_K  # shared with the oracle CTE's LIMIT; the trained k also
+    # sizes the cluster_head_pairs broadcast-gate payload estimate
+    # (r8 advice)
     cents = SIM.ivf_train(emb, k=K, iters=2, sample_mod=IVF_SAMPLE_MOD)
     assigned = SIM.ivf_assign(emb, cents)
     if _use_embedding_gate(spark, sf_dir):

@@ -237,7 +237,13 @@ def main() -> int:
                 spark_rows, cols, dtypes = _spark_side()
                 spark_walls.append(round(time.perf_counter() - ts, 1))
             prior = record.get(name, {}).get("spark_s")
-            if prior and len(spark_walls) == 1 and spark_walls[0] > 1.5 * prior:
+            # `is not None` + floored ratio base: a recorded 0.0 wall must
+            # still adjudicate (see sweep_parity.py).
+            if (
+                prior is not None
+                and len(spark_walls) == 1
+                and spark_walls[0] > 1.5 * max(prior, 0.1)
+            ):
                 ts = time.perf_counter()
                 spark_rows, cols, dtypes = _spark_side()
                 spark_walls.append(round(time.perf_counter() - ts, 1))

@@ -144,10 +144,13 @@ def main() -> int:
                 spark_pdf = spec.fn(spark, args.sf_dir).toPandas()
                 spark_walls.append(round(time.perf_counter() - ts, 1))
             prior = record.get(name, {}).get("spark_s")
+            # `is not None`, not truthiness: sub-0.05s entries round to a
+            # recorded 0.0, which must still adjudicate (floor the ratio
+            # base at 0.1s like gen_parity_md.py does).
             if (
-                prior
+                prior is not None
                 and len(spark_walls) == 1
-                and spark_walls[0] > 1.5 * prior
+                and spark_walls[0] > 1.5 * max(prior, 0.1)
             ):
                 # wall exceeds the committed record: adjudicate in-sweep
                 # (warm re-run) instead of leaving it to a manual footnote
