@@ -650,6 +650,60 @@ def test_bloom_probe_is_broadcast_only(spark, specs):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def _final_aqe_span(df) -> str:
+    """The `== Final Plan ==` section of an EXECUTED DataFrame's formatted
+    explain (AQE finalizes exchange reuse at runtime; the static explain
+    shows k independent broadcasts that ReuseExchange later collapses)."""
+    plan = plan_of(df)
+    assert "isFinalPlan=true" in plan, "call an action on df before this"
+    return plan.split("== Final Plan ==", 1)[1].split("== Initial Plan ==", 1)[0]
+
+
+def test_bloom_probe_single_broadcast_reused(spark):
+    # bloom_probe's k probe joins must all hang off ONE BroadcastExchange
+    # of the sparse (word, bits) table — the word table can be ~m_bits/32
+    # rows (up to ~2M at m=2**26), so re-deriving the broadcast subtree
+    # per probe iteration (breaking canonicalization) would build and
+    # ship it k times. Contract: final AQE plan has exactly 1
+    # BroadcastExchange and k-1 ReusedExchange nodes pointing at it.
+    from gfe_db_spark.operators.dedup import bloom_bitset, bloom_probe
+
+    k = 3
+    words = spark.createDataFrame([(f"t{i}",) for i in range(50)], ["shingle"])
+    bloom = bloom_bitset(words, term_col="shingle", m_bits=4096, k=k)
+    docs = spark.createDataFrame(
+        [(i, f"t{i % 70}") for i in range(200)], ["doc_id", "shingle"]
+    )
+    probed = bloom_probe(docs, bloom, term_col="shingle", m_bits=4096, k=k)
+    probed.collect()
+    span = _final_aqe_span(probed)
+    builds = re.findall(r"BroadcastExchange \(\d+\)", span)
+    reuses = re.findall(r"ReusedExchange \(\d+\)", span)
+    assert len(builds) == 1, f"expected ONE word-table broadcast, got {builds}"
+    assert len(reuses) == k - 1, f"expected {k - 1} reuses, got {reuses}"
+
+
+def test_bloom_decontaminate_broadcast_counts(spark, specs):
+    # End-to-end form of the contract above (r11 verdict watch item 2):
+    # the registered query's final AQE plan builds exactly TWO broadcasts
+    # — the word table (reused by the other k-1 probe joins) and the
+    # exact-verification channel — never one per probe join.
+    from collections import Counter
+
+    df = run(specs, spark, "bloom_decontaminate")
+    df.collect()
+    span = _final_aqe_span(df)
+    builds = re.findall(r"BroadcastExchange \(\d+\)", span)
+    assert len(builds) == 2, f"expected word-table + exact-channel, got {builds}"
+    # k-1 = 2 probe joins must point at the SAME build.
+    targets = Counter(
+        re.findall(r"\(\d+\) ReusedExchange \[Reuses operator id: (\d+)\]", plan_of(df))
+    )
+    assert targets and max(targets.values()) >= 2, (
+        f"no broadcast reused k-1 times — probe loop re-derives it: {targets}"
+    )
+
+
 def test_simhash_hamming_is_block_keyed_join(spark, specs):
     # Candidate generation must be an equi-join on (block_id, block_val) —
     # pigeonhole banding, never an all-pairs product over fingerprints.
@@ -951,8 +1005,9 @@ def test_sizing_prejobs_memoized_once_per_table_stat(spark, specs, monkeypatch):
     assert len(set(calls)) <= 4, sorted(set(calls))
 
 
-def test_iterative_graph_loops_checkpoint_edge_lineage(spark, tmp_path):
-    """r11 (r10 verdict item 7): the r10 scale fix localCheckpoints the
+@pytest.mark.parametrize("mode", ["local", "reliable"])
+def test_iterative_graph_loops_checkpoint_edge_lineage(spark, tmp_path, mode):
+    """r11 (r10 verdict item 7): the r10 scale fix checkpoints the
     edge list (and per-round state) ONCE before every iterative graph
     loop — without it each iteration's job re-executes the caller's full
     upstream lineage (for the corpus pipelines that lineage is the
@@ -960,7 +1015,15 @@ def test_iterative_graph_loops_checkpoint_edge_lineage(spark, tmp_path):
     mechanically: feed edges derived from a parquet scan, and assert the
     RESULT's plan reads from the checkpointed RDD with the parquet scan
     GONE from its lineage. A refactor that drops the checkpoint puts the
-    parquet scan back in the final plan and fails here."""
+    parquet scan back in the final plan and fails here.
+
+    r12: both lineage-cut modes — executor-pinned localCheckpoint (the
+    single-node default) AND reliable .checkpoint() selected automatically
+    when a checkpoint dir is configured (the cluster-scale mode: survives
+    executor loss mid-loop). Same contract must hold either way, and the
+    reliable mode must actually write checkpoint files."""
+    import os
+
     from pyspark.sql import functions as F
 
     from gfe_db_spark.plans.graph_algos import (
@@ -980,17 +1043,33 @@ def test_iterative_graph_loops_checkpoint_edge_lineage(spark, tmp_path):
         .distinct()
     )
 
-    results = {
-        "connected_components": connected_components(nodes, edges, max_iter=3),
-        "pagerank": pagerank(nodes, edges, iters=2),
-        "bfs_distances": bfs_distances(edges, source=0, iters=2),
-    }
-    for name, df in results.items():
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
-        assert "ExistingRDD" in plan or "LogicalRDD" in plan, (
-            f"{name}: no checkpointed RDD in final plan\n{plan}"
-        )
-        assert "parquet" not in plan.lower(), (
-            f"{name}: edge parquet scan leaked past the checkpoint — the "
-            f"loop would re-execute caller lineage per iteration\n{plan}"
-        )
+    ckpt_dir = str(tmp_path / "ckpt")
+    if mode == "reliable":
+        spark.sparkContext.setCheckpointDir(ckpt_dir)
+    try:
+        results = {
+            "connected_components": connected_components(nodes, edges, max_iter=3),
+            "pagerank": pagerank(nodes, edges, iters=2),
+            "bfs_distances": bfs_distances(edges, source=0, iters=2),
+        }
+        for name, df in results.items():
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+            assert "ExistingRDD" in plan or "LogicalRDD" in plan, (
+                f"{name}: no checkpointed RDD in final plan\n{plan}"
+            )
+            assert "parquet" not in plan.lower(), (
+                f"{name}: edge parquet scan leaked past the checkpoint — the "
+                f"loop would re-execute caller lineage per iteration\n{plan}"
+            )
+        if mode == "reliable":
+            written = [
+                os.path.join(r, f)
+                for r, _, fs in os.walk(ckpt_dir)
+                for f in fs
+            ]
+            assert written, "reliable mode configured but no checkpoint files written"
+    finally:
+        # py4j passes None as null; Scala's Option(null) resets the dir so
+        # later tests keep the executor-pinned default.
+        spark.sparkContext.setCheckpointDir(None)  # type: ignore[arg-type]
+        assert spark.sparkContext.getCheckpointDir() is None
