@@ -2170,6 +2170,47 @@ def test_aggregate_checksum_referee_render_contract(spark, tmp_path):
     assert got == want
 
 
+def test_union_find_cc_referee_equals_recursive_oracle():
+    """r12 (r11 verdict item 2): the large-slice referee for the CC family
+    replaces the oracle's recursive-CTE transitive closure with a linear
+    Python union-find (tools/sweep_agg_oracle.rewrite_cc_oracle_with_
+    union_find) — the recursion materializes up to |component|^2 rows per
+    component and was the 25+ min straggler on 645-way-class edge sets.
+    Pin the surgery: for EVERY entry routed through the rewrite, the
+    rewritten oracle must produce row-for-row the same result as the
+    registered recursive oracle on the same DuckDB connection (sf0.001 —
+    real near-dup components present). No Spark involved: this isolates
+    the rewrite itself."""
+    import importlib.util
+    import os
+
+    from tests.conftest import SF_SMOKE
+
+    spec = importlib.util.spec_from_file_location(
+        "sweep_agg_oracle",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "sweep_agg_oracle.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from gfe_db_spark.queries import all_queries
+    from gfe_db_spark.testing import duckdb_connection
+
+    specs = all_queries()
+    assert mod.CC_UNION_FIND_ENTRIES <= set(specs)
+    for name in sorted(mod.CC_UNION_FIND_ENTRIES):
+        con = duckdb_connection(SF_SMOKE)
+        sql = specs[name].sql
+        want = con.execute(sql).fetchall()  # registered recursive oracle
+        rewritten = mod.rewrite_cc_oracle_with_union_find(con, sql)
+        assert "reach" not in rewritten.lower().replace("unreach", ""), name
+        got = con.execute(rewritten).fetchall()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want)), (
+            f"{name}: union-find rewrite diverges from the recursive closure"
+        )
+        assert want, f"{name}: vacuous pin (oracle returned 0 rows at sf0.001)"
+
+
 def test_mixed_duplication_slice_pins_gate_choice_and_plan_identity(spark, tmp_path):
     """r11 (r10 verdict item 3): the uniform scaled slices only exercise
     the duplication-adaptive choosers at the extremes (all-distinct at

@@ -173,6 +173,40 @@ def zipf_head_scale(n_rows: int, head: int, target_ratio: float, with_variants: 
     return max(head + 1, int(s / harmonic))
 
 
+def zipf_text_expr(vocab: int, doc_id_col: str = "s.doc_id",
+                   text_col: str = "s.text") -> str:
+    """SQL that REWRITES a document's text as a deterministic Zipf-vocab
+    token sequence (same token count as the source text).
+
+    Why (r11 verdict missing item 2 / next-round item 3): the driver's
+    synthetic corpus draws from ~30 words, so its 3-gram vocabulary is
+    tiny (38k shingles, max df 392, every df the same order of
+    magnitude) — Σdf² dominates exact Jaccard in a regime no real corpus
+    has, and a benchmark SAMPLE's shingles cover every document (which
+    degenerated corpus_prep_pipeline_v2 to 0 rows on the large mixed
+    slice). A Zipf(1) vocabulary gives the df spectrum real text has:
+    a handful of stopword-like trigrams with df in the thousands, a long
+    df-1 tail, max-df spanning decades.
+
+    Sampling is the exact inverse-CDF of Zipf s=1 (CDF(r) ≈ ln r / ln V):
+    rank = exp(u·ln V) with u hashed from (doc_id, position) via the
+    repo's md5-LE32 contract — fully deterministic, no RNG state, so
+    regeneration is reproducible byte-for-byte."""
+    u = (
+        f"((md5_number_upper(CAST({doc_id_col} AS VARCHAR) || ':' || "
+        f"CAST(p AS VARCHAR) || ':zt') & 4294967295) + 0.5) / 4294967296.0"
+    )
+    rank = (
+        f"least({vocab}, greatest(1, "
+        f"CAST(floor(exp(({u}) * ln({vocab}))) AS BIGINT)))"
+    )
+    return (
+        "array_to_string(list_transform("
+        f"range(1, len(string_split_regex({text_col}, '\\s+')) + 1), "
+        f"p -> 'tok' || CAST({rank} AS VARCHAR)), ' ')"
+    )
+
+
 def make_mixed(
     src: str,
     dst: str,
@@ -180,6 +214,7 @@ def make_mixed(
     head: int | None = None,
     threads: int = 16,
     prescale: int = 1,
+    zipf_vocab: int = 0,
 ) -> dict[str, dict]:
     """Build the mixed-duplication slice; returns per-table achieved stats
     ({table: {rows, distinct_payload, ratio, head, zipf_c}}) so callers
@@ -190,11 +225,29 @@ def make_mixed(
     P-offset keys, THEN applies the Zipf head on the expanded set — the
     way to build a LARGE near-threshold slice from a small distinct
     source (a 10x uniform slice like sf1 is already 10-way exact-dup, so
-    mixing on top of it can only reach ratio ~= 1/10)."""
+    mixing on top of it can only reach ratio ~= 1/10).
+
+    ``zipf_vocab`` > 0 first rewrites every SOURCE document's text as a
+    deterministic Zipf(1)-vocabulary token sequence (see zipf_text_expr)
+    before the prescale/head stages, so near-dup families and markers
+    layer on top of a realistic shingle-df spectrum."""
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads={threads}")
     stats: dict[str, dict] = {}
+
+    doc_src = f"read_parquet('{src}/documents.parquet')"
+    if zipf_vocab > 0:
+        synth = zipf_text_expr(zipf_vocab)
+        con.execute(
+            f"""
+            CREATE TEMP TABLE zipf_src AS
+            SELECT s.doc_id, {synth} AS text, s.lang, s.source,
+                   len({synth}) AS n_chars
+            FROM read_parquet('{src}/documents.parquet') s
+            """
+        )
+        doc_src = "zipf_src"
 
     src_tables = [t for t in list(KEYED) + list(DIMS)]
     for t in src_tables:
@@ -205,24 +258,19 @@ def make_mixed(
             )
             continue
         key, payload, variant_sql, prescale_sql = _MIXED[t]
-        (n_src,) = con.execute(
-            f"SELECT COUNT(*) FROM read_parquet('{src}/{t}.parquet')"
-        ).fetchone()
+        src_rel = doc_src if t == "documents" else f"read_parquet('{src}/{t}.parquet')"
+        (n_src,) = con.execute(f"SELECT COUNT(*) FROM {src_rel}").fetchone()
         if n_src == 0:
             raise SystemExit(f"{t}: empty source table")
         n_rows = n_src * prescale
         h = head if head is not None else max(6, n_rows // 500)
         c = zipf_head_scale(n_rows, h, target_ratio, variant_sql is not None)
-        (mx,) = con.execute(
-            f"SELECT MAX({key}) FROM read_parquet('{src}/{t}.parquet')"
-        ).fetchone()
+        (mx,) = con.execute(f"SELECT MAX({key}) FROM {src_rel}").fetchone()
         stride = int(mx) + 1
 
         cols = [
             r[0]
-            for r in con.execute(
-                f"DESCRIBE SELECT * FROM read_parquet('{src}/{t}.parquet')"
-            ).fetchall()
+            for r in con.execute(f"DESCRIBE SELECT * FROM {src_rel}").fetchall()
         ]
         # stage 1: the prescaled, all-distinct-payload base (`pre`)
         pre_exprs = []
@@ -271,7 +319,7 @@ def make_mixed(
             COPY (
               WITH pre AS (
                 SELECT {pre_sel}
-                FROM read_parquet('{src}/{t}.parquet') s
+                FROM {src_rel} s
                 CROSS JOIN (SELECT unnest(range({prescale})) AS j) p
               ), ranked AS (
                 SELECT {key} AS k,
@@ -305,6 +353,38 @@ def make_mixed(
             "head": h,
             "zipf_c": c,
         }
+        if t == "documents":
+            # 3-gram shingle df spectrum — the regime knob the Zipf vocab
+            # exists to control. Slicing matches the oracles EXACTLY
+            # (toks[i:i+2] is 3 tokens — DuckDB slices are inclusive); a
+            # hand-rolled variant undercounted 10x once.
+            max_df, n_sh, sum_df2 = con.execute(
+                rf"""
+                WITH t AS (
+                  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                  FROM read_parquet('{dst}/documents.parquet')
+                ), sh AS (
+                  SELECT DISTINCT doc_id, shingle FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                             range(1, greatest(len(toks) - 1, 1)),
+                             i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+                    FROM t
+                  )
+                ), df AS (
+                  SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+                )
+                SELECT MAX(df), COUNT(*), SUM(df * df) FROM df
+                """
+            ).fetchone()
+            stats[t].update(
+                {
+                    "shingle_max_df": int(max_df),
+                    "distinct_shingles": int(n_sh),
+                    "shingle_sum_df2": int(sum_df2),
+                    "zipf_vocab": zipf_vocab,
+                }
+            )
         print(f"{t}: {n} rows, distinct({payload})={nd}, ratio={nd/n:.4f} "
               f"(head={h}, C={c})")
     return stats
@@ -327,11 +407,22 @@ def main() -> int:
         "payloads BEFORE the Zipf head (build large near-threshold slices "
         "from a small distinct source)",
     )
+    ap.add_argument(
+        "--zipf-text",
+        type=int,
+        default=0,
+        metavar="VOCAB",
+        help="mixed mode: rewrite source document text as deterministic "
+        "Zipf(1)-vocabulary token sequences of this vocabulary size "
+        "before replication — gives the shingle-df spectrum real corpora "
+        "have (decades of df range) instead of the driver corpus's "
+        "~30-word vocabulary",
+    )
     args = ap.parse_args()
     if args.mode == "mixed":
         stats = make_mixed(
             args.src, args.dst, args.target_ratio, args.head, args.threads,
-            args.prescale,
+            args.prescale, args.zipf_text,
         )
         with open(os.path.join(args.dst, "_mixed_stats.json"), "w") as f:
             import json

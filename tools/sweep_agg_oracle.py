@@ -36,6 +36,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 import time
 import traceback
@@ -116,6 +117,116 @@ SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common, jaccard
 FROM (SELECT * FROM cross_pairs UNION ALL SELECT * FROM within)
 """,
 }
+
+
+#: entries whose registered oracle closes near-dup pairs into connected
+#: components with a recursive CTE (`reach(node, lab)`). The recursion is
+#: the single-process referee's straggler at large-slice scale: DuckDB
+#: materializes up to |component|^2 (node, label) rows per component
+#: (25+ min on 645-way-class edge sets, r11). The union-find referee
+#: below replaces ONLY that closure with a linear single-process
+#: union-find over the SAME oracle's own `pairs` CTE output — every other
+#: CTE of the registered oracle (gates, shingles, Jaccard threshold,
+#: Bloom, split hash, final aggregation) runs unchanged in DuckDB, so the
+#: value check stays anchored to the registered formulation.
+#: (corpus_prep_pipeline_v3 is the one CC-era spark-only entry NOT here:
+#: its oracle has no recursive CTE — it runs through the normal path.)
+CC_UNION_FIND_ENTRIES = {
+    "dedup_clusters",
+    "dedup_keep_list",
+    "leakage_safe_split",
+    "corpus_prep_pipeline",
+    "corpus_prep_pipeline_v2",
+}
+
+#: the exact transitive-closure CTE shared by every CC-family oracle
+#: (queries/dedup.py _GATED_COMPONENT_CTE and the corpus_prep oracles);
+#: group(1) = the node-universe CTE the closure seeds from.
+_REACH_CTE_RE = re.compile(
+    r",\s*reach\(node, lab\) AS \(\s*"
+    r"SELECT doc_id, doc_id FROM (\w+)\s*"
+    r"UNION\s*"
+    r"SELECT e\.d, r\.lab FROM reach r JOIN edges e ON e\.s = r\.node\s*\)",
+)
+
+#: the min-label aggregation over the closure that the rewrite redirects
+#: at the union-find table (optionally aliased: `node AS rep_id` etc.)
+_REACH_AGG_RE = re.compile(
+    r"SELECT node( AS \w+)?, MIN\(lab\) AS (\w+) FROM reach GROUP BY node"
+)
+
+#: (connection id, prefix, node source) → (nodes, pairs); see
+#: rewrite_cc_oracle_with_union_find.
+_UF_PREFIX_CACHE: dict = {}
+
+
+def rewrite_cc_oracle_with_union_find(con, sql: str) -> str:
+    """Run the CC-family oracle's own prefix CTEs (through `pairs`) in
+    DuckDB, compute components with a linear union-find in Python, register
+    them as ``uf_comp(node, lab)`` (lab = min doc_id in the component —
+    the same labeling the recursive closure's MIN(lab) produces), and
+    return the oracle SQL with the recursive closure replaced by a read of
+    that table. Raises if the SQL doesn't contain the exact closure shape
+    (a drifted oracle must fail loudly, never half-rewrite silently)."""
+    m = _REACH_CTE_RE.search(sql)
+    if m is None:
+        raise ValueError("oracle has no reach(node, lab) closure to replace")
+    node_src = m.group(1)
+    prefix = sql[: m.start()]  # all CTEs through `edges`, closed
+    rest = sql[m.end() :]  # begins at the CTE after `reach`
+    # The pairs CTE is the oracle's expensive part (the gated shingle
+    # self-join — ~10 min on the 54k-doc mixed slice) and three of the
+    # five CC entries share the identical prefix: memoize per
+    # (connection, prefix). DuckDB prunes the now-unreferenced
+    # pairs/edges CTEs from the rewritten query, so this is the ONLY
+    # evaluation of that join per prefix.
+    key = (id(con), prefix, node_src)
+    if key not in _UF_PREFIX_CACHE:
+        nodes = [
+            r[0]
+            for r in con.execute(f"{prefix} SELECT doc_id FROM {node_src}").fetchall()
+        ]
+        pairs = con.execute(f"{prefix} SELECT doc_a, doc_b FROM pairs").fetchall()
+        _UF_PREFIX_CACHE[key] = (nodes, pairs)
+    nodes, pairs = _UF_PREFIX_CACHE[key]
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+
+    import pyarrow as pa
+
+    con.register(
+        "uf_comp",
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "lab": pa.array([comp_min[find(n)] for n in nodes], pa.int64()),
+            }
+        ),
+    )
+    rewritten, n_subs = _REACH_AGG_RE.subn(
+        lambda mm: f"SELECT node{mm.group(1) or ''}, lab AS {mm.group(2)} FROM uf_comp",
+        rest,
+    )
+    if n_subs != 1:
+        raise ValueError(f"expected exactly one MIN(lab) closure read, got {n_subs}")
+    return prefix + rewritten
 
 
 def _spark_render(name: str, dtype: str) -> str:
@@ -252,6 +363,9 @@ def main() -> int:
                 _duck_render(c, dtypes[c]) for c in cols
             )
             oracle_sql = AGG_SQL_OVERRIDES.get(name, spec.sql)
+            uf_mode = name in CC_UNION_FIND_ENTRIES
+            if uf_mode:
+                oracle_sql = rewrite_cc_oracle_with_union_find(con, oracle_sql)
             agg_sql = f"""
             WITH __q AS ({oracle_sql}),
             __r AS (
@@ -277,6 +391,12 @@ def main() -> int:
                 + (
                     ", gated-form oracle (see AGG_SQL_OVERRIDES)"
                     if name in AGG_SQL_OVERRIDES
+                    else ""
+                )
+                + (
+                    ", union-find CC closure (recursive CTE replaced, "
+                    "see rewrite_cc_oracle_with_union_find)"
+                    if uf_mode
                     else ""
                 ),
                 "rows": int(n_total),
