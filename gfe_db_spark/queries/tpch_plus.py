@@ -157,9 +157,14 @@ ORDER BY supp_nation, cust_nation, l_year
 
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: conditional-share aggregate
-    sum(case when)/sum(all) per year over a region-restricted join."""
+    sum(case when)/sum(all) per year over a region-restricted join.
+    Region filter uses the testdata's real region naming (AFRICA —
+    regionkey 0, the region NATION_5 belongs to); the original
+    'REGION_0' literal matched nothing at any scale, so the entry
+    passed its oracle check on 0=0 for eleven rounds (caught by
+    test_no_vacuous_driver_checks, r12)."""
     nation = table(spark, sf_dir, "nation")
-    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_0")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
@@ -203,7 +208,7 @@ WHERE o_custkey IN (
   SELECT c_custkey FROM customer
   JOIN nation n2 ON c_nationkey = n2.n_nationkey
   JOIN region ON n2.n_regionkey = r_regionkey
-  WHERE r_name = 'REGION_0')
+  WHERE r_name = 'AFRICA')
 GROUP BY o_year
 ORDER BY o_year
 """
