@@ -215,6 +215,7 @@ def make_mixed(
     threads: int = 16,
     prescale: int = 1,
     zipf_vocab: int = 0,
+    doc_head: int | None = None,
 ) -> dict[str, dict]:
     """Build the mixed-duplication slice; returns per-table achieved stats
     ({table: {rows, distinct_payload, ratio, head, zipf_c}}) so callers
@@ -263,7 +264,12 @@ def make_mixed(
         if n_src == 0:
             raise SystemExit(f"{t}: empty source table")
         n_rows = n_src * prescale
-        h = head if head is not None else max(6, n_rows // 500)
+        # documents-only head override: fewer/larger head classes push the
+        # max shingle-df past 3 decades (max df ≈ zipf_c + base trigram
+        # overlap) without touching the customer/embeddings class spectra
+        h = doc_head if (t == "documents" and doc_head is not None) else (
+            head if head is not None else max(6, n_rows // 500)
+        )
         c = zipf_head_scale(n_rows, h, target_ratio, variant_sql is not None)
         (mx,) = con.execute(f"SELECT MAX({key}) FROM {src_rel}").fetchone()
         stride = int(mx) + 1
@@ -408,6 +414,13 @@ def main() -> int:
         "from a small distinct source)",
     )
     ap.add_argument(
+        "--doc-head",
+        type=int,
+        default=None,
+        help="mixed mode: head-class count for the documents table only "
+        "(other tables keep --head / the n//500 default)",
+    )
+    ap.add_argument(
         "--zipf-text",
         type=int,
         default=0,
@@ -422,7 +435,7 @@ def main() -> int:
     if args.mode == "mixed":
         stats = make_mixed(
             args.src, args.dst, args.target_ratio, args.head, args.threads,
-            args.prescale, args.zipf_text,
+            args.prescale, args.zipf_text, args.doc_head,
         )
         with open(os.path.join(args.dst, "_mixed_stats.json"), "w") as f:
             import json
