@@ -43,6 +43,10 @@ PRIORITY: tuple[str, ...] = (
     "semdedup_prune",
     "bloom_decontaminate",
     "corpus_prep_pipeline_v2",
+    # q8_market_share joined the window mid-r12: its region filter was
+    # fixed this round (REGION_0 -> AFRICA, the vacuous-check catch), so
+    # its behavior changed and needs a driver check like the other four
+    "q8_market_share",
     "a12_bool_all_reduce",
     "a13_monotonicity_guard",
     "a6_array_set_union",
@@ -225,7 +229,6 @@ PRIORITY: tuple[str, ...] = (
     "q4_order_priority",
     "q5_local_supplier_volume",
     "q7_volume_shipping",
-    "q8_market_share",
     "q10_returned_items",
     "q13_customer_distribution",
     "q14_promo_effect",
