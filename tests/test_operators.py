@@ -2211,6 +2211,53 @@ def test_union_find_cc_referee_equals_recursive_oracle():
         assert want, f"{name}: vacuous pin (oracle returned 0 rows at sf0.001)"
 
 
+def test_zipf_text_expr_deterministic_and_zipf_shaped():
+    """r12 (r11 verdict item 3): the mixed slices synthesize document
+    text from a Zipf(1) vocabulary (make_scaled_sf.zipf_text_expr) so
+    the shingle-df spectrum spans decades like real text. Pin the
+    generator itself: (a) byte-identical across evaluations (hash-based,
+    no RNG state — regenerated slices must reproduce exactly); (b) token
+    count preserved from the source text; (c) the token frequency
+    distribution is actually Zipf-shaped (rank-1 frequency ≈ N/(r·H(V))
+    — check top-rank dominance and a heavy df-1 tail)."""
+    import importlib.util
+    import os
+
+    import duckdb
+
+    spec = importlib.util.spec_from_file_location(
+        "make_scaled_sf",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "make_scaled_sf.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE s AS SELECT i AS doc_id, "
+        "array_to_string(list_transform(range(0, 40), x -> 'w'), ' ') AS text "
+        "FROM range(500) t(i)"
+    )
+    expr = mod.zipf_text_expr(5000, doc_id_col="s.doc_id", text_col="s.text")
+    a = con.execute(f"SELECT {expr} FROM s ORDER BY doc_id").fetchall()
+    b = con.execute(f"SELECT {expr} FROM s ORDER BY doc_id").fetchall()
+    assert a == b, "generator must be deterministic"
+    toks = a[0][0].split(" ")
+    assert len(toks) == 40, "token count must match the source text"
+    counts = con.execute(
+        f"""
+        WITH g AS (SELECT {expr} AS t FROM s),
+        tok AS (SELECT unnest(string_split(t, ' ')) AS w FROM g)
+        SELECT w, COUNT(*) AS c FROM tok GROUP BY w ORDER BY c DESC
+        """
+    ).fetchall()
+    total = sum(c for _, c in counts)
+    # Zipf s=1 over V=5000: P(rank 1) = 1/H(5000) ~= 1/9.1 ~= 11%
+    assert counts[0][0] == "tok1" and counts[0][1] / total > 0.08
+    singletons = sum(1 for _, c in counts if c == 1)
+    assert singletons > len(counts) * 0.3, "expected a heavy df-1 tail"
+
+
 def test_mixed_duplication_slice_pins_gate_choice_and_plan_identity(spark, tmp_path):
     """r11 (r10 verdict item 3): the uniform scaled slices only exercise
     the duplication-adaptive choosers at the extremes (all-distinct at
