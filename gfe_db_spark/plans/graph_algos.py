@@ -25,6 +25,15 @@ job). When the application has configured a reliable checkpoint dir
 every lineage cut here automatically uses reliable `.checkpoint()`
 instead; flip it on for 1000-executor deployments, leave it unset for
 single-node runs.
+
+Checkpoint accumulation (r12 advice): reliable mode writes one
+checkpoint per loop iteration, and with Spark's default
+``spark.cleaner.referenceTracking.cleanCheckpoints=false`` those files
+are never deleted, so the checkpoint dir on HDFS/S3 grows unboundedly in
+a long-running application. Deployments that enable reliable mode should
+also set ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (the
+ContextCleaner then removes each iteration's checkpoint once its RDD is
+garbage-collected), or clear the directory between jobs.
 """
 
 from __future__ import annotations

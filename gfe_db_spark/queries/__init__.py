@@ -31,21 +31,78 @@ class QuerySpec:
 # listed here follow in module order — they are the shapes that already
 # earned driver-green rows in CORRECTNESS_r01.json (generic SQL forms and
 # the classic TPC-H suite).
+#: Entries whose PLAN changed this round (new/behavior-changed since the
+#: last driver check). They lead the driver window ahead of the staleness
+#: rotation; reset this each round. Enforced by
+#: tests/test_window_policy.py.
+PLAN_CHANGED: tuple[str, ...] = ()
+
+#: Driver-window size: the driver's correctness gate checks this many
+#: entries from the head of the registry each round.
+DRIVER_WINDOW = 50
+
 PRIORITY: tuple[str, ...] = (
-    # ---- Round-12 window, positions 1-50: the four r11 plan-changed
-    # entries first (their plans changed in r11 and have only internal
-    # verification since), then the stalest driver cohort (last
-    # driver-checked r6, then r7, then the first 13 of r8 — computed
-    # from CORRECTNESS_r1..r11 keys, alphabetical within a round).
-    # Everything past the window is checked by the full sf0.001 oracle
-    # sweep inside pytest each run.
+    # ---- Round-13 window, positions 1-50 (policy-pinned by
+    # tests/test_window_policy.py): PLAN_CHANGED first (none this round),
+    # then stalest-driver-check-first computed from the committed
+    # CORRECTNESS_r*.json (alphabetical within a round) — the 6 entries
+    # last checked r8, the 39 last checked r9, and the first 5 of the
+    # r10 cohort. Everything past the window is checked by the full
+    # sf0.001 oracle sweep inside pytest each run.
+    "table_profile",
+    "text_ngram_novelty",
+    "text_repetition_stats",
+    "w_relative_rank",
+    "weighted_sample_priority",
+    "zorder_layout",
+    "ann_lsh_buckets",
+    "attribution_last_touch",
+    "attribution_linear",
+    "bpe_encode_corpus",
+    "cdc_apply_changelog",
+    "corpus_prep_pipeline_v3",
+    "dedup_simhash_hamming",
+    "dq_constraint_suite",
+    "ewma_user_value",
+    "fk_integrity_check",
+    "histogram_quantity",
+    "imgt_datasource_scan",
+    "join_cardinality_estimate",
+    "keep_latest_per_user",
+    "multimodal_dedup",
+    "multimodal_frame_sample",
+    "multimodal_phash_dedup",
+    "multimodal_real_decode",
+    "outlier_mad_values",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q2_min_price_part",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "random_projection_distortion",
+    "scd2_point_in_time_join",
+    "sessionize",
+    "sketch_distinct_accuracy",
+    "sketch_heavy_hitters",
+    "sketch_quantile_accuracy",
+    "stream_cdc_apply",
+    "stream_upsert_sink",
+    "stream_user_totals",
+    "table_content_checksum",
+    "text_boilerplate_strip",
+    "alignment_join",
+    "ann_index_append",
+    "ann_topk_join",
+    "association_rules_lift",
+    "benchmark_contamination",
     "knn_ivf_trained",
     "semdedup_prune",
     "bloom_decontaminate",
     "corpus_prep_pipeline_v2",
-    # q8_market_share joined the window mid-r12: its region filter was
-    # fixed this round (REGION_0 -> AFRICA, the vacuous-check catch), so
-    # its behavior changed and needs a driver check like the other four
     "q8_market_share",
     "a12_bool_all_reduce",
     "a13_monotonicity_guard",
@@ -92,13 +149,6 @@ PRIORITY: tuple[str, ...] = (
     "shard_by_token_budget",
     "stream_static_enrich",
     "stream_stream_join",
-    "table_profile",
-    # ---- r8 remainder (leads the r13 window), then prior order
-    "text_ngram_novelty",
-    "text_repetition_stats",
-    "w_relative_rank",
-    "weighted_sample_priority",
-    "zorder_layout",
     "imgt_stream_scan",
     "domain_cap_sample",
     "stratified_sample",
@@ -152,7 +202,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_lsh_pairs",
     "dedup_minhash_est",
     "entity_match_blocking",
-    "benchmark_contamination",
     "corpus_prep_pipeline",
     "leakage_safe_split",
     "dedup_keep_list",
@@ -175,13 +224,9 @@ PRIORITY: tuple[str, ...] = (
     "gfe_end_to_end",
     "gfe_naming",
     "w6_dense_rank_accession",
-    "alignment_join",
-    "ann_topk_join",
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
     "tumbling_window",
-    "ann_index_append",
-    "association_rules_lift",
     "bpe_train_merges",
     "bpe_vocab_stats",
     "chisq_independence",
@@ -195,45 +240,6 @@ PRIORITY: tuple[str, ...] = (
     "incremental_agg_merge",
     "knn_ivf_pq",
     "knn_pq_adc",
-    "ann_lsh_buckets",
-    "text_boilerplate_strip",
-    "corpus_prep_pipeline_v3",
-    "sessionize",
-    "stream_user_totals",
-    "stream_upsert_sink",
-    "imgt_datasource_scan",
-    "keep_latest_per_user",
-    "attribution_last_touch",
-    "attribution_linear",
-    "ewma_user_value",
-    "stream_cdc_apply",
-    "scd2_point_in_time_join",
-    "cdc_apply_changelog",
-    "multimodal_frame_sample",
-    "multimodal_real_decode",
-    "multimodal_dedup",
-    "multimodal_phash_dedup",
-    "bpe_encode_corpus",
-    "dedup_simhash_hamming",
-    "sketch_distinct_accuracy",
-    "sketch_quantile_accuracy",
-    "sketch_heavy_hitters",
-    "join_cardinality_estimate",
-    "random_projection_distortion",
-    "outlier_mad_values",
-    "histogram_quantity",
-    "table_content_checksum",
-    "dq_constraint_suite",
-    "fk_integrity_check",
-    "q2_min_price_part",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q17_small_quantity",
 )
 
 

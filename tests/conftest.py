@@ -4,8 +4,12 @@ import pytest
 
 from gfe_db_spark.session import get_spark
 
-SF_SMOKE = "/root/testdata/sf0.001"
-SF_CORRECT = "/root/testdata/sf0.01"
+#: single source of truth for the driver-generated testdata root — every
+#: test derives scale dirs from here (r12 advice: no inline literals).
+TESTDATA_ROOT = "/root/testdata"
+SF_SMOKE = f"{TESTDATA_ROOT}/sf0.001"
+SF_CORRECT = f"{TESTDATA_ROOT}/sf0.01"
+SF_BENCH = f"{TESTDATA_ROOT}/sf0.1"
 
 
 @pytest.fixture(scope="session")

@@ -50,7 +50,8 @@ def test_cli_build_with_kir(spark, tmp_path):
 
 
 def test_cli_query_and_list(spark, tmp_path, capsys):
-    rc = main(["query", "a7_label_counts", "--sf-dir", "/root/testdata/sf0.001",
+    from tests.conftest import SF_SMOKE
+    rc = main(["query", "a7_label_counts", "--sf-dir", SF_SMOKE,
                "-o", str(tmp_path / "res")])
     assert rc == 0
     assert spark.read.parquet(str(tmp_path / "res")).count() > 0

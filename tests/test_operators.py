@@ -835,7 +835,8 @@ def test_incremental_dup_flags_planted(spark):
 def test_pq_self_codes_and_adc_zero(spark):
     """Codeword-source vectors encode to their own id in every subspace
     (self-distance 0), and the query's own ADC distance is exactly 0."""
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from tests.conftest import SF_SMOKE
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     cb = SIM.pq_codebook(emb, m=4, ks=8)
     assert cb.count() == 32
     codes = SIM.pq_encode(emb, cb, m=4)
@@ -2292,7 +2293,8 @@ def test_mixed_duplication_slice_pins_gate_choice_and_plan_identity(spark, tmp_p
     mk = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mk)
 
-    src = "/root/testdata/sf0.001"
+    from tests.conftest import SF_SMOKE
+    src = SF_SMOKE
     if not os.path.isdir(src):
         import pytest
 

@@ -8,7 +8,7 @@ import pytest
 
 from gfe_db_spark.queries import all_queries
 from gfe_db_spark.testing import compare, duckdb_connection
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_BENCH, SF_CORRECT, SF_SMOKE
 
 _SPECS = {name: spec for name, spec in all_queries().items()}
 
@@ -42,9 +42,9 @@ def test_query_matches_oracle(spark, oracle_con, name):
 #:     sf0.01 up — only the sf0.001 slice is sparse enough for a nation
 #:     to lack suppliers.
 EMPTY_AT_GATE_SCALE: dict[str, str] = {
-    "q22_global_sales_opportunity": "/root/testdata/sf0.1",
-    "j7_anti_join": "/root/testdata/sf0.1",
-    "so1_except": "/root/testdata/sf0.001",
+    "q22_global_sales_opportunity": SF_BENCH,
+    "j7_anti_join": SF_BENCH,
+    "so1_except": SF_SMOKE,
 }
 
 
@@ -59,7 +59,7 @@ def test_no_vacuous_driver_checks(spark):
     here until it's either fixed or pinned with an escalation scale.
     First catch: q8_market_share filtered on a region name that doesn't
     exist in the testdata — empty at EVERY scale, green for 11 rounds."""
-    con = duckdb_connection("/root/testdata/sf0.01")
+    con = duckdb_connection(SF_CORRECT)
     newly_empty = []
     for name, spec in sorted(_SPECS.items()):
         if spec.sql is None or name in EMPTY_AT_GATE_SCALE:

@@ -155,8 +155,9 @@ _REACH_AGG_RE = re.compile(
     r"SELECT node( AS \w+)?, MIN\(lab\) AS (\w+) FROM reach GROUP BY node"
 )
 
-#: (connection id, prefix, node source) → (nodes, pairs); see
-#: rewrite_cc_oracle_with_union_find.
+#: (connection id, prefix, node source) → (connection, nodes, pairs); the
+#: connection is held strongly so its id cannot be recycled while cached —
+#: see rewrite_cc_oracle_with_union_find.
 _UF_PREFIX_CACHE: dict = {}
 
 
@@ -179,7 +180,13 @@ def rewrite_cc_oracle_with_union_find(con, sql: str) -> str:
     # five CC entries share the identical prefix: memoize per
     # (connection, prefix). DuckDB prunes the now-unreferenced
     # pairs/edges CTEs from the rewritten query, so this is the ONLY
-    # evaluation of that join per prefix.
+    # evaluation of that join per prefix. The cache entry holds a strong
+    # reference to the connection itself (r12 advice): keyed on id(con)
+    # alone, a GC'd connection's id could be reused by a NEW connection
+    # over a different dataset whose prefix SQL is textually identical
+    # (prefix SQL names tables, not paths) and silently serve the first
+    # dataset's nodes/pairs. Pinning the connection makes its id stable
+    # for the cache's lifetime.
     key = (id(con), prefix, node_src)
     if key not in _UF_PREFIX_CACHE:
         nodes = [
@@ -187,8 +194,8 @@ def rewrite_cc_oracle_with_union_find(con, sql: str) -> str:
             for r in con.execute(f"{prefix} SELECT doc_id FROM {node_src}").fetchall()
         ]
         pairs = con.execute(f"{prefix} SELECT doc_a, doc_b FROM pairs").fetchall()
-        _UF_PREFIX_CACHE[key] = (nodes, pairs)
-    nodes, pairs = _UF_PREFIX_CACHE[key]
+        _UF_PREFIX_CACHE[key] = (con, nodes, pairs)
+    _, nodes, pairs = _UF_PREFIX_CACHE[key]
 
     parent = {n: n for n in nodes}
 
