@@ -148,6 +148,33 @@ def main() -> None:
             calib = dt if calib is None else min(calib, dt)
         return calib
 
+    # Python-side calibration anchor (r12 verdict item 3): the JVM calib
+    # above cannot see Python/Arrow-side host phases (the build bench
+    # spends its wall in mapInPandas EMBL parsing — a different resource
+    # profile than codegen'd SQL), which left ~11% same-JVM-calib
+    # residual variance unattributable (AB_BENCH_r12.md). This anchor
+    # times a fixed in-process parse of 500 synthetic EMBL records —
+    # pure single-thread Python, no Spark — so a build-throughput move
+    # can be split into host-phase (calib_py_s moved too) vs real.
+    def _calib_py() -> float:
+        from gfe_db_spark.sources.imgt import parse_embl_record
+        from gfe_db_spark.testing_fixtures import synthetic_allele_records
+
+        recs = synthetic_allele_records(2000)
+
+        def job():
+            for rec in recs:
+                parse_embl_record(rec)
+
+        job()  # untimed warm pass (interns/caches, code objects hot)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            job()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     total = 0.0
@@ -168,24 +195,35 @@ def main() -> None:
         spark.catalog.clearCache()
 
     calib = _run_calib()
+    calib_py = _calib_py()
 
     extras = _bench_gfe_build(spark)
     extras.update(_bench_incremental_load(spark))
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-                "calib_s": round(calib, 4),
-                **extras,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+        "calib_s": round(calib, 4),
+        "calib_py_s": round(calib_py, 4),
+        **extras,
+    }
+    print(json.dumps(result))
+
+    # Auto-refresh the committed trend file so it can't go stale a round
+    # (r12 verdict item 2). Only for a full run at the default scale —
+    # sf0.001 probes and subset runs aren't trend-comparable.
+    if SF_DIR == "/root/testdata/sf0.1" and len(timings) == len(BENCH_QUERIES):
+        try:
+            sys.path.insert(0, os.path.join(_REPO, "tools"))
+            from gen_bench_trend import write_trend
+
+            write_trend(_REPO, result)
+        except Exception:
+            pass  # the trend file is evidence, never a bench failure
 
 
 def _bench_gfe_build(spark) -> dict:
@@ -229,13 +267,66 @@ def _bench_gfe_build(spark) -> dict:
             finally:
                 spark.catalog.clearCache()
                 shutil.rmtree(tmp, ignore_errors=True)
+        phases = _build_phase_walls(spark, n)
         return {
             "build_alleles_per_s": round(n / best, 1),
             "build_n_alleles": n,
             "build_wall_s": round(best, 2),
+            **phases,
         }
     except Exception:
         return {}
+
+
+def _build_phase_walls(spark, n: int) -> dict:
+    """One extra INSTRUMENTED build run with a materialization barrier
+    after each phase, so a build-throughput move is attributable to a
+    phase from a single bench run (r12 verdict item 3 — the ~11%
+    same-calib residual variance needed an A/B session to localize).
+    Phases: parse (mapInPandas EMBL → cached alleles), build (feature
+    fan-out + GFE naming + accession-registry commit), load (graph MERGE
+    layout). The phase sum exceeds build_wall_s slightly — the barriers
+    add a cache materialization the headline pipelined run doesn't pay —
+    so compare phases ACROSS rounds, not against build_wall_s."""
+    import shutil
+    import tempfile
+
+    from gfe_db_spark.plans.accession import AccessionRegistry
+    from gfe_db_spark.plans.build import build_release
+    from gfe_db_spark.plans.load import load_release
+    from gfe_db_spark.sources.imgt import read_imgt_dat
+    from gfe_db_spark.testing_fixtures import write_synthetic_dat
+
+    tmp = tempfile.mkdtemp(prefix="gfe_bench_phase_")
+    try:
+        dat = write_synthetic_dat(tmp, "3560", n)
+        t0 = time.perf_counter()
+        alleles = read_imgt_dat(spark, dat).cache()
+        alleles.write.format("noop").mode("overwrite").save()
+        t1 = time.perf_counter()
+        built = build_release(
+            spark, alleles, "3560", AccessionRegistry(spark, f"{tmp}/registry")
+        )
+        for df in (built.gfe_sequences, built.all_features, built.all_groups,
+                   built.all_cds, built.errors):
+            df.write.format("noop").mode("overwrite").save()
+        t2 = time.perf_counter()
+        graph = load_release(spark, built, "3560")
+        for _, df in graph.items():
+            df.write.format("noop").mode("overwrite").save()
+        t3 = time.perf_counter()
+        return {
+            "build_phase_walls": {
+                "parse_s": round(t1 - t0, 2),
+                "build_s": round(t2 - t1, 2),
+                "load_s": round(t3 - t2, 2),
+            }
+        }
+    except Exception:
+        return {}
+    finally:
+        spark.catalog.clearCache()
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _bench_incremental_load(spark) -> dict:
