@@ -35,7 +35,14 @@ class QuerySpec:
 #: last driver check). They lead the driver window ahead of the staleness
 #: rotation; reset this each round. Enforced by
 #: tests/test_window_policy.py.
-PLAN_CHANGED: tuple[str, ...] = ()
+PLAN_CHANGED: tuple[str, ...] = (
+    # r13: dedup split out of the mixed count_distinct+approx agg — the
+    # HLL partial state was keyed (wday, user_id) through the dedup
+    # shuffle (~13 KB/row; 227-402 s at sf10 -> 6-11 s). Result is
+    # bit-identical (HLL is duplicate-insensitive) but the plan changed,
+    # so it needs a fresh driver check.
+    "rolling_distinct_users_7d_approx",
+)
 
 #: Driver-window size: the driver's correctness gate checks this many
 #: entries from the head of the registry each round.
@@ -43,12 +50,13 @@ DRIVER_WINDOW = 50
 
 PRIORITY: tuple[str, ...] = (
     # ---- Round-13 window, positions 1-50 (policy-pinned by
-    # tests/test_window_policy.py): PLAN_CHANGED first (none this round),
-    # then stalest-driver-check-first computed from the committed
+    # tests/test_window_policy.py): PLAN_CHANGED first, then
+    # stalest-driver-check-first computed from the committed
     # CORRECTNESS_r*.json (alphabetical within a round) — the 6 entries
-    # last checked r8, the 39 last checked r9, and the first 5 of the
-    # r10 cohort. Everything past the window is checked by the full
-    # sf0.001 oracle sweep inside pytest each run.
+    # last checked r8, the 39 at r9, and the first 4 of the r10 cohort.
+    # Everything past the window is checked by the full sf0.001 oracle
+    # sweep inside pytest each run.
+    "rolling_distinct_users_7d_approx",
     "table_profile",
     "text_ngram_novelty",
     "text_repetition_stats",
@@ -156,7 +164,6 @@ PRIORITY: tuple[str, ...] = (
     "pack_sequences",
     "stream_dedup",
     "rolling_distinct_users_7d",
-    "rolling_distinct_users_7d_approx",
     "timeseries_gapfill_locf",
     "order_backlog_daily",
     "nation_revenue_share",

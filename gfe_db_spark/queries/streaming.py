@@ -917,7 +917,23 @@ def rolling_distinct_users_7d_approx(spark: SparkSession, sf_dir: str) -> DataFr
     only the day-level sketch inputs (never per-user rows duplicated),
     and the accuracy contract is asserted the family's usual way: exact
     counts anchor the hash, each engine checks its own sketch lands within
-    the band."""
+    the band.
+
+    Plan shape (r13, found by the sf10 growth probe): the dedup is its
+    OWN exchange (`.distinct()` — narrow (user_id, wday) rows, map-side
+    partial dedup), and the wday aggregate runs count(*) +
+    approx_count_distinct over the already-distinct rows. The naive
+    single `groupBy(wday).agg(count_distinct, approx_count_distinct)`
+    plans through planAggregateWithOneDistinct, which keys the PARTIAL
+    HLL state by (wday, user_id) — ~1.6k longs of rsd-0.01 sketch buffer
+    per DISTINCT PAIR carried through the dedup shuffle (~13 KB/row ×
+    hundreds of millions of pairs at sf10: measured 227–402 s,
+    spill-bound). Splitting dedup from aggregation keeps HLL state
+    per-wday only (~30 groups): measured 6–11 s warm at sf10, ~25×.
+    HLL registers are duplicate-insensitive,
+    so the sketch over deduped rows is bit-identical, and count(*) over
+    distinct rows IS count_distinct. Pinned by test_plan_contracts (no
+    user_id-keyed approx partial state allowed in the final plan)."""
     ev = table(spark, sf_dir, "events")
     day = F.expr("unix_timestamp(ts) div 86400")
     du = ev.select("user_id", day.alias("day")).distinct()
@@ -925,11 +941,11 @@ def rolling_distinct_users_7d_approx(spark: SparkSession, sf_dir: str) -> DataFr
     win = du.select(
         "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("wday")
     )
+    dedup = win.join(F.broadcast(days), "wday").distinct()
     return (
-        win.join(F.broadcast(days), "wday")
-        .groupBy("wday")
+        dedup.groupBy("wday")
         .agg(
-            F.count_distinct("user_id").alias("n_exact"),
+            F.count(F.lit(1)).alias("n_exact"),
             F.approx_count_distinct("user_id", 0.01).alias("n_approx"),
         )
         .select(

@@ -1073,3 +1073,27 @@ def test_iterative_graph_loops_checkpoint_edge_lineage(spark, tmp_path, mode):
         # later tests keep the executor-pinned default.
         spark.sparkContext.setCheckpointDir(None)  # type: ignore[arg-type]
         assert spark.sparkContext.getCheckpointDir() is None
+
+
+def test_rolling_approx_hll_state_never_keyed_by_user(spark, specs):
+    """rolling_distinct_users_7d_approx (r13, found by the sf10 growth
+    probe): the naive mixed `agg(count_distinct, approx_count_distinct)`
+    plans through planAggregateWithOneDistinct, which keys the PARTIAL
+    HLL buffer (~1.6k longs at rsd 0.01, ~13 KB/row) by
+    (wday, user_id) — one sketch per DISTINCT PAIR through the dedup
+    shuffle (measured 227-402 s at sf10, spill-bound; 6-11 s after the
+    split). The contract: no aggregate node may compute approx state
+    with user_id among its grouping keys — the sketch exists per
+    window-day only, the dedup is its own narrow exchange."""
+    plan = plan_of(run(specs, spark, "rolling_distinct_users_7d_approx"))
+    assert "approx_count_distinct" in plan  # the sketch is still there
+    last_keys = ""
+    for line in plan.splitlines():
+        s = line.strip()
+        if s.startswith("Keys ["):
+            last_keys = s
+        elif s.startswith("Functions [") and "approx_count_distinct" in s:
+            assert "user_id" not in last_keys, (
+                "HLL partial state is keyed by user_id — the "
+                "planAggregateWithOneDistinct regression:\n" + last_keys
+            )
