@@ -36,12 +36,14 @@ class QuerySpec:
 #: rotation; reset this each round. Enforced by
 #: tests/test_window_policy.py.
 PLAN_CHANGED: tuple[str, ...] = (
-    # r13: dedup split out of the mixed count_distinct+approx agg — the
-    # HLL partial state was keyed (wday, user_id) through the dedup
-    # shuffle (~13 KB/row; 227-402 s at sf10 -> 6-11 s). Result is
-    # bit-identical (HLL is duplicate-insensitive) but the plan changed,
-    # so it needs a fresh driver check.
+    # r13: dedup split out of the mixed count_distinct+approx_count_distinct
+    # aggregate in BOTH entries of that shape — the HLL partial state was
+    # keyed (group, user_id) through the dedup shuffle (~13 KB/row;
+    # 227-402 s at sf10 -> 6-20 s). Results are bit-identical (HLL is
+    # duplicate-insensitive; count(*) over distinct rows == count_distinct)
+    # but the plans changed, so they need fresh driver checks.
     "rolling_distinct_users_7d_approx",
+    "sketch_distinct_accuracy",
 )
 
 #: Driver-window size: the driver's correctness gate checks this many
@@ -53,10 +55,11 @@ PRIORITY: tuple[str, ...] = (
     # tests/test_window_policy.py): PLAN_CHANGED first, then
     # stalest-driver-check-first computed from the committed
     # CORRECTNESS_r*.json (alphabetical within a round) — the 6 entries
-    # last checked r8, the 39 at r9, and the first 4 of the r10 cohort.
+    # last checked r8, then the r9 cohort, then the head of r10.
     # Everything past the window is checked by the full sf0.001 oracle
     # sweep inside pytest each run.
     "rolling_distinct_users_7d_approx",
+    "sketch_distinct_accuracy",
     "table_profile",
     "text_ngram_novelty",
     "text_repetition_stats",
@@ -94,7 +97,6 @@ PRIORITY: tuple[str, ...] = (
     "random_projection_distortion",
     "scd2_point_in_time_join",
     "sessionize",
-    "sketch_distinct_accuracy",
     "sketch_heavy_hitters",
     "sketch_quantile_accuracy",
     "stream_cdc_apply",

@@ -740,12 +740,22 @@ def sketch_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle. Approximate values can't hash-match across engines, so the
     entry checks the ACCURACY CONTRACT instead: exact counts anchor the
     hash, and each engine asserts ITS OWN sketch lands within 5% of exact
-    — stable booleans on deterministic data (HLL's default rsd is ~2%)."""
+    — stable booleans on deterministic data (HLL's default rsd is ~2%).
+
+    Plan shape (r13, same fix as rolling_distinct_users_7d_approx): the
+    (event_type, user_id) dedup is its OWN narrow exchange; the mixed
+    `agg(count_distinct, approx_count_distinct)` form would plan the
+    partial HLL buffer (~1.6k longs at rsd 0.01) keyed per DISTINCT
+    (event_type, user_id) pair through the dedup shuffle. count(*) over
+    distinct rows is count_distinct, and HLL registers are
+    duplicate-insensitive, so the result is bit-identical. Pinned by
+    test_plan_contracts (no user_id-keyed approx partial state)."""
     ev = table(spark, sf_dir, "events")
+    dedup = ev.select("event_type", "user_id").distinct()
     return (
-        ev.groupBy("event_type")
+        dedup.groupBy("event_type")
         .agg(
-            F.count_distinct("user_id").alias("n_exact"),
+            F.count(F.lit(1)).alias("n_exact"),
             # rsd=0.01: Spark's default 0.05 means 1σ = 5%, so a 2σ-wide
             # band needs ≥10%; tightening the sketch instead keeps the
             # asserted contract meaningful (10% band ≈ 10σ at rsd 0.01)

@@ -1075,17 +1075,20 @@ def test_iterative_graph_loops_checkpoint_edge_lineage(spark, tmp_path, mode):
         assert spark.sparkContext.getCheckpointDir() is None
 
 
-def test_rolling_approx_hll_state_never_keyed_by_user(spark, specs):
-    """rolling_distinct_users_7d_approx (r13, found by the sf10 growth
-    probe): the naive mixed `agg(count_distinct, approx_count_distinct)`
+@pytest.mark.parametrize(
+    "name", ["rolling_distinct_users_7d_approx", "sketch_distinct_accuracy"]
+)
+def test_rolling_approx_hll_state_never_keyed_by_user(spark, specs, name):
+    """Mixed exact+sketch aggregates (r13, found by the sf10 growth
+    probe): the naive `agg(count_distinct, approx_count_distinct)`
     plans through planAggregateWithOneDistinct, which keys the PARTIAL
     HLL buffer (~1.6k longs at rsd 0.01, ~13 KB/row) by
-    (wday, user_id) — one sketch per DISTINCT PAIR through the dedup
+    (group, user_id) — one sketch per DISTINCT PAIR through the dedup
     shuffle (measured 227-402 s at sf10, spill-bound; 6-11 s after the
     split). The contract: no aggregate node may compute approx state
     with user_id among its grouping keys — the sketch exists per
-    window-day only, the dedup is its own narrow exchange."""
-    plan = plan_of(run(specs, spark, "rolling_distinct_users_7d_approx"))
+    group only, the dedup is its own narrow exchange."""
+    plan = plan_of(run(specs, spark, name))
     assert "approx_count_distinct" in plan  # the sketch is still there
     last_keys = ""
     for line in plan.splitlines():
