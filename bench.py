@@ -184,6 +184,13 @@ def main() -> None:
         fn = specs[name].fn
         best = None
         for _ in range(runs):
+            # Clear BEFORE every timed run, not just between queries (r13
+            # measurement fix): some operators persist() a compact
+            # intermediate so plan branches share one materialization
+            # WITHIN a run; without this clear, run 2 of best-of-N would
+            # read run 1's cache instead of computing from parquet. Every
+            # timed run now provably starts cache-cold.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             # Force full execution without driver-side materialization cost.

@@ -596,7 +596,15 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     from gfe_db_spark.operators import spread_small_input
 
     docs = spread_small_input(docs)
-    return docs.select(F.col(id_col).alias("doc_id"), _simhash(F.col(text_col)).alias("simhash64"))
+    # asNondeterministic: downstream null-filters on the fingerprint
+    # otherwise get pushed below the spread repartition and the optimizer
+    # DUPLICATES the pandas UDF (one ArrowEvalPython feeding the pushed
+    # filter, a second re-computing the column above the exchange) — every
+    # text crossed the Python boundary twice, measured in the r13 plan
+    # audit. SimHash is value-deterministic per row; the flag is purely an
+    # optimizer fence (spark_optimization_guide §4.4).
+    sh = _simhash.asNondeterministic()
+    return docs.select(F.col(id_col).alias("doc_id"), sh(F.col(text_col)).alias("simhash64"))
 
 
 def simhash_hamming_pairs(
@@ -691,8 +699,20 @@ def _simhash_classes(
     join instead of k — without this, k identical docs put k²/2
     candidate pairs in a single (block_id, block_val) bucket and the
     bit_count verify + distinct() do quadratic work on them."""
-    members = sig.filter(F.col(sig_col).isNotNull()).select(
-        F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sig")
+    members = (
+        sig.filter(F.col(sig_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), F.col(sig_col).alias("sig"))
+        # Explicit sig-keyed shuffle so every consumer branch shares ONE
+        # exchange (guide §2.4): column pruning otherwise specializes the
+        # class aggregation per consumer (partial_min for the banded
+        # side, partial_collect_list for the pair-expansion legs), the
+        # specialized subtrees no longer canonicalize equal, and
+        # exchange reuse re-runs the corpus scan + Python fingerprint
+        # pass per specialization (2 full passes measured in the r13
+        # stage audit). With the shuffle pinned here the scan + UDF run
+        # exactly once; each consumer re-aggregates the compact 16-byte
+        # (doc_id, sig) rows from the reused exchange instead.
+        .repartition(F.col("sig"))
     )
     # rep AND the member list from ONE keyed aggregation — consumers that
     # only band on (sig, rep) project `ids` away before any explode, and

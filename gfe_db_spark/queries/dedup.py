@@ -931,7 +931,7 @@ def corpus_prep_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("cleaned").alias("text")
     )
     n_tok = F.size(F.filter(tokenize(F.col("text")), lambda t: t != "")).cast("long")
-    gated = cleaned.withColumn("n_tokens", n_tok).filter(F.col("n_tokens") >= 5)
+    gated = cleaned.filter(n_tok >= 5).repartition(F.col("doc_id"))
     # Drop-list form, not pair expansion: `simhash_neardup_drops` collapses
     # exact-duplicate fingerprints into signature classes before the banded
     # join, so a corpus dominated by exact duplicates stays linear here
