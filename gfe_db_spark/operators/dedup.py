@@ -64,11 +64,20 @@ def shingles(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), "\\s+").alias("toks")
     )
     tk = F.col("toks")
+    # Unrolled element_at reads instead of slice()+concat_ws over an array:
+    # slice allocates an n-element array per shingle just to concatenate
+    # it; indexing the token array directly skips that allocation. Same
+    # output strings (r13: 0 differing rows at sf0.1). Isolated explode
+    # ~25% faster; end-to-end it shows where the suite is CPU-bound —
+    # lock-step A/B pairwise 0.92-0.94x at local[8] for the
+    # contamination/LSH entries, wall-neutral at local[32].
     sh = F.when(
         F.size(tk) >= n,
         F.transform(
             F.sequence(F.lit(0), F.size(tk) - F.lit(n)),
-            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tk, i + F.lit(j + 1)) for j in range(n)]
+            ),
         ),
     ).otherwise(F.array().cast("array<string>"))
     out = toked.select("doc_id", F.explode(sh).alias("shingle"))
@@ -136,6 +145,7 @@ def incremental_dup_flags(
     batch_sigs: DataFrame,
     bands: int = 4,
     rows_per_band: int = 2,
+    batch_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dedup: flag each NEW batch doc that LSH-collides
     with the EXISTING corpus — the shape every continuously-crawled
@@ -151,7 +161,17 @@ def incremental_dup_flags(
     corpus streams through the broadcast hash join — with the bucketed
     materialization the scan additionally prunes to the batch's
     (band, band_hash) buckets. No pair materialization — just the
-    distinct set of batch ids that collide at least once."""
+    distinct set of batch ids that collide at least once.
+
+    ``batch_ids`` (optional): a one-column (doc_id) frame listing exactly
+    the batch docs that produced signatures. Without it the id list is
+    derived from ``batch_sigs`` itself, and because column pruning
+    specializes that branch's aggregate (no min-hash functions) it does
+    NOT canonicalize equal to the band-key branch, so exchange reuse
+    misses and the whole batch shingle+minhash pipeline runs a second
+    time just to list ids (r13 stage audit). Callers that know the
+    batch's shingle-existence predicate (size(split(text)) >= n) should
+    pass that cheap scan here instead."""
     corpus_banded = _band_keys(corpus_sigs, bands, rows_per_band)
     batch_banded = _band_keys(batch_sigs, bands, rows_per_band).withColumnRenamed(
         "doc_id", "batch_doc_id"
@@ -162,9 +182,9 @@ def incremental_dup_flags(
         .distinct()
         .withColumn("_dup", F.lit(True))
     )
+    ids = batch_ids if batch_ids is not None else batch_sigs.select("doc_id")
     return (
-        batch_sigs.select("doc_id")
-        .join(dup_ids, "doc_id", "left")
+        ids.join(dup_ids, "doc_id", "left")
         .select("doc_id", F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"))
     )
 

@@ -625,7 +625,18 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 10 == 0)
     corpus_sigs = DD.minhash_signatures(DD.shingles(corpus, n=3, distinct=False), num_hashes=8)
     batch_sigs = DD.minhash_signatures(DD.shingles(batch, n=3, distinct=False), num_hashes=8)
-    return DD.incremental_dup_flags(corpus_sigs, batch_sigs, bands=4, rows_per_band=2)
+    # batch_ids: a doc has a MinHash signature iff it has >= n tokens
+    # (shingles yields no rows otherwise), so the output id list is this
+    # cheap token-count scan — not a second full shingle+minhash pass of
+    # the batch, which is what deriving ids from batch_sigs costs once
+    # column pruning specializes the aggregate (r13 stage audit: one of
+    # the three heavy stages here was exactly that recompute).
+    batch_ids = batch.select("doc_id").where(
+        F.size(F.split(F.col("text"), "\\s+")) >= 3
+    )
+    return DD.incremental_dup_flags(
+        corpus_sigs, batch_sigs, bands=4, rows_per_band=2, batch_ids=batch_ids
+    )
 
 
 DEDUP_INCREMENTAL_SQL = (
