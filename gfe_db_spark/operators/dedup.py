@@ -49,9 +49,17 @@ def shingles(
     Built-ins only: split → sliding window via transform over index array →
     explode. Stays in whole-stage codegen.
 
-    `distinct=True` (needed for Jaccard set semantics) costs a shuffle;
-    min-hashing is multiplicity-insensitive, so the minhash path passes
-    `distinct=False` and skips that shuffle entirely."""
+    `distinct=True` (needed for Jaccard set semantics) dedupes INSIDE the
+    shingle array before the explode (`array_distinct`): every shingle of
+    a doc is generated from that doc's single source row, so per-row array
+    dedup IS the distinct (doc_id, shingle) set — no (doc_id, shingle)
+    shuffle + double hash-aggregate, which previously re-serialized and
+    re-hashed every distinct shingle string across an exchange (r13: one
+    Exchange removed from every distinct-shingle consumer; callers must
+    feed unique doc_ids, which every call site does — they pass PK-keyed
+    docs or per-class representatives). Min-hashing is
+    multiplicity-insensitive, so the minhash path passes `distinct=False`
+    and skips even the array dedup."""
     # shingling fans out ~50× per doc — spread compact inputs first
     from gfe_db_spark.operators import spread_small_input
 
@@ -80,8 +88,18 @@ def shingles(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    out = toked.select("doc_id", F.explode(sh).alias("shingle"))
-    return out.distinct() if distinct else out
+    if distinct:
+        sh = F.array_distinct(sh)
+    # NOTE (r13, negative result): do NOT emit a precomputed per-doc size
+    # column by exploding a projected array attribute — once the generator
+    # input is a bare attribute, InferFiltersFromGenerate adds a
+    # size(e)>0 filter and predicate pushdown substitutes the WHOLE
+    # split+transform+array_distinct expression into it below the spread
+    # exchange (with the split inlined per element_at), roughly doubling
+    # task CPU (measured 13.4 -> 29.3 s on dedup_ngram_jaccard at sf0.1).
+    # Exploding the complex expression directly, as here, is what keeps
+    # that inference off.
+    return toked.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 def minhash_signatures(

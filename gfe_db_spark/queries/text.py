@@ -672,11 +672,21 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-keyed rollup — all map-side combinable; never all-pairs."""
     from gfe_db_spark.operators import dedup as DD
 
+    from pyspark.sql.window import Window as W
+
     docs = table(spark, sf_dir, "documents")
+    # df as a COUNT window over the shingle rows instead of agg + join
+    # back (the same shape ngram_jaccard_pairs uses for sizes): the
+    # agg+join form consumed the shingle frame twice, and once shingles()
+    # stopped ending in a distinct() exchange (r13 — per-doc dedup moved
+    # into the shingle array) the two branches re-ran the scan+explode
+    # subtree and paid three pair-sized exchanges between them. The window
+    # form scans once and shuffles the pairs once (plus the tiny per-doc
+    # rollup exchange). df counts distinct (doc, shingle) rows, identical
+    # to the joined agg.
     sh = DD.shingles(docs, n=3)
-    df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
     return (
-        sh.join(df_, "shingle")
+        sh.withColumn("df_", F.count(F.lit(1)).over(W.partitionBy("shingle")))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
