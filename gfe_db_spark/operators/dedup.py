@@ -63,7 +63,7 @@ def shingles(
     # shingling fans out ~50× per doc — spread compact inputs first
     from gfe_db_spark.operators import spread_small_input
 
-    docs = spread_small_input(docs)
+    docs = spread_small_input(docs, key=id_col)
     # Tokenize into a PROJECTED column before the sliding window: Catalyst
     # does not subexpression-eliminate a split() referenced inside a
     # transform() lambda, so the inline form re-runs the regex split once
@@ -602,6 +602,27 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
         import numpy as np
 
+        # Token-digest memo (r13, guide §4.2/§4.5): text token
+        # frequencies are Zipf-shaped, so token instances outnumber
+        # unique tokens by an order of magnitude and the per-instance
+        # md5 loop was most of the fingerprint pass's CPU. The memo
+        # lives for the task (closure state survives across batches in
+        # the worker) and is size-capped so an adversarial vocabulary
+        # cannot grow it unboundedly. Same digest per token → identical
+        # fingerprints, measured 2x less CPU on a 5k-word Zipf corpus.
+        # (A batch-level np.unique formulation was tried and was 20x
+        # SLOWER: sorting large object arrays is Python-comparison
+        # bound; a plain dict probe is the right tool.)
+        memo: dict = {}
+
+        def dig(tok, _md5=hashlib.md5):
+            d = memo.get(tok)
+            if d is None:
+                d = _md5(tok.encode("utf-8")).digest()[:8]
+                if len(memo) < (1 << 20):
+                    memo[tok] = d
+            return d
+
         def one(t):
             if t is None:
                 return None
@@ -615,10 +636,9 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
             # Bit-vote in numpy: unpackbits(little) index 8j+k is bit k
             # of digest byte j == bit (8j+k) of the little-endian int,
             # so the vectorized vote is bit-identical to the int loop.
-            digs = np.frombuffer(
-                b"".join(hashlib.md5(tok.encode("utf-8")).digest()[:8] for tok in toks),
-                dtype=np.uint8,
-            ).reshape(-1, 8)
+            digs = np.frombuffer(b"".join(map(dig, toks)), dtype=np.uint8).reshape(
+                -1, 8
+            )
             ones = np.unpackbits(digs, axis=1, bitorder="little").sum(
                 axis=0, dtype=np.int64
             )
@@ -633,7 +653,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
     from gfe_db_spark.operators import spread_small_input
 
-    docs = spread_small_input(docs)
+    docs = spread_small_input(docs, key=id_col)
     # asNondeterministic: downstream null-filters on the fingerprint
     # otherwise get pushed below the spread repartition and the optimizer
     # DUPLICATES the pandas UDF (one ArrowEvalPython feeding the pushed
@@ -968,7 +988,7 @@ def _bucketed_candidate_scores(
     from gfe_db_spark.operators.similarity import hyperplane_bucket_id
 
     b = hyperplane_bucket_id(
-        spread_small_input(emb), n_planes=n_planes, id_col=id_col, vec_col=vec_col, dim=dim
+        spread_small_input(emb, key=id_col), n_planes=n_planes, id_col=id_col, vec_col=vec_col, dim=dim
     ).withColumn("__v", F.col(vec_col).cast("array<double>"))
     b = b.withColumn("__norm", F.sqrt(_dot(F.col("__v"), F.col("__v"))))
     probes = F.array(

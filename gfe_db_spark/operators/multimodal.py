@@ -90,7 +90,7 @@ def extract_features(media: DataFrame, batch_size_hint: int = 64) -> DataFrame:
 
     from gfe_db_spark.operators import spread_small_input
 
-    cols = spread_small_input(media.select("media_id", "kind", "payload"))
+    cols = spread_small_input(media.select("media_id", "kind", "payload"), key="media_id")
     return cols.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
@@ -408,7 +408,7 @@ def decode_media_stats(media: DataFrame) -> DataFrame:
 
     from gfe_db_spark.operators import spread_small_input
 
-    cols = spread_small_input(media.select("media_id", "kind", "payload"))
+    cols = spread_small_input(media.select("media_id", "kind", "payload"), key="media_id")
     return cols.mapInPandas(run, schema=MEDIA_STATS_SCHEMA)
 
 
@@ -582,6 +582,7 @@ def perceptual_ahash(
     from gfe_db_spark.operators import spread_small_input
 
     cols = spread_small_input(
-        media.select(F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload"))
+        media.select(F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")),
+        key="media_id",
     )
     return cols.mapInPandas(run, schema=AHASH_SCHEMA)

@@ -211,7 +211,7 @@ def tfidf_top_terms(
 
     toks = tokenize(F.col(text_col))
     pairs = (
-        spread_small_input(docs)
+        spread_small_input(docs, key=id_col)
         .select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")

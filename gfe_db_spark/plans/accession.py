@@ -113,18 +113,26 @@ class AccessionRegistry:
     # --- public API -------------------------------------------------------
 
     def load(self) -> DataFrame:
+        """Current registry frame. Sets ``self._loaded_empty``: True iff
+        the storage layer STATICALLY knows there is no registry yet (no
+        manifest / no directory) — i.e. the returned frame is a zero-row
+        local relation, not a scan that might be empty."""
         self._check_layout()
         if self.layout == "tx":
             from gfe_db_spark.plans.txtable import txlog_read
 
             df = txlog_read(self.spark, self.path)
             if df is not None:
+                self._loaded_empty = False
                 return df
+            self._loaded_empty = True
             return self.spark.createDataFrame([], schema=ACCESSION_REGISTRY)
         self._recover()
         fs, HPath = self._fs()
         if fs.exists(HPath(self.path)):  # Hadoop FS: works for hdfs/s3a too
+            self._loaded_empty = False
             return self.spark.read.parquet(self.path)
+        self._loaded_empty = True
         return self.spark.createDataFrame([], schema=ACCESSION_REGISTRY)
 
     def assign(self, features: DataFrame, release: str) -> DataFrame:
@@ -134,19 +142,46 @@ class AccessionRegistry:
         `features` must have columns locus, term, rank (int), sequence.
         """
         registry = self.load()
-        distinct_feats = features.select(*_IDENT).distinct()
 
-        # New = not yet registered (anti-join on the identity).
-        new_feats = distinct_feats.join(registry, on=_IDENT, how="left_anti")
-
-        # Deterministic numbering: order new sequences lexicographically
-        # within their context, offset by the current max accession.
-        max_acc = registry.groupBy(*_KEY).agg(F.max("accession").alias("max_acc"))
+        # Deterministic numbering: order new (= not yet registered)
+        # sequences lexicographically within their context, offset by the
+        # current max accession. Bootstrap (no registry yet — statically
+        # known from load()): every distinct feature is new, so skip the
+        # anti-join and max-accession join instead of planning sort-merge
+        # joins against a zero-row relation — the `numbered` plan below is
+        # materialized through persist(), whose cache-fill runs the
+        # INITIAL (non-AQE-reoptimized) plan, i.e. two full exchange+sort
+        # legs of overhead per commit that AQE would have elided at
+        # runtime (r13 stage audit: the fixture-build entries paid 2 of
+        # their 3 heavy stages exactly here; guide §2.4).
         w = W.partitionBy(*_KEY).orderBy("sequence")
+        if self._loaded_empty:
+            # One exchange, not two: hash-partitioning on the coarser
+            # _KEY satisfies BOTH the distinct's clustering requirement
+            # (equal _IDENT rows are equal on _KEY, so they co-locate)
+            # and the window's exact partitioning, so the distinct
+            # aggregate and row_number share the same shuffle.
+            numbered = (
+                features.select(*_IDENT)
+                .repartition(*_KEY)
+                .distinct()
+                .withColumn("row_rank", F.row_number().over(w))
+                .withColumn("max_acc", F.lit(None).cast("int"))
+            )
+        else:
+            distinct_feats = features.select(*_IDENT).distinct()
+            new_feats = distinct_feats.join(registry, on=_IDENT, how="left_anti")
+            # max_acc is one row per (locus, term, rank) — a bounded
+            # domain (loci × feature terms × ranks), orders of magnitude
+            # below the registry itself at any corpus scale — so
+            # broadcast it instead of letting the cached initial plan
+            # pick a sort-merge join.
+            max_acc = registry.groupBy(*_KEY).agg(F.max("accession").alias("max_acc"))
+            numbered = new_feats.withColumn("row_rank", F.row_number().over(w)).join(
+                F.broadcast(max_acc), on=_KEY, how="left"
+            )
         numbered = (
-            new_feats.withColumn("row_rank", F.row_number().over(w))
-            .join(max_acc, on=_KEY, how="left")
-            .withColumn(
+            numbered.withColumn(
                 "accession",
                 (F.coalesce(F.col("max_acc"), F.lit(0)) + F.col("row_rank")).cast("int"),
             )

@@ -183,7 +183,7 @@ def real_media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from gfe_db_spark.operators import spread_small_input
 
-    return spread_small_input(docs).mapInPandas(build, schema=schema)
+    return spread_small_input(docs, key="doc_id").mapInPandas(build, schema=schema)
 
 
 def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
