@@ -130,6 +130,12 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("band_hash"))
+    # NOTE (r13, negative result): pinning a band-keyed exchange here so
+    # the self-join sides share one minhash pipeline pass (the SimHash
+    # class-exchange pattern) was measured SLOWER end-to-end (16.1 -> 17.9
+    # task CPU s, duel pairwise 1.11): the broadcast-build duplication it
+    # removes is cheaper than the extra exchange materialization. Left
+    # unpinned on evidence.
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -237,7 +243,10 @@ def minhash_jaccard_estimate(
 
 
 def ngram_jaccard_pairs(
-    shingle_df: DataFrame, threshold: float = 0.5, max_bucket_size: int | None = None
+    shingle_df: DataFrame,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+    shared_exchange: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
@@ -254,6 +263,17 @@ def ngram_jaccard_pairs(
     from pyspark.sql.window import Window as W
 
     sh = shingle_df.withColumn("sz", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+    if shared_exchange:
+        # Pin ONE shingle-keyed exchange that BOTH self-join sides (and a
+        # broadcast build, when Catalyst picks one) reuse — the SimHash
+        # class-exchange pattern. Opt-in (gated callers only): shuffling
+        # the exploded shingle strings costs MORE than re-running the
+        # explode when the upstream is a plain scan (r13 A/B: ungated
+        # jaccard 10.4 -> 22.7 task CPU s with the pin), but LESS when the
+        # upstream carries the digest-gate md5 window, which the join's
+        # broadcast-build side otherwise re-derives in full
+        # (dedup_clusters 59 -> 40 with the pin).
+        sh = sh.repartition(F.col("shingle"))
     if max_bucket_size is not None:
         sh = sh.withColumn(
             "df_", F.count(F.lit(1)).over(W.partitionBy("shingle"))
@@ -458,7 +478,7 @@ def ngram_jaccard_pairs_gated(
     members, reps = _exact_class_map(docs, n, text_col, id_col)
     sh = shingles(reps, n=n)
     rep_pairs = ngram_jaccard_pairs(
-        sh, threshold=threshold, max_bucket_size=max_bucket_size
+        sh, threshold=threshold, max_bucket_size=max_bucket_size, shared_exchange=True
     )
     cross = _expand_rep_pairs(rep_pairs, members, "n_common", "jaccard")
     if threshold <= 1.0:
@@ -529,7 +549,10 @@ def neardup_components(
     )
     reps = cls.filter(F.col("doc_id") == F.col("rep_id"))
     pairs = ngram_jaccard_pairs(
-        shingles(reps, n=n), threshold=threshold, max_bucket_size=max_bucket_size
+        shingles(reps, n=n),
+        threshold=threshold,
+        max_bucket_size=max_bucket_size,
+        shared_exchange=True,
     )
     cc = connected_components(
         reps.select(F.col("doc_id").alias("node")),

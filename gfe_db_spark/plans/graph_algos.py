@@ -66,17 +66,23 @@ def connected_components(
     Returns (node, component) with component = min node id in the
     component — deterministic, so oracle-checkable.
     """
-    und = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .distinct()
-        # materialize the edge list ONCE before the loop: every iteration
-        # joins against it, and without the checkpoint each of those jobs
-        # re-derives the caller's full edge lineage (for the corpus
-        # pipelines that lineage is the shingle→Jaccard pair computation —
-        # re-run per iteration, it dominated corpus_prep_pipeline's wall)
+    # Materialize the caller's edge pipeline ONCE before anything else:
+    # every loop iteration joins the edge list, and without the checkpoint
+    # each of those jobs re-derives the caller's full edge lineage (for
+    # the corpus pipelines that lineage is the shingle→Jaccard pair
+    # computation — re-run per iteration, it dominated
+    # corpus_prep_pipeline's wall). The cut must come BEFORE the
+    # undirected union: the union's two branches are differently-projected
+    # subtrees that do not canonicalize equal, so building the union first
+    # ran the whole pair pipeline TWICE inside the materialization job
+    # (r13 stage audit: dedup_clusters' top stage was exactly the two
+    # pair-pipeline legs, 84 of its 96 task-CPU seconds; guide §2.4).
+    directed = _cut_lineage(edges.select(F.col(src).alias("s"), F.col(dst).alias("d")))
+    und = _cut_lineage(
+        directed.union(
+            directed.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        ).distinct()
     )
-    und = _cut_lineage(und)
     labels = _cut_lineage(nodes.select("node", F.col("node").alias("label")))
 
     for _ in range(max_iter):

@@ -506,7 +506,11 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = token_stats(docs).filter(F.col("n_tokens") >= 5)
     ex = q.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
     survivors = q.join(ex.select("doc_id"), "doc_id")
-    pairs = DD.ngram_jaccard_pairs(DD.shingles(survivors, n=3), threshold=0.5)
+    # shared_exchange: the self-join's build side would otherwise re-run
+    # the full token-stats + exact-dedup upstream (r13 measured pattern)
+    pairs = DD.ngram_jaccard_pairs(
+        DD.shingles(survivors, n=3), threshold=0.5, shared_exchange=True
+    )
     cc = connected_components(
         survivors.select(F.col("doc_id").alias("node")),
         pairs.select("doc_a", "doc_b"),
@@ -904,7 +908,9 @@ def corpus_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = probed.filter("bloom_hit").select("doc_id").distinct()
     clean = survivors.join(flagged, "doc_id", "left_anti")
     # leakage-safe split over the decontaminated corpus
-    pairs = DD.ngram_jaccard_pairs(DD.shingles(clean, n=3), threshold=0.5)
+    pairs = DD.ngram_jaccard_pairs(
+        DD.shingles(clean, n=3), threshold=0.5, shared_exchange=True
+    )
     cc = connected_components(
         clean.select(F.col("doc_id").alias("node")),
         pairs.select("doc_a", "doc_b"),

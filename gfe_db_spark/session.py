@@ -32,6 +32,13 @@ def get_spark(app_name: str = "gfe_db_spark", cpus: str | None = None) -> SparkS
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-optimize plans that fill a persist()/cache() — off by
+        # default only to keep cached output partitioning stable for
+        # consumers that depend on it, which nothing here does. Without it
+        # a cache-fill executes the initial plan: fixed-width exchanges,
+        # no partition coalescing, no runtime join downgrades (bit us in
+        # the registry's persist-materialized commit batch, r13).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
