@@ -672,7 +672,15 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
             # to signed 64-bit
             return v - (1 << 64) if v >= (1 << 63) else v
 
-        return texts.map(one)
+        # dtype=object, NOT texts.map(one): pandas coerces a mixed
+        # int/None map result to float64, silently corrupting the low
+        # bits of any fingerprint beyond 2^53 whenever the batch holds a
+        # single NULL text (found in the r13 audit; latent before only
+        # because the fixtures carry no NULL text alongside large
+        # fingerprints in one batch).
+        import pandas as pd
+
+        return pd.Series([one(t) for t in texts], dtype=object, index=texts.index)
 
     from gfe_db_spark.operators import spread_small_input
 

@@ -92,6 +92,62 @@ def test_simhash(docs):
     assert ham_far > ham
 
 
+def test_simhash_null_in_batch_keeps_int64_exact(spark):
+    """A NULL text sharing an Arrow batch with real texts must not
+    perturb the other fingerprints: the old `Series.map` return coerced
+    a mixed int/None batch to float64, silently corrupting the low bits
+    of any fingerprint beyond 2^53 (r13 — the UDF now builds an object
+    Series). The gold value is recomputed here with the same algorithm
+    row-at-a-time and is deliberately NOT float64-representable."""
+    import hashlib
+
+    import numpy as np
+
+    text = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    toks = text.split()
+    digs = np.frombuffer(
+        b"".join(hashlib.md5(t.encode()).digest()[:8] for t in toks),
+        dtype=np.uint8,
+    ).reshape(-1, 8)
+    ones = np.unpackbits(digs, axis=1, bitorder="little").sum(axis=0, dtype=np.int64)
+    mask = (2 * ones > len(toks)).astype(np.uint8)
+    v = int.from_bytes(np.packbits(mask, bitorder="little").tobytes(), "little")
+    gold = v - (1 << 64) if v >= (1 << 63) else v
+    assert abs(gold) > 2**53 and int(float(gold)) != gold  # exercises the trap
+    rows = [(i, None if i % 2 == 0 else text) for i in range(512)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["simhash64"] for r in DD.simhash(df).collect()}
+    assert all(out[i] is None for i in range(0, 512, 2))
+    assert all(out[i] == gold for i in range(1, 512, 2))
+
+
+def test_spread_small_input_keyed_is_deterministic(spark):
+    """Keyed spread (r13): hash partitioning on the unique id — row-set
+    preserved, full parallelism reached, and placement identical across
+    evaluations (round-robin placement depended on input order under
+    retries; hash of the id cannot)."""
+    from pyspark.sql import functions as F
+
+    from gfe_db_spark.operators import spread_small_input
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(100)], "doc_id long, text string"
+    ).coalesce(1)
+    out = spread_small_input(df, key="doc_id")
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert sorted(r["doc_id"] for r in out.collect()) == list(range(100))
+    place1 = {
+        r["doc_id"]: r["p"]
+        for r in out.withColumn("p", F.spark_partition_id()).collect()
+    }
+    place2 = {
+        r["doc_id"]: r["p"]
+        for r in out.withColumn("p", F.spark_partition_id()).collect()
+    }
+    assert place1 == place2
+    assert len(set(place1.values())) > 1  # actually spread, not one bucket
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rows = [
