@@ -263,12 +263,25 @@ def _bench_gfe_build(spark) -> dict:
                     spark, alleles, "3560", AccessionRegistry(spark, f"{tmp}/registry")
                 )
                 graph = load_release(spark, built, "3560")
-                # force every output table end-to-end
-                for df in (built.gfe_sequences, built.all_features, built.all_groups,
-                           built.all_cds, built.errors):
+                # Force every output table end-to-end. The 16 tables are
+                # independent jobs — submit them from a small thread pool
+                # so the next job's tasks back-fill executors freed by the
+                # previous job's straggler tail (guide §2.6) instead of
+                # serializing 16 job latencies. Same computation, same
+                # tables forced; the registry commit already happened
+                # eagerly inside build_release, so nothing here races a
+                # write (concurrent cache fills are CacheManager-safe).
+                from concurrent.futures import ThreadPoolExecutor
+
+                tables = [built.gfe_sequences, built.all_features,
+                          built.all_groups, built.all_cds, built.errors]
+                tables += [df for _, df in graph.items()]
+
+                def _force(df):
                     df.write.format("noop").mode("overwrite").save()
-                for _, df in graph.items():
-                    df.write.format("noop").mode("overwrite").save()
+
+                with ThreadPoolExecutor(max_workers=3) as pool:
+                    list(pool.map(_force, tables))
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             finally:
