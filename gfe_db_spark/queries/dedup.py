@@ -502,17 +502,28 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gfe_db_spark.operators.text import deterministic_split, token_stats
     from gfe_db_spark.plans.graph_algos import connected_components
 
+    from gfe_db_spark.plans.graph_algos import _cut_lineage
+
     docs = table(spark, sf_dir, "documents")
     q = token_stats(docs).filter(F.col("n_tokens") >= 5)
     ex = q.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
     survivors = q.join(ex.select("doc_id"), "doc_id")
+    # Materialize the COMPACT survivor keep-list once (r13): `survivors`
+    # has three consumers (pair shingles, CC node list, final stats
+    # join), and each re-derived the whole tokenize + exact-dedup
+    # upstream per evaluation. The id+n_chars list is 16 B/row; the one
+    # consumer that needs text re-attaches it from the base scan with an
+    # id join instead of re-running the derivation (§8: decide with
+    # small rows, re-attach the payload once).
+    surv_keys = _cut_lineage(survivors.select("doc_id", "n_chars"))
+    surv_docs = docs.join(surv_keys.select("doc_id"), "doc_id")
     # shared_exchange: the self-join's build side would otherwise re-run
-    # the full token-stats + exact-dedup upstream (r13 measured pattern)
+    # the survivor re-attachment join per side (r13 measured pattern)
     pairs = DD.ngram_jaccard_pairs(
-        DD.shingles(survivors, n=3), threshold=0.5, shared_exchange=True
+        DD.shingles(surv_docs, n=3), threshold=0.5, shared_exchange=True
     )
     cc = connected_components(
-        survivors.select(F.col("doc_id").alias("node")),
+        surv_keys.select(F.col("doc_id").alias("node")),
         pairs.select("doc_a", "doc_b"),
         "doc_a",
         "doc_b",
@@ -520,7 +531,7 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = cc.filter(F.col("node") == F.col("component")).select(
         F.col("node").alias("doc_id")
     )
-    final = survivors.join(keep, "doc_id")
+    final = surv_keys.join(keep, "doc_id")
     return (
         deterministic_split(final)
         .groupBy("split")
@@ -907,12 +918,22 @@ def corpus_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed = DD.bloom_probe(DD.shingles(survivors, n=3), bloom, m_bits=m, k=3)
     flagged = probed.filter("bloom_hit").select("doc_id").distinct()
     clean = survivors.join(flagged, "doc_id", "left_anti")
+    # Materialize the compact decontaminated keep-list once (r13): the
+    # three `clean` consumers below each re-derived tokenize +
+    # exact-dedup + the FULL Bloom probe (the most expensive subtree in
+    # the registry audit — 68 task-CPU s/run, ~3x one pass). Same
+    # pattern as corpus_prep_pipeline: ids+n_chars checkpoint, text
+    # re-attached from the base scan for the one consumer that needs it.
+    from gfe_db_spark.plans.graph_algos import _cut_lineage
+
+    clean_keys = _cut_lineage(clean.select("doc_id", "n_chars"))
+    clean_docs = docs.join(clean_keys.select("doc_id"), "doc_id")
     # leakage-safe split over the decontaminated corpus
     pairs = DD.ngram_jaccard_pairs(
-        DD.shingles(clean, n=3), threshold=0.5, shared_exchange=True
+        DD.shingles(clean_docs, n=3), threshold=0.5, shared_exchange=True
     )
     cc = connected_components(
-        clean.select(F.col("doc_id").alias("node")),
+        clean_keys.select(F.col("doc_id").alias("node")),
         pairs.select("doc_a", "doc_b"),
         "doc_a",
         "doc_b",
@@ -922,7 +943,7 @@ def corpus_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="cluster_id",
     )
     return (
-        assigned.join(clean.select("doc_id", "n_chars"), "doc_id")
+        assigned.join(clean_keys, "doc_id")
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
