@@ -613,7 +613,26 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """64-bit SimHash fingerprint per document (pandas UDF: bit packing has
     no builtin form). Near-dup = small Hamming distance between
     fingerprints; pair generation would bucket on rotated fingerprint
-    chunks (same banding idea as LSH)."""
+    chunks (same banding idea as LSH).
+
+    NOTE (r13, negative result — do not retry blindly): a pure-JVM
+    formulation (explode tokens → md5 hex → conv to LE int → 64 bit-vote
+    sums keyed by doc_id, reusing the spread exchange; bit-identical to
+    the oracle at sf0.001/0.01/0.1) LOST a quiet-host ABBA duel at
+    local[32]: dedup_simhash_hamming 1.20-1.33 s → 1.91-2.06 s,
+    corpus_prep_pipeline_v3 3.26-3.30 s → 5.99-6.84 s. Three compounding
+    causes, each measured: (a) ~25 µs/token of JVM expression work
+    (isolated: explode+md5 is free, the 8-substring/concat/conv chain +
+    64 agg-buffer updates cost ~2 s CPU/run at sf0.1) vs the memoized
+    Python body; (b) the fingerprint became an aggregate, so per-consumer
+    column pruning diverged the subtrees below the class pin and the
+    pass re-ran ~3× in the hamming entry (7 s CPU vs 2 s isolated) — the
+    nondeterministic UDF had doubled as the optimizer fence that made the
+    shared exchange reusable; (c) ~0.4-0.6 s/call of driver-side
+    construction+analysis for the 65-agg plan (py4j tree building alone
+    was 0.8 s before switching to F.expr strings). The boundary this UDF
+    pays is Arrow transfer of compact texts, amortized across cores —
+    cheaper than all three put together."""
     import pandas as pd
     from pyspark.sql import types as T
 
