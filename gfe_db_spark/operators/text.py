@@ -340,7 +340,18 @@ def repetition_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     Shape at scale: the token stats are a narrow map (array builtins, no
     explode); only the bigram mode needs an explode + two keyed aggs, all
     map-side combinable and keyed by doc — no global shuffle hotspots.
+
+    The doc_id-keyed spread (r13) does double duty: it parallelizes the
+    heavy per-row array work (tokenize + array_distinct + zip_with
+    bigrams previously ran on the compact scan's 1-3 splits — the entry's
+    wall EQUALLED its single-thread CPU, guide §2.5 input skew), and its
+    hash(doc_id) partitioning is a subset of both aggregates' group keys,
+    so NEITHER agg needs its own exchange — one shuffle of compact texts
+    replaces two shuffles of exploded bigram rows (guide §2.4).
     """
+    from gfe_db_spark.operators import spread_small_input
+
+    docs = spread_small_input(docs, key=id_col)
     toks = F.filter(tokenize(F.col(text_col)), lambda t: t != "")
     base = docs.select(
         F.col(id_col),

@@ -144,6 +144,18 @@ def test_repetition_stats_is_joinless(spark, specs):
     plan = plan_of(run(specs, spark, "text_repetition_stats"))
     assert not re.search(r"Join", plan)
     assert "CartesianProduct" not in plan
+    # r13: the only allowed exchange is the doc_id-keyed input spread;
+    # both aggregates' group keys contain doc_id, so they must reuse its
+    # partitioning rather than shuffle exploded bigram rows (the
+    # pre-spread plan paid a (doc_id, ..., bigram) exchange AND ran the
+    # per-row array work on the compact scan's 1-3 splits — wall equal
+    # to single-thread CPU). At SF_SMOKE the scan can be a single split
+    # (spread no-op, zero exchanges) — assert no exchange is keyed on
+    # anything but doc_id, at most one, never a bigram shuffle.
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(exchanges) <= 1, exchanges
+    for keys in exchanges:
+        assert "doc_id" in keys and "bigram" not in keys, exchanges
 
 
 def test_keyed_window_entries_never_single_partition(spark, specs):
