@@ -545,16 +545,25 @@ def mixture_resample(
     return kept
 
 
-def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
+def fingerprint(
+    docs: DataFrame, text_col: str = "text", k: int = 4, id_col: str | None = None
+) -> DataFrame:
     """Document fingerprint: minimum digest over k-word rolling windows
     (winnowing-style selection with w = document). Identical up-to-window
     reorderings collide — by design for near-dup bucketing."""
     # ~T md5 calls per doc — spread a compact input first or the whole
     # fan-out runs on the input's few scan splits (r7 sf1 split: 50 s
-    # wall on a one-file corpus with 31 idle cores)
+    # wall on a one-file corpus with 31 idle cores). Pass `id_col` (a
+    # unique id) to spread by hash instead of round-robin: keyless
+    # repartition pays a local sort of the full payload rows
+    # (sortBeforeRepartition, guide §2.5); hashing a UNIQUE id is
+    # deterministic under retries with no sort. Hashing the TEXT column
+    # would be wrong here — mass-duplicated texts would pile into one
+    # partition — so the keyless form stays the default for callers
+    # without an id.
     from gfe_db_spark.operators import spread_small_input
 
-    docs = spread_small_input(docs)
+    docs = spread_small_input(docs, key=id_col)
     # Project the token array before the window transform: Catalyst does
     # not subexpression-eliminate a tokenize() referenced inside the
     # lambda, so the inline form re-ran the regex split once PER WINDOW

@@ -143,7 +143,7 @@ TEXT_LANG_SQL = _lang_scores_sql()
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return TX.fingerprint(docs, k=4).select("doc_id", "fingerprint")
+    return TX.fingerprint(docs, k=4, id_col="doc_id").select("doc_id", "fingerprint")
 
 
 TEXT_FINGERPRINT_SQL = r"""
