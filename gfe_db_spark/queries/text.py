@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gfe_db_spark.operators import spread_small_input
 from gfe_db_spark.operators import text as TX
 from gfe_db_spark.queries import QuerySpec
 from gfe_db_spark.sources.tables import table
@@ -26,6 +27,13 @@ FROM documents ORDER BY doc_id
 
 
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT spread (r13, measured both ways): a doc_id-keyed input spread
+    # wins only in the near-single-split regime (sf0.1: 0.47 -> 0.32 s)
+    # and LOSES once the scan has a dozen splits (sf1: 0.42 -> 0.57 s) —
+    # for a pure narrow map the exchange's serialization buys nothing
+    # that the scan's own splits don't already provide. Contrast
+    # text_redact_pii (heavy enough per byte to win at both scales) and
+    # repetition_stats (its aggs absorb the exchange).
     docs = table(spark, sf_dir, "documents")
     out = TX.quality_features(docs)
     return out.select(
@@ -105,6 +113,8 @@ WHERE rank <= 5 ORDER BY source, rank
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram/stopword language-ID heuristic vs the labeled lang column."""
+    # NOT spread — same measured trade as text_quality_scores above
+    # (sf0.1 win, sf1 loss; pure narrow map)
     docs = table(spark, sf_dir, "documents")
     out = TX.lang_scores(docs)
     return out.select("doc_id", "lang", "lang_pred", "lang_score")
@@ -213,7 +223,12 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     The corpus is synthetic prose (hits are usually 0) — the contract
     checked is the redaction transform itself, byte-for-byte vs the
     oracle running the same regexes."""
-    docs = table(spark, sf_dir, "documents")
+    # doc_id-keyed spread (r13): the six regex passes are the heaviest
+    # narrow map in the text family — heavy enough per byte that the
+    # spread wins at BOTH measured scales (sf0.1: 0.64 -> 0.31 s, sf1:
+    # 0.76 -> 0.68 s), unlike the lighter lang_id/quality maps above.
+    # No-op at cluster scale (inputs arrive with >= parallelism splits).
+    docs = spread_small_input(table(spark, sf_dir, "documents"), key="doc_id")
     return (
         TX.redact_pii(docs)
         .select(
