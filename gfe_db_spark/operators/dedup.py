@@ -1109,6 +1109,13 @@ def set_similarity_join(
     once per verification side), not once per derived aggregate; doc
     sizes ride through the candidate join so the final filter needs no
     size re-join."""
+    # NOT spread (r13, negative result): a doc_id-keyed input spread
+    # (which would also absorb the distinct's exchange) was measured
+    # SLOWER at sf0.1 (2.49 -> 2.84 s) and the 10x slice (3.47 -> 3.63 s):
+    # this entry's wall is the latency of its window/join stage chain,
+    # its total task CPU is only ~2 s, and the extra exchange + 10x task
+    # count buy nothing. Contrast entity_match_blocking, where the same
+    # spread won 3-4x because serialized broadcast builds dominated.
     dt = (
         docs.select(F.col(id_col).alias("doc"), F.explode(F.split(F.col(text_col), "\\s+")).alias("tok"))
         .filter(F.col("tok") != "")

@@ -404,6 +404,15 @@ def cluster_head_pairs(
 
     from gfe_db_spark.operators.dedup import _dot
 
+    # NOT spread (r13, negative result): the broadcast head makes the
+    # pair expansion + cosine run map-side over this frame's scan splits
+    # (a 4 s single-task stage at sf0.1 in the stage audit), but a
+    # vec_id-keyed input spread measured WORSE end-to-end (6.5 -> 7.5 and
+    # 10.6 s in an ABA duel): the entry's wall is the LATENCY of its
+    # k-means-iteration stage chain, and the extra exchange adds another
+    # serialized stage while the cosine stage it parallelizes overlaps
+    # training anyway. Revisit only if the pair scan itself becomes the
+    # measured wall (e.g. much larger per-cluster caps).
     withv = assigned.withColumn(
         "__v", F.col("embedding").cast("array<double>")
     ).withColumn("__norm", F.sqrt(_dot(F.col("__v"), F.col("__v"))))

@@ -269,6 +269,19 @@ def blocked_match_pairs(
       threshold DP (early-terminated at max_dist: O(len·max_dist))."""
     from pyspark.sql.window import Window as W
 
+    from gfe_db_spark.operators import spread_small_input
+
+    # Block-keyed spread (r13): the head window needs hash(block)
+    # clustering anyway, but for a compact input AQE coalesces that
+    # exchange to 1-2 partitions (bytes-based), so the variant explode,
+    # candidate join BUILDS and the levenshtein DPs all ran serialized
+    # (measured: wall == single-thread CPU, 4 broadcast builds of ~1.5s
+    # each at sf0.1). A pinned-width spread keyed on block satisfies the
+    # window AND keeps the fan-out wide; blocks are many (~n/100 here),
+    # and at cluster scale the input arrives with >= parallelism splits
+    # so this is a no-op (guide §2.4/§2.5). Keyed on block, not the
+    # unique key, precisely so the window reuses the exchange.
+    df = spread_small_input(df, key=block_col)
     a = df.withColumn(
         "__rk", F.row_number().over(W.partitionBy(block_col).orderBy(key_col))
     )
@@ -370,6 +383,11 @@ def blocked_match_pairs_gated(
     names and only the DECLARED output stays duplication-quadratic."""
     from pyspark.sql.window import Window as W
 
+    from gfe_db_spark.operators import spread_small_input
+
+    # same block-keyed spread as the ungated form (see there): the head
+    # window reuses it and the class explode/DP stages stay wide
+    df = spread_small_input(df, key=block_col)
     m = (
         df.filter(F.col(name_col).isNotNull())
         .withColumn(
@@ -424,6 +442,14 @@ def blocked_match_pairs_gated(
         cand_short.unionByName(cand_long)
         .withColumn("dist", F.levenshtein(F.col("__na"), F.col("__nb"), 1))
         .filter(F.col("dist") >= 0)
+        # pinned exchange, keyed as the first expansion join needs (r13,
+        # the change-1/13 shared-exchange pattern): the two member-
+        # expansion joins otherwise evaluate this ENTIRE candidate
+        # pipeline once per broadcast build — sequential builds cannot
+        # reuse each other's un-exchanged lineage (measured at the 10x
+        # slice: two ~19 task-CPU-s build stages for one pipeline).
+        # With the pin, build 2 reads a ReusedExchange.
+        .repartition(F.col("block"), F.col("__na"))
     )
     ma = m.select(
         "block",
@@ -524,6 +550,13 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     profiled in integer cents (floor(x*100): IEEE multiply + floor are
     engine-exact, unlike double→string rendering); timestamps via
     date_format."""
+    # NOT spread (r13, negative result): a PK-keyed input spread to
+    # parallelize the count_distinct Expand won only ~0.5 s of wall at
+    # both sf0.1 and the 10x slice while multiplying measured task CPU
+    # ~7x at sf0.1 (21-28 s vs 3 s — the expanded partial-distinct hash
+    # aggregation repeated per post-spread partition dominates); the
+    # single-pass profile over the scan's own splits is the better
+    # CPU trade.
     o = table(spark, sf_dir, "orders")
     fmt = "yyyy-MM-dd HH:mm:ss"
     row = o.agg(

@@ -412,6 +412,28 @@ def test_entity_match_join_is_block_keyed(spark, specs):
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
 
 
+def test_gated_match_expansion_reuses_candidate_pipeline(spark):
+    # r13: the gated form's two member-expansion joins must read the
+    # candidate pipeline (window + variant explode + candidate join +
+    # levenshtein) through ONE pinned exchange — sequential broadcast
+    # builds cannot reuse each other's un-exchanged lineage, so without
+    # the pin the whole pipeline re-evaluated once per build (measured:
+    # two ~19 task-CPU-s build stages at the 10x slice for one pipeline).
+    import pyspark.sql.functions as F
+
+    from gfe_db_spark.queries.warehouse import blocked_match_pairs_gated
+
+    rows = [(i, f"name{i % 7:03d}x", "blk") for i in range(60)]  # 7 classes, dup'd
+    df = spark.createDataFrame(rows, "k long, name string, block string")
+    pairs = blocked_match_pairs_gated(df)
+    pairs.collect()
+    span = _final_aqe_span(pairs)
+    # the pinned (block, __na)-keyed exchange must be REUSED at least once
+    # (second expansion join / within-class branch), proving the candidate
+    # pipeline executes a single time
+    assert re.search(r"ReusedExchange", span), span[:1500]
+
+
 def test_bpe_encode_vocab_broadcasts(spark, specs):
     # Corpus encoding joins the exploded corpus against the vocab-sized
     # (word → n_subtokens) dimension: the dimension must broadcast; a
