@@ -221,9 +221,16 @@ def main() -> None:
     print(json.dumps(result))
 
     # Auto-refresh the committed trend file so it can't go stale a round
-    # (r12 verdict item 2). Only for a full run at the default scale —
-    # sf0.001 probes and subset runs aren't trend-comparable.
-    if SF_DIR == "/root/testdata/sf0.1" and len(timings) == len(BENCH_QUERIES):
+    # (r12 verdict item 2). Only for a full run at the default scale AND
+    # the default core count — sf0.001 probes, subset runs and the
+    # driver's reduced-core scaling runs aren't trend-comparable (an
+    # 8-core full run overwrote the head row with incomparable walls in
+    # the r13 session-2 audit).
+    if (
+        SF_DIR == "/root/testdata/sf0.1"
+        and len(timings) == len(BENCH_QUERIES)
+        and os.environ.get("SPARK_GRAFT_CPUS", "32") == "32"
+    ):
         try:
             sys.path.insert(0, os.path.join(_REPO, "tools"))
             from gen_bench_trend import write_trend
