@@ -226,10 +226,12 @@ def main() -> None:
     # driver's reduced-core scaling runs aren't trend-comparable (an
     # 8-core full run overwrote the head row with incomparable walls in
     # the r13 session-2 audit).
+    from gfe_db_spark.session import DEFAULT_CPUS
+
     if (
         SF_DIR == "/root/testdata/sf0.1"
         and len(timings) == len(BENCH_QUERIES)
-        and os.environ.get("SPARK_GRAFT_CPUS", "32") == "32"
+        and os.environ.get("SPARK_GRAFT_CPUS", DEFAULT_CPUS) == DEFAULT_CPUS
     ):
         try:
             sys.path.insert(0, os.path.join(_REPO, "tools"))

@@ -36,14 +36,44 @@ class QuerySpec:
 #: rotation; reset this each round. Enforced by
 #: tests/test_window_policy.py.
 PLAN_CHANGED: tuple[str, ...] = (
-    # r13: dedup split out of the mixed count_distinct+approx_count_distinct
-    # aggregate in BOTH entries of that shape — the HLL partial state was
-    # keyed (group, user_id) through the dedup shuffle (~13 KB/row;
-    # 227-402 s at sf10 -> 6-20 s). Results are bit-identical (HLL is
-    # duplicate-insensitive; count(*) over distinct rows == count_distinct)
-    # but the plans changed, so they need fresh driver checks.
-    "rolling_distinct_users_7d_approx",
-    "sketch_distinct_accuracy",
+    # r14 rotation (VERDICT r13 item 1): every entry whose plan was
+    # rewritten in r13 but sat OUTSIDE the r13 driver window, so the
+    # driver's independent oracle has not re-checked it post-rewrite.
+    # Derivation (pinned by tests/test_window_policy.py::
+    # test_plan_changed_covers_plan_dumps): all plans/r13/*_after.txt
+    # entries absent from CORRECTNESS_r13.json, plus transitive consumers
+    # of the r13-changed operators (shingles element_at/in-array-distinct,
+    # hash-keyed spread_small_input, _bucketed_candidate_scores spread,
+    # CC-family lineage cut, extract_features spread) that have no dump of
+    # their own. Checked-in-r13 rewrites (corpus_prep_pipeline_v3,
+    # dedup_simhash_hamming, text_ngram_novelty, text_repetition_stats,
+    # rolling_distinct_users_7d_approx, sketch_distinct_accuracy,
+    # ann_topk_join, multimodal_real_decode) rotate out; comment-only or
+    # reverted touches (graph_pagerank/bfs, semdedup_prune,
+    # text_quality_scores/bigram_lm/lm_score) never changed plan.
+    "benchmark_contamination",
+    "bloom_decontaminate",
+    "corpus_prep_pipeline",
+    "dedup_clusters",
+    "dedup_incremental",
+    "dedup_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "entity_match_blocking",
+    "gfe_end_to_end",
+    "leakage_safe_split",
+    "multimodal_metadata",
+    "range_band_join",
+    "set_similarity_join",
+    "text_fingerprint",
+    "text_redact_pii",
+    "text_tfidf_top_terms",
+    "corpus_prep_pipeline_v2",
+    "dedup_embedding_cosine",
+    "dedup_keep_list",
+    "dedup_minhash_est",
+    "dedup_minhash_signatures",
+    "multimodal_features",
 )
 
 #: Driver-window size: the driver's correctness gate checks this many
@@ -51,13 +81,63 @@ PLAN_CHANGED: tuple[str, ...] = (
 DRIVER_WINDOW = 50
 
 PRIORITY: tuple[str, ...] = (
-    # ---- Round-13 window, positions 1-50 (policy-pinned by
-    # tests/test_window_policy.py): PLAN_CHANGED first, then
+    # ---- Round-14 window, positions 1-50 (policy-pinned by
+    # tests/test_window_policy.py): PLAN_CHANGED first (the 23 r13
+    # rewrites the driver has not re-checked), then
     # stalest-driver-check-first computed from the committed
-    # CORRECTNESS_r*.json (alphabetical within a round) — the 6 entries
-    # last checked r8, then the r9 cohort, then the head of r10.
-    # Everything past the window is checked by the full sf0.001 oracle
-    # sweep inside pytest each run.
+    # CORRECTNESS_r*.json (alphabetical within a round). Everything past
+    # the window is checked by the full sf0.001 oracle sweep inside
+    # pytest each run.
+    "benchmark_contamination",
+    "bloom_decontaminate",
+    "corpus_prep_pipeline",
+    "dedup_clusters",
+    "dedup_incremental",
+    "dedup_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "entity_match_blocking",
+    "gfe_end_to_end",
+    "leakage_safe_split",
+    "multimodal_metadata",
+    "range_band_join",
+    "set_similarity_join",
+    "text_fingerprint",
+    "text_redact_pii",
+    "text_tfidf_top_terms",
+    "corpus_prep_pipeline_v2",
+    "dedup_embedding_cosine",
+    "dedup_keep_list",
+    "dedup_minhash_est",
+    "dedup_minhash_signatures",
+    "multimodal_features",
+    "bpe_train_merges",
+    "bpe_vocab_stats",
+    "chisq_independence",
+    "corpus_shuffle",
+    "cypher_front_end",
+    "cypher_validation_accession_counts",
+    "cypher_validation_node_counts",
+    "cypher_validation_release_histogram",
+    "dedup_exact_substrings",
+    "doc_chunk_overlap",
+    "dsir_importance_weights",
+    "embedding_standardize",
+    "event_crosstab",
+    "gfe_naming",
+    "graph_3hop_motif",
+    "graph_bfs_hops",
+    "graph_degree_distribution",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "graph_undirected_2hop",
+    "incremental_agg_merge",
+    "knn_ivf_pq",
+    "knn_pq_adc",
+    "tumbling_window",
+    "txtable_time_travel_diff",
+    "txtable_upsert",
+    "w6_dense_rank_accession",
     "rolling_distinct_users_7d_approx",
     "sketch_distinct_accuracy",
     "table_profile",
@@ -108,11 +188,8 @@ PRIORITY: tuple[str, ...] = (
     "ann_index_append",
     "ann_topk_join",
     "association_rules_lift",
-    "benchmark_contamination",
     "knn_ivf_trained",
     "semdedup_prune",
-    "bloom_decontaminate",
-    "corpus_prep_pipeline_v2",
     "q8_market_share",
     "a12_bool_all_reduce",
     "a13_monotonicity_guard",
@@ -124,27 +201,21 @@ PRIORITY: tuple[str, ...] = (
     "q11_important_balance",
     "q16_supplier_count_distribution",
     "q9_profit_by_nation_year",
-    "range_band_join",
     "so_intersect",
     "asof_last_purchase",
     "c_scalar_suite",
     "corpus_sample",
     "dedup_exact",
-    "dedup_simhash",
     "embedding_quantize",
     "event_funnel",
     "knn_brute_force",
     "knn_ivf",
-    "multimodal_features",
-    "multimodal_metadata",
     "q20_quantity_threshold_suppliers",
     "skew_salted_count_distinct",
     "text_bigram_lm",
     "text_lang_id",
     "text_quality_scores",
-    "text_redact_pii",
     "text_split_assign",
-    "text_tfidf_top_terms",
     "text_token_stats",
     "text_vocab_top",
     "logreg_quality_train",
@@ -208,47 +279,6 @@ PRIORITY: tuple[str, ...] = (
     "j2_dimension_chain",
     "j4_composite_key_join",
     "j6_cross_join_singleton",
-    "dedup_lsh_pairs",
-    "dedup_minhash_est",
-    "entity_match_blocking",
-    "corpus_prep_pipeline",
-    "leakage_safe_split",
-    "dedup_keep_list",
-    "dedup_clusters",
-    "text_fingerprint",
-    "dedup_minhash_signatures",
-    "set_similarity_join",
-    "txtable_time_travel_diff",
-    "cypher_validation_node_counts",
-    "cypher_validation_release_histogram",
-    "cypher_validation_accession_counts",
-    "cypher_front_end",
-    "graph_3hop_motif",
-    "graph_degree_distribution",
-    "graph_pagerank",
-    "graph_triangle_count",
-    "graph_undirected_2hop",
-    "graph_bfs_hops",
-    "txtable_upsert",
-    "gfe_end_to_end",
-    "gfe_naming",
-    "w6_dense_rank_accession",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "tumbling_window",
-    "bpe_train_merges",
-    "bpe_vocab_stats",
-    "chisq_independence",
-    "corpus_shuffle",
-    "dedup_exact_substrings",
-    "dedup_incremental",
-    "doc_chunk_overlap",
-    "dsir_importance_weights",
-    "embedding_standardize",
-    "event_crosstab",
-    "incremental_agg_merge",
-    "knn_ivf_pq",
-    "knn_pq_adc",
 )
 
 

@@ -11,7 +11,12 @@ import os
 
 from pyspark.sql import SparkSession
 
-_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+#: The core count assumed when $SPARK_GRAFT_CPUS is unset — the single
+#: source of truth for "default core count" (bench.py's trend gate
+#: compares against this, r13 advice).
+DEFAULT_CPUS = "32"
+
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", DEFAULT_CPUS)
 
 
 def get_spark(app_name: str = "gfe_db_spark", cpus: str | None = None) -> SparkSession:

@@ -35,8 +35,12 @@ def test_trend_covers_every_committed_bench_artifact():
     }
     missing, stale = [], []
     for path in sorted(glob.glob(os.path.join(_REPO, "BENCH_r*.json"))):
-        pattern = r"_r(\d+)"
-        rnd = f"r{int(re.search(pattern, path).group(1))}"
+        # canonical round artifacts only — variant artifacts at other
+        # core counts (BENCH_r13_c8.json) are not trend rows
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(path))
+        if m is None:
+            continue
+        rnd = f"r{int(m.group(1))}"
         d = mod.load_bench(path)
         if d is None:
             continue

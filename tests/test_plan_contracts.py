@@ -419,8 +419,6 @@ def test_gated_match_expansion_reuses_candidate_pipeline(spark):
     # builds cannot reuse each other's un-exchanged lineage, so without
     # the pin the whole pipeline re-evaluated once per build (measured:
     # two ~19 task-CPU-s build stages at the 10x slice for one pipeline).
-    import pyspark.sql.functions as F
-
     from gfe_db_spark.queries.warehouse import blocked_match_pairs_gated
 
     rows = [(i, f"name{i % 7:03d}x", "blk") for i in range(60)]  # 7 classes, dup'd
@@ -428,9 +426,28 @@ def test_gated_match_expansion_reuses_candidate_pipeline(spark):
     pairs = blocked_match_pairs_gated(df)
     pairs.collect()
     span = _final_aqe_span(pairs)
-    # the pinned (block, __na)-keyed exchange must be REUSED at least once
-    # (second expansion join / within-class branch), proving the candidate
-    # pipeline executes a single time
+    plan = plan_of(pairs)
+    # Assert on THE pinned exchange, not just any reuse (r14, tightening
+    # the r13 advice finding): a bare `ReusedExchange` search was
+    # non-discriminating. Verified empirically with the .repartition pin
+    # removed from blocked_match_pairs_gated: BOTH signals below vanish
+    # from the final span (at this fixture scale AQE then also
+    # restructures away the m-window exchange reuse), so each assert
+    # alone catches a pin regression.
+    final_ids = set(re.findall(r"\((\d+)\)", span))
+    pinned_ids = {
+        m.group(1)
+        for m in re.finditer(
+            r"\((\d+)\) Exchange\n[^\n]*\nArguments: hashpartitioning\("
+            r"[^)]*block[^)]*__na[^)]*\), REPARTITION_BY_COL",
+            plan,
+        )
+        if m.group(1) in final_ids
+    }
+    assert pinned_ids, (
+        f"pinned REPARTITION_BY_COL (block, __na) exchange missing from the "
+        f"final plan:\n{span[:1500]}"
+    )
     assert re.search(r"ReusedExchange", span), span[:1500]
 
 

@@ -62,6 +62,43 @@ def test_driver_window_follows_rotation_policy():
     )
 
 
+def test_plan_changed_covers_plan_dumps():
+    """PLAN_CHANGED under-declaration guard (r13 verdict item 1).
+
+    A committed `plans/rN/<query>_after.txt` is the round-N claim that
+    <query>'s physical plan was rewritten. The driver's independent
+    oracle only re-checks what sits inside the window, so every such
+    rewrite must either already have a driver check from round N or
+    later (CORRECTNESS_rM, M >= N — the driver runs after the round's
+    session, against the rewritten code) or be declared in PLAN_CHANGED
+    so it leads the next window. Derived from the dump directories, not
+    from a hand-written list, so a round can no longer forget its own
+    rewrites. Discipline this implies: every plan-changed entry —
+    including transitive consumers of a changed shared operator — gets
+    an `_after.txt` dump in the current round's plans/rN/."""
+    registered = set(all_queries())
+    correctness_rounds: dict[str, int] = _latest_driver_round()
+
+    missing: list[str] = []
+    for plans_dir in sorted(glob.glob(os.path.join(_REPO, "plans", "r*"))):
+        m = re.match(r"r(\d+)$", os.path.basename(plans_dir))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        for path in glob.glob(os.path.join(plans_dir, "*_after.txt")):
+            name = os.path.basename(path)[: -len("_after.txt")]
+            if name not in registered:
+                continue  # operator-level dumps (no registry entry)
+            if correctness_rounds.get(name, 0) >= rnd:
+                continue  # driver already re-checked the rewrite
+            if name not in PLAN_CHANGED:
+                missing.append(f"{name} (plans/r{rnd})")
+    assert not missing, (
+        "plan-dumped rewrites missing from queries.PLAN_CHANGED (the "
+        f"driver would never re-check them): {sorted(missing)}"
+    )
+
+
 def test_priority_is_exactly_the_registry():
     """PRIORITY must list every registered entry exactly once — a
     half-listed PRIORITY would make the window ordering depend on module

@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Capture .explain("formatted") for bench queries into plans/r13/.
+"""Capture .explain("formatted") for bench queries into plans/<round>/ (default r14; override with $SPARK_GRAFT_PLANS_ROUND).
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
   suffix: 'before' or 'after' (file name suffix)
@@ -32,7 +32,7 @@ def main() -> None:
     names = sys.argv[2:] or list(BENCH_QUERIES)
     spark = get_spark("gfe_db_spark_plans")
     specs = all_queries()
-    out_dir = Path(_REPO) / "plans" / "r13"
+    out_dir = Path(_REPO) / "plans" / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14")
     out_dir.mkdir(parents=True, exist_ok=True)
     for name in names:
         if name not in specs:
