@@ -133,6 +133,84 @@ def apply_merge_rule(
     raise ValueError(f"unknown on_match: {on_match}")
 
 
+def merge_clustered(
+    existing: DataFrame,
+    batch: DataFrame,
+    keys: list[str],
+    on_match: str,
+    merge_fn: Callable[[DataFrame, DataFrame], DataFrame] | None,
+    allow_schema_evolution: bool = False,
+) -> DataFrame:
+    """`apply_merge_rule` ∘ cluster-by-__bucket in ONE exchange (r14,
+    guide §2.4/§8): the rule-based MERGE plans as a priority argmax over
+    `union(batch, existing)` keyed on (__bucket, keys) — ``update`` gives
+    the batch row priority, ``create_only`` the existing row — after a
+    pinned hash(__bucket) repartition. Because __bucket is a function of
+    the keys and a member of the group keys, hash(__bucket) satisfies the
+    aggregate's clustering, so the plan is scan → ONE exchange → argmax →
+    write, replacing the legacy three-exchange chain (batch dedup
+    exchange + anti-join exchange(s) + the writer's repartition(__bucket))
+    AND the anti join itself. The result is physically clustered by
+    __bucket: callers write it with ``partitionBy("__bucket")`` directly,
+    no further repartition.
+
+    Semantics are those of dropDuplicates(keys) + `apply_merge_rule`,
+    row-for-row, given the writers' standing invariant that `existing`
+    holds at most one row per key (every commit path dedups):
+    - matched key → batch row ('update') / existing row ('create_only');
+    - unmatched → the single present row;
+    - duplicate batch keys → one arbitrary row (dropDuplicates' pick is
+      equally arbitrary);
+    - NULL merge keys keep the exact legacy anti-join semantics (SQL
+      MERGE: NULL never matches — existing null-key rows always survive,
+      batch null-key rows dedup among themselves, nulls-equal, and
+      insert): they route through two side branches whose isNull
+      predicates push into the scans, so tables with no null keys prune
+      those branches to zero row groups via parquet null_count stats.
+    A custom `merge_fn` keeps the legacy path (its combine is opaque),
+    clustered for the writer."""
+    if merge_fn is not None:
+        return merge_fn(existing, batch).repartition(F.col("__bucket"))
+    if on_match not in ("update", "create_only"):
+        raise ValueError(f"unknown on_match: {on_match}")
+    evolve = {"allowMissingColumns": True} if allow_schema_evolution else {}
+    batch_pri = 1 if on_match == "update" else 0
+    u = batch.withColumn("__pri", F.lit(batch_pri)).unionByName(
+        existing.withColumn("__pri", F.lit(1 - batch_pri)), **evolve
+    )
+    others = [c for c in u.columns if c not in {*keys, "__bucket", "__pri"}]
+    keys_nonnull = F.lit(True)
+    for k in keys:
+        keys_nonnull = keys_nonnull & F.col(k).isNotNull()
+    out_cols = [c for c in u.columns if c != "__pri"]  # legacy column order
+    clustered = u.filter(keys_nonnull).repartition(F.col("__bucket"))
+    if others:
+        merged = (
+            clustered.groupBy("__bucket", *keys)
+            .agg(F.max_by(F.struct(*others), F.col("__pri")).alias("__row"))
+            .select(
+                *[
+                    c if c in keys or c == "__bucket" else F.col("__row")[c].alias(c)
+                    for c in out_cols
+                ]
+            )
+        )
+    else:
+        # key-only table (every column is a merge key): both rules reduce
+        # to key-distinct; the distinct's clustering is likewise satisfied
+        # by the pinned hash(__bucket)
+        merged = clustered.drop("__pri").distinct()
+    null_existing = u.filter(~keys_nonnull & (F.col("__pri") == (1 - batch_pri))).drop(
+        "__pri"
+    )
+    null_batch = (
+        u.filter(~keys_nonnull & (F.col("__pri") == batch_pri))
+        .drop("__pri")
+        .dropDuplicates(keys)
+    )
+    return merged.unionByName(null_existing).unionByName(null_batch)
+
+
 def partitioned_upsert(
     batch: DataFrame,
     target_path: str,
@@ -161,19 +239,21 @@ def partitioned_upsert(
     """
     spark = batch.sparkSession
     recover_staging(spark, target_path)
-    if merge_fn is None:
-        batch = batch.dropDuplicates(keys)
     batch = batch.withColumn("__bucket", bucket_expr(keys, n_buckets)).persist()
     try:
         if not fs_exists(spark, target_path):
             _check_bucket_count(spark, target_path, n_buckets)
-            if merge_fn is not None:
-                # the combine invariant must hold from the bootstrap commit
-                # too: merge the batch against an empty existing side
-                batch_merged = merge_fn(batch.filter(F.lit(False)), batch)
-            else:
-                batch_merged = batch
-            _write_bucketed(batch_merged, target_path)
+            # bootstrap: merge against an empty existing side so the
+            # dedup / combine invariant holds from the first commit too
+            batch_merged = merge_clustered(
+                batch.filter(F.lit(False)),
+                batch,
+                keys,
+                on_match,
+                merge_fn,
+                allow_schema_evolution,
+            )
+            _write_bucketed(batch_merged, target_path, clustered=True)
             return sorted(r[0] for r in batch.select("__bucket").distinct().collect())
 
         _check_bucket_count(spark, target_path, n_buckets)
@@ -182,7 +262,7 @@ def partitioned_upsert(
         if allow_schema_evolution:
             reader = reader.option("mergeSchema", "true")
         existing = reader.parquet(target_path).filter(F.col("__bucket").isin(touched))
-        merged = apply_merge_rule(
+        merged = merge_clustered(
             existing, batch, keys, on_match, merge_fn, allow_schema_evolution
         )
 
@@ -191,7 +271,7 @@ def partitioned_upsert(
         # only partitions present in the staged data are replaced. The
         # staging copy is deleted after the commit lands.
         staging = target_path + ".staging"
-        _write_bucketed(merged, staging)
+        _write_bucketed(merged, staging, clustered=True)
         (
             spark.read.parquet(staging)
             .write.partitionBy("__bucket")
@@ -249,12 +329,15 @@ def fs_read_text(spark, path: str) -> str:
         stream.close()
 
 
-def _write_bucketed(df: DataFrame, path: str) -> None:
+def _write_bucketed(df: DataFrame, path: str, clustered: bool = False) -> None:
     """partitionBy write with small-file control: hash-cluster rows by
     __bucket first so each partition directory gets one file per writing
     task that owns the bucket (≈1), not one per (task × bucket). At 100 TB
     per-bucket volume grows and the cluster shuffle is what keeps a commit
-    from spraying n_tasks × n_buckets tiny files."""
-    df.repartition(F.col("__bucket")).write.partitionBy("__bucket").mode(
-        "overwrite"
-    ).parquet(path)
+    from spraying n_tasks × n_buckets tiny files. Pass clustered=True when
+    the input is already hash(__bucket)-clustered (`merge_clustered`
+    output) — adding a second repartition would just re-shuffle the same
+    rows (guide §2.4)."""
+    if not clustered:
+        df = df.repartition(F.col("__bucket"))
+    df.write.partitionBy("__bucket").mode("overwrite").parquet(path)

@@ -76,8 +76,8 @@ from pyspark.sql import functions as F
 
 from gfe_db_spark.plans.merge import (
     DEFAULT_BUCKETS,
-    apply_merge_rule,
     bucket_expr,
+    merge_clustered,
     fs_delete,
     fs_exists,
     fs_read_text,
@@ -386,10 +386,7 @@ def _prepare_upsert(
     is the separate `_publish` step. Split out so tests can interleave
     two genuinely concurrent writers around the publish point."""
     spark = batch.sparkSession
-    batch = batch.withColumn("__bucket", bucket_expr(keys, n_buckets))
-    if merge_fn is None:
-        batch = batch.dropDuplicates(keys)
-    batch = batch.persist()
+    batch = batch.withColumn("__bucket", bucket_expr(keys, n_buckets)).persist()
     try:
         m = read_manifest(spark, root)
         if m is not None and m["n_buckets"] != n_buckets:
@@ -401,23 +398,21 @@ def _prepare_upsert(
         next_n = 1 if m is None else m["generation"] + 1
         if m is None:
             existing = batch.filter(F.lit(False))
-            merged = (
-                merge_fn(existing, batch)
-                if merge_fn is not None
-                else apply_merge_rule(existing, batch, keys, on_match, None)
-            )
             new_buckets: dict[str, str] = {}
         else:
             existing = tx_read(spark, root, buckets=touched, drop_bucket=False)
-            merged = apply_merge_rule(existing, batch, keys, on_match, merge_fn)
             new_buckets = dict(m["buckets"])
+        # merge + dedup + write-clustering in ONE pinned hash(__bucket)
+        # exchange (merge_clustered docstring); the legacy chain was a
+        # batch-dedup exchange + an anti join + a repartition before the
+        # write
+        merged = merge_clustered(existing, batch, keys, on_match, merge_fn)
         gen_name = _new_gen_name(next_n)
         gen_dir = f"{root.rstrip('/')}/{gen_name}"
-        # cluster by bucket so each partition dir gets ~1 file per commit
-        # (same small-file discipline as merge._write_bucketed)
-        merged.repartition(F.col("__bucket")).write.partitionBy("__bucket").mode(
-            "overwrite"
-        ).parquet(gen_dir)
+        # each partition dir gets ~1 file per commit: the merge output is
+        # already hash(__bucket)-clustered (same small-file discipline as
+        # merge._write_bucketed)
+        merged.write.partitionBy("__bucket").mode("overwrite").parquet(gen_dir)
         for b in touched:
             new_buckets[str(b)] = gen_name
         manifest = {

@@ -492,8 +492,8 @@ def test_partitioned_upsert_recovers_from_crashed_commit(spark, tmp_path):
     real_write = M._write_bucketed
     calls = []
 
-    def crashing_write(df, path):
-        real_write(df, path)
+    def crashing_write(df, path, **kw):
+        real_write(df, path, **kw)
         if path.endswith(".staging"):
             calls.append(path)
             raise RuntimeError("injected crash after staging write")
